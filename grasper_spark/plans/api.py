@@ -1,0 +1,268 @@
+"""Fluent Python API + query-string entry point.
+
+Mirrors the Gremlin-subset surface (/root/reference/core/parser.hpp:24-28)
+as a builder producing the same Step AST the string parser emits; both
+compile through GremlinCompiler.
+
+    g = G(graph)
+    g.V().has("name", P.eq("marko")).out("knows").values("age").df()
+    g.query('g.V().has("name","marko").out("knows").values("age")')
+
+Anonymous traversals for branch arguments start from ``A``::
+
+    g.V().and_(A.out("placed").has("orderstatus", P.eq("F")),
+               A.out("placed").has("totalprice", P.gt(200000.0))).values("name")
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+
+from grasper_spark.graph import PropertyGraph
+from grasper_spark.plans.compiler import GremlinCompiler, Step, Stream
+from grasper_spark.plans.parser import parse_query
+from grasper_spark.plans.predicates import P, Pred  # noqa: F401 (re-export)
+
+
+class Order(enum.Enum):
+    incr = True
+    decr = False
+
+
+def _steps_of(x: Any) -> tuple[Step, ...]:
+    if isinstance(x, Traversal):
+        return tuple(x._steps)
+    if isinstance(x, (list, tuple)):
+        return tuple(x)
+    raise TypeError(f"expected an anonymous traversal, got {type(x)}")
+
+
+class Traversal:
+    def __init__(self, graph: Optional[PropertyGraph], steps: tuple[Step, ...] = (), seed: int = 42):
+        self._graph = graph
+        self._steps = steps
+        self._seed = seed
+
+    def _add(self, name: str, *args: Any) -> "Traversal":
+        return Traversal(self._graph, self._steps + (Step(name, args),), self._seed)
+
+    # -- filters
+    def has(self, key: str, pred: Any = None) -> "Traversal":
+        if pred is not None and not isinstance(pred, Pred):
+            pred = P.eq(pred)
+        return self._add("has", key, pred) if pred is not None else self._add("has", key)
+
+    def hasNot(self, key: str) -> "Traversal":
+        return self._add("hasNot", key)
+
+    def hasKey(self, *keys: str) -> "Traversal":
+        return self._add("hasKey", *keys)
+
+    def hasValue(self, *vals: Any) -> "Traversal":
+        return self._add("hasValue", *vals)
+
+    def hasLabel(self, *labels: str) -> "Traversal":
+        return self._add("hasLabel", *labels)
+
+    def is_(self, pred: Pred) -> "Traversal":
+        return self._add("is", pred)
+
+    def where(self, *args: Any) -> "Traversal":
+        if len(args) == 1 and isinstance(args[0], Traversal):
+            return self._add("and", _steps_of(args[0]))
+        return self._add("where", *args)
+
+    def coin(self, p: float) -> "Traversal":
+        return self._add("coin", p)
+
+    # -- traversals
+    def out(self, *labels: str) -> "Traversal":
+        return self._add("out", *labels)
+
+    def in_(self, *labels: str) -> "Traversal":
+        return self._add("in", *labels)
+
+    def both(self, *labels: str) -> "Traversal":
+        return self._add("both", *labels)
+
+    def outE(self, *labels: str) -> "Traversal":
+        return self._add("outE", *labels)
+
+    def inE(self, *labels: str) -> "Traversal":
+        return self._add("inE", *labels)
+
+    def bothE(self, *labels: str) -> "Traversal":
+        return self._add("bothE", *labels)
+
+    def outV(self) -> "Traversal":
+        return self._add("outV")
+
+    def inV(self) -> "Traversal":
+        return self._add("inV")
+
+    def bothV(self) -> "Traversal":
+        return self._add("bothV")
+
+    # -- projections / history
+    def values(self, *keys: str) -> "Traversal":
+        return self._add("values", *keys)
+
+    def label(self) -> "Traversal":
+        return self._add("label")
+
+    def key(self) -> "Traversal":
+        return self._add("key")
+
+    def properties(self, *keys: str) -> "Traversal":
+        return self._add("properties", *keys)
+
+    def as_(self, label: str) -> "Traversal":
+        return self._add("as", label)
+
+    def select(self, *labels: str) -> "Traversal":
+        return self._add("select", *labels)
+
+    # -- side effects
+    def aggregate(self, name: str) -> "Traversal":
+        return self._add("aggregate", name)
+
+    def cap(self, *names: str) -> "Traversal":
+        return self._add("cap", *names)
+
+    # -- barriers
+    def count(self) -> "Traversal":
+        return self._add("count")
+
+    def sum_(self) -> "Traversal":
+        return self._add("sum")
+
+    def max_(self) -> "Traversal":
+        return self._add("max")
+
+    def min_(self) -> "Traversal":
+        return self._add("min")
+
+    def mean(self) -> "Traversal":
+        return self._add("mean")
+
+    def group(self, key: Optional[str] = None, value: Optional[str] = None,
+              relational: bool = False) -> "Traversal":
+        return self._add("group", key, value, relational)
+
+    def groupCount(self, key: Optional[str] = None, relational: bool = False) -> "Traversal":
+        return self._add("groupCount", key, relational)
+
+    def dedup(self, *labels: str) -> "Traversal":
+        return self._add("dedup", *labels)
+
+    def order(self, key: Optional[str] = None, direction: Order = Order.incr) -> "Traversal":
+        return self._add("order", key, direction.value)
+
+    def range_(self, a: int, b: int) -> "Traversal":
+        return self._add("range", a, b)
+
+    def limit(self, n: int) -> "Traversal":
+        return self._add("limit", n)
+
+    def skip(self, n: int) -> "Traversal":
+        return self._add("skip", n)
+
+    # -- branches
+    def union(self, *branches: "Traversal") -> "Traversal":
+        return self._add("union", *[_steps_of(b) for b in branches])
+
+    def repeat(self, branch: "Traversal", times: int = 1) -> "Traversal":
+        return self._add("repeat", _steps_of(branch), times)
+
+    def and_(self, *branches: "Traversal") -> "Traversal":
+        return self._add("and", *[_steps_of(b) for b in branches])
+
+    def or_(self, *branches: "Traversal") -> "Traversal":
+        return self._add("or", *[_steps_of(b) for b in branches])
+
+    def not_(self, branch: "Traversal") -> "Traversal":
+        return self._add("not", _steps_of(branch))
+
+    # -- terminals
+    def _compile(self) -> tuple[GremlinCompiler, Stream]:
+        assert self._graph is not None, "anonymous traversal cannot execute"
+        c = GremlinCompiler(self._graph, seed=self._seed)
+        return c, c.compile(list(self._steps))
+
+    def df(self) -> DataFrame:
+        """Compile to the user-facing DataFrame (vid / (src,dst) / val)."""
+        c, stream = self._compile()
+        if stream.kind == "G":
+            return stream.df  # relational group output keeps its columns
+        return c.result_df(stream)
+
+    def explain(self, mode: str = "formatted") -> None:  # pragma: no cover
+        self.df().explain(mode)
+
+    def to_list(self) -> list:
+        """Collect scalar results as a python list (test helper)."""
+        return [r[0] for r in self.df().collect()]
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "Traversal[" + ".".join(map(repr, self._steps)) + "]"
+
+
+class _Anon:
+    """Entry point for anonymous traversals (branch arguments)."""
+
+    def __getattr__(self, name: str) -> Any:
+        return getattr(Traversal(None), name)
+
+
+A = _Anon()
+
+
+class G:
+    """Graph handle: fluent start (V/E) + string queries + commands."""
+
+    def __init__(self, graph: PropertyGraph, seed: int = 42):
+        self.graph = graph
+        self._seed = seed
+        self._config: dict[str, Any] = {}
+        self._indexes: dict[tuple[str, str], bool] = {}
+
+    def V(self) -> Traversal:
+        return Traversal(self.graph, (Step("V"),), self._seed)
+
+    def E(self) -> Traversal:
+        return Traversal(self.graph, (Step("E"),), self._seed)
+
+    def traversal(self, steps: list[Step]) -> Traversal:
+        return Traversal(self.graph, tuple(steps), self._seed)
+
+    def query(self, query: str) -> DataFrame:
+        """Execute a Gremlin query string / BuildIndex / SetConfig command
+        (the three entry points of /root/reference/core/parser.cpp:63-112)."""
+        q = query.strip()
+        if q.startswith("BuildIndex"):
+            return self._build_index(q)
+        if q.startswith("SetConfig"):
+            return self._set_config(q)
+        return self.traversal(parse_query(q)).df()
+
+    def _build_index(self, q: str) -> DataFrame:
+        # BuildIndex(V,'key') — the reference builds value→posting-list maps
+        # (/root/reference/expert/index_expert.hpp:83-144). Parquet predicate
+        # pushdown + cached V/E already cover the scan-conversion win
+        # (SURVEY.md §4.1), so this registers + caches the side, and reports.
+        inner = q[q.index("(") + 1 : q.rindex(")")]
+        target, key = [x.strip().strip("'\"") for x in inner.split(",")]
+        self._indexes[(target, key)] = True
+        df = self.graph.vertices if target == "V" else self.graph.edges
+        df.cache()
+        spark = self.graph.spark
+        return spark.createDataFrame([("Index is enabled",)], ["val"])
+
+    def _set_config(self, q: str) -> DataFrame:
+        inner = q[q.index("(") + 1 : q.rindex(")")]
+        k, v = [x.strip().strip("'\"") for x in inner.split(",")]
+        self._config[k] = v
+        return self.graph.spark.createDataFrame([("Config modified",)], ["val"])

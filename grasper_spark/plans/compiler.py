@@ -1,0 +1,743 @@
+"""Gremlin-subset → DataFrame compiler.
+
+The engine's central representation decision (SURVEY.md §1.4): the
+reference streams traversers as ``vector<pair<history_t, vector<value_t>>>``
+(/root/reference/core/message.hpp:74-100). Here a traverser stream is ONE
+DataFrame:
+
+- current value: ``_v`` (vertex vid) | ``_esrc,_edst,_el,_ep_*`` (edge
+  row) | ``_val`` (scalar)
+- each ``as('a')``: an extra column ``_as_a``
+- labelled-branch membership (and/or/not): a ``_tid`` traverser-id column
+  (content hash), mirroring CreateBranchedMsgWithHisLabel
+  (/root/reference/core/message.cpp:214-268)
+
+Every Grasper expert then becomes a stock DataFrame op (filter / join /
+groupBy / union / window), so Catalyst does predicate pushdown, column
+pruning, join selection and AQE for free — the Spark equivalents of the
+reference's parser-level rewrites (SURVEY.md §4.1).
+
+Scale notes:
+- vertex property access joins V lazily (only when a later step reads a
+  property before the next traversal) — the analogue of Grasper's
+  on-demand remote property fetch + cache
+  (/root/reference/expert/expert_cache.hpp) without the cache, because
+  properties ride columnar and pruned.
+- traversals are plain equi-joins on src/dst: Catalyst/AQE picks
+  broadcast vs sort-merge and handles skew; at cluster scale, bucket E
+  by src and dst (graph.edges_by_dst) to make them co-located joins.
+- the only driver-side operations are plan construction; no collect()
+  in any operator.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field, replace
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from grasper_spark.graph import PropertyGraph
+from grasper_spark.plans.predicates import P, Pred, pred_to_condition
+
+# canonical stream columns
+VCOL = "_v"
+VLAB = "_vl"
+VP = "_vp_"
+ESRC = "_esrc"
+EDST = "_edst"
+ELAB = "_el"
+EP = "_ep_"
+VAL = "_val"
+AS = "_as_"
+TID = "_tid"
+ORD = "_ord_"
+
+_uid = itertools.count()
+
+
+@dataclass(frozen=True)
+class Step:
+    name: str
+    args: tuple[Any, ...] = ()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"{self.name}({', '.join(map(repr, self.args))})"
+
+
+@dataclass
+class Stream:
+    df: DataFrame
+    kind: str  # 'V' | 'E' | 'S'
+    dtype: Optional[str] = None  # scalar spark type name
+    props: bool = False  # vertex properties attached
+    history: dict[str, str] = field(default_factory=dict)  # as-label -> column
+    group_cols: list[str] = field(default_factory=list)  # barrier grouping (branch tid)
+    sort: list[tuple[str, bool]] = field(default_factory=list)  # (col, asc)
+
+    def val(self) -> Column:
+        if self.kind == "V":
+            return F.col(VCOL)
+        if self.kind == "E":
+            # packed edge id — reference eid_t is the endpoint pair
+            # (/root/reference/base/type.hpp:156-184)
+            return F.shiftleft(F.col(ESRC), 33) + F.col(EDST)
+        return F.col(VAL)
+
+    def core_cols(self) -> list[str]:
+        if self.kind == "V":
+            return [VCOL]
+        if self.kind == "E":
+            return [c for c in self.df.columns if c.startswith((ESRC, EDST, ELAB, EP))]
+        return [VAL]
+
+    def hist_cols(self) -> list[str]:
+        return list(self.history.values())
+
+    def sort_cols(self) -> list[str]:
+        return [c for c, _ in self.sort if c in self.df.columns]
+
+
+def _fmt_value(col: Column, dtype: str) -> Column:
+    """Tool::DebugString parity (/root/reference/utils/tool.hpp:334-368):
+    doubles render as %.6f, trailing '.'/'0' trimmed when |v| >= 1."""
+    if dtype in ("double", "float"):
+        s = F.format_string("%.6f", col)
+        return F.when(F.abs(col) >= 1, F.regexp_replace(s, r"[.0]+$", "")).otherwise(s)
+    return col.cast("string")
+
+
+class GremlinCompiler:
+    """Compile a Step list against a PropertyGraph into a DataFrame plan."""
+
+    def __init__(self, graph: PropertyGraph, seed: int = 42):
+        self.g = graph
+        self.seed = seed
+        self.side_effects: dict[str, DataFrame] = {}
+        self._v_renamed: Optional[DataFrame] = None
+        self._e_renamed: Optional[DataFrame] = None
+
+    # ---------- prepared inputs ----------
+
+    def _vertices(self) -> DataFrame:
+        if self._v_renamed is None:
+            cols = [F.col("vid").alias(VCOL), F.col("label").alias(VLAB)]
+            cols += [F.col(k).alias(VP + k) for k in self.g.vertex_keys]
+            self._v_renamed = self.g.vertices.select(*cols)
+        return self._v_renamed
+
+    def _edges(self, by_dst: bool = False) -> DataFrame:
+        src = self.g.edges_by_dst() if by_dst else self.g.edges
+        cols = [F.col("src").alias(ESRC), F.col("dst").alias(EDST), F.col("label").alias(ELAB)]
+        cols += [F.col(k).alias(EP + k) for k in self.g.edge_keys]
+        return src.select(*cols)
+
+    # ---------- entry ----------
+
+    def compile(self, steps: Sequence[Step], start: Optional[Stream] = None) -> Stream:
+        s = start
+        for step in steps:
+            s = self._apply(s, step)
+        return s
+
+    def result_df(self, stream: Stream) -> DataFrame:
+        """User-facing projection: vertices → (vid), edges → (src,dst),
+        scalars → (val)."""
+        df = stream.df
+        if stream.sort:
+            df = df.orderBy(
+                *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in stream.sort]
+            )
+        if stream.kind == "V":
+            return df.select(F.col(VCOL).alias("vid"))
+        if stream.kind == "E":
+            return df.select(F.col(ESRC).alias("src"), F.col(EDST).alias("dst"))
+        return df.select(F.col(VAL).alias("val"))
+
+    # ---------- helpers ----------
+
+    def _ensure_vprops(self, s: Stream) -> Stream:
+        if s.kind != "V" or s.props:
+            return s
+        return replace(s, df=s.df.join(self._vertices(), VCOL, "inner"), props=True)
+
+    def _prop_col(self, s: Stream, key: str) -> tuple[Stream, Column, str]:
+        """Column holding property `key` for the current element kind."""
+        if s.kind == "V":
+            if key == "label":
+                s = self._ensure_vprops(s)
+                return s, F.col(VLAB), "string"
+            if key not in self.g.vertex_keys:
+                return s, F.lit(None).cast("string"), "string"
+            s = self._ensure_vprops(s)
+            return s, F.col(VP + key), self.g.vertex_keys[key]
+        if s.kind == "E":
+            if key == "label":
+                return s, F.col(ELAB), "string"
+            if key not in self.g.edge_keys:
+                return s, F.lit(None).cast("string"), "string"
+            return s, F.col(EP + key), self.g.edge_keys[key]
+        raise TypeError(f"property access on scalar stream: {key}")
+
+    def _strip(self, s: Stream) -> DataFrame:
+        """Project down to value + history (drop props / sort cols)."""
+        keep = ([VCOL] if s.kind == "V" else s.core_cols() if s.kind == "E" else [VAL])
+        return s.df.select(*keep, *s.hist_cols())
+
+    def _traversal_result(
+        self, s: Stream, df: DataFrame, kind: str, keep_sort: bool = False, **kw: Any
+    ) -> Stream:
+        return Stream(
+            df=df, kind=kind, props=False, history=dict(s.history),
+            group_cols=list(s.group_cols), sort=(list(s.sort) if keep_sort else []), **kw,
+        )
+
+    # ---------- dispatch ----------
+
+    def _apply(self, s: Optional[Stream], step: Step) -> Stream:
+        name = step.name
+        fn = getattr(self, f"_step_{name}", None)
+        if fn is None:
+            raise NotImplementedError(f"step not implemented: {name}")
+        return fn(s, *step.args)
+
+    # ---------- sources ----------
+
+    def _step_V(self, s: Optional[Stream]) -> Stream:
+        assert s is None, "V() only at query start"
+        return Stream(df=self._vertices(), kind="V", props=True)
+
+    def _step_E(self, s: Optional[Stream]) -> Stream:
+        assert s is None, "E() only at query start"
+        return Stream(df=self._edges(), kind="E")
+
+    # ---------- filters ----------
+
+    def _step_has(self, s: Stream, key: str, pred: Optional[Pred] = None) -> Stream:
+        pred = pred if pred is not None else P.ANY
+        s, col, _ = self._prop_col(s, key)
+        return replace(s, df=s.df.filter(pred_to_condition(pred, col)))
+
+    def _step_hasNot(self, s: Stream, key: str) -> Stream:
+        s, col, _ = self._prop_col(s, key)
+        return replace(s, df=s.df.filter(col.isNull()))
+
+    def _step_hasKey(self, s: Stream, *keys: str) -> Stream:
+        for k in keys:
+            s, col, _ = self._prop_col(s, k)
+            s = replace(s, df=s.df.filter(col.isNotNull()))
+        return s
+
+    def _step_hasValue(self, s: Stream, *vals: Any) -> Stream:
+        # "any property has this value" — has_expert pid=-1 path
+        # (/root/reference/expert/has_expert.hpp:42-217)
+        s = self._ensure_vprops(s) if s.kind == "V" else s
+        keys = self.g.vertex_keys if s.kind == "V" else self.g.edge_keys
+        prefix = VP if s.kind == "V" else EP
+        numeric = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+        cond = F.lit(False)
+        for k, dtype in keys.items():
+            for v in vals:
+                # mixed non-numeric types never match (predicate.cpp:28-44);
+                # comparing them would also trip ANSI casts — skip.
+                v_num = isinstance(v, (int, float)) and not isinstance(v, bool)
+                c_num = dtype.startswith(numeric)
+                if v_num != c_num:
+                    continue
+                cond = cond | (F.col(prefix + k) == F.lit(v))
+        return replace(s, df=s.df.filter(cond))
+
+    def _step_hasLabel(self, s: Stream, *labels: str) -> Stream:
+        if s.kind == "V":
+            s = self._ensure_vprops(s)
+            return replace(s, df=s.df.filter(F.col(VLAB).isin(list(labels))))
+        return replace(s, df=s.df.filter(F.col(ELAB).isin(list(labels))))
+
+    def _step_is(self, s: Stream, pred: Pred) -> Stream:
+        assert s.kind == "S", "is() applies to scalar streams"
+        return replace(s, df=s.df.filter(pred_to_condition(pred, F.col(VAL))))
+
+    def _step_coin(self, s: Stream, p: float) -> Stream:
+        return replace(s, df=s.df.sample(fraction=float(p), seed=self.seed))
+
+    # ---------- traversals ----------
+
+    def _expand(self, s: Stream, elabels: tuple[str, ...], direction: str, to: str) -> Stream:
+        """The single traversal op (/root/reference/expert/traversal_expert.hpp).
+
+        direction 'out': join stream._v == E.src, move to dst;
+        'in': join on dst, move to src. `to` is 'V' or 'E'.
+        """
+        assert s.kind == "V", f"{direction}{to} requires vertex stream"
+        u = next(_uid)
+        jsrc, jdst, jlab = f"_j{u}s", f"_j{u}d", f"_j{u}l"
+        e = self._edges(by_dst=(direction == "in"))
+        eps = {k: f"_j{u}p{i}" for i, k in enumerate(self.g.edge_keys)}
+        e = e.select(
+            F.col(ESRC).alias(jsrc), F.col(EDST).alias(jdst), F.col(ELAB).alias(jlab),
+            *[F.col(EP + k).alias(v) for k, v in eps.items()],
+        )
+        if elabels:
+            e = e.filter(F.col(jlab).isin(list(elabels)))
+        left = self._strip(s)
+        key = jsrc if direction == "out" else jdst
+        joined = left.join(e, left[VCOL] == e[key], "inner")
+        if to == "V":
+            out = jdst if direction == "out" else jsrc
+            df = joined.select(*s.hist_cols(), F.col(out).alias(VCOL))
+            return self._traversal_result(s, df, "V")
+        df = joined.select(
+            *s.hist_cols(),
+            F.col(jsrc).alias(ESRC), F.col(jdst).alias(EDST), F.col(jlab).alias(ELAB),
+            *[F.col(v).alias(EP + k) for k, v in eps.items()],
+        )
+        return self._traversal_result(s, df, "E")
+
+    def _step_out(self, s: Stream, *labels: str) -> Stream:
+        return self._expand(s, labels, "out", "V")
+
+    def _step_in(self, s: Stream, *labels: str) -> Stream:
+        return self._expand(s, labels, "in", "V")
+
+    def _step_both(self, s: Stream, *labels: str) -> Stream:
+        a, b = self._step_out(s, *labels), self._step_in(s, *labels)
+        return replace(a, df=a.df.unionByName(b.df))
+
+    def _step_outE(self, s: Stream, *labels: str) -> Stream:
+        return self._expand(s, labels, "out", "E")
+
+    def _step_inE(self, s: Stream, *labels: str) -> Stream:
+        return self._expand(s, labels, "in", "E")
+
+    def _step_bothE(self, s: Stream, *labels: str) -> Stream:
+        a, b = self._step_outE(s, *labels), self._step_inE(s, *labels)
+        return replace(a, df=a.df.unionByName(b.df))
+
+    def _step_outV(self, s: Stream) -> Stream:
+        # edge endpoints decode straight from the edge key — no data access
+        # (/root/reference/expert/traversal_expert.hpp:205-238)
+        assert s.kind == "E"
+        df = s.df.select(*s.hist_cols(), *s.sort_cols(), F.col(ESRC).alias(VCOL))
+        return self._traversal_result(s, df, "V", keep_sort=True)
+
+    def _step_inV(self, s: Stream) -> Stream:
+        assert s.kind == "E"
+        df = s.df.select(*s.hist_cols(), *s.sort_cols(), F.col(EDST).alias(VCOL))
+        return self._traversal_result(s, df, "V", keep_sort=True)
+
+    def _step_bothV(self, s: Stream) -> Stream:
+        assert s.kind == "E"
+        df = s.df.select(
+            *s.hist_cols(), F.explode(F.array(F.col(ESRC), F.col(EDST))).alias(VCOL)
+        )
+        return self._traversal_result(s, df, "V")
+
+    # ---------- projections ----------
+
+    def _step_values(self, s: Stream, *keys: str) -> Stream:
+        # missing keys DROP the element (not null) —
+        # /root/reference/expert/values_expert.hpp:102-105
+        assert keys, "values() needs at least one key"
+        if len(keys) == 1:
+            s, col, dtype = self._prop_col(s, keys[0])
+            df = s.df.filter(col.isNotNull()).select(
+                *s.hist_cols(), *s.sort_cols(), col.alias(VAL)
+            )
+            return self._traversal_result(s, df, "S", keep_sort=True, dtype=dtype)
+        cols, dtypes = [], set()
+        for k in keys:
+            s, col, dt = self._prop_col(s, k)
+            cols.append(col)
+            dtypes.add(dt)
+        assert len(dtypes) == 1, f"values(...) keys must share a type: {dtypes}"
+        df = s.df.select(
+            *s.hist_cols(), *s.sort_cols(), F.explode(F.array(*cols)).alias(VAL)
+        ).filter(F.col(VAL).isNotNull())
+        return self._traversal_result(s, df, "S", keep_sort=True, dtype=dtypes.pop())
+
+    def _step_label(self, s: Stream) -> Stream:
+        s, col, _ = self._prop_col(s, "label")
+        df = s.df.select(*s.hist_cols(), *s.sort_cols(), col.alias(VAL))
+        return self._traversal_result(s, df, "S", keep_sort=True, dtype="string")
+
+    def _step_key(self, s: Stream) -> Stream:
+        # element → names of present property keys
+        # (/root/reference/expert/key_expert.hpp:70-108)
+        s = self._ensure_vprops(s) if s.kind == "V" else s
+        keys = self.g.vertex_keys if s.kind == "V" else self.g.edge_keys
+        prefix = VP if s.kind == "V" else EP
+        arr = F.array(
+            *[F.when(F.col(prefix + k).isNotNull(), F.lit(k)) for k in keys]
+        )
+        df = s.df.select(
+            *s.hist_cols(), F.explode(F.filter(arr, lambda x: x.isNotNull())).alias(VAL)
+        )
+        return self._traversal_result(s, df, "S", dtype="string")
+
+    def _step_properties(self, s: Stream, *keys: str) -> Stream:
+        # element → "{key:value}" strings, missing keys skipped
+        # (/root/reference/expert/properties_expert.hpp:76-194,
+        #  format /root/reference/utils/tool.hpp:295-301)
+        s = self._ensure_vprops(s) if s.kind == "V" else s
+        all_keys = self.g.vertex_keys if s.kind == "V" else self.g.edge_keys
+        use = list(keys) if keys else list(all_keys)
+        prefix = VP if s.kind == "V" else EP
+        parts = []
+        for k in use:
+            if k not in all_keys:
+                continue
+            col = F.col(prefix + k)
+            parts.append(
+                F.when(
+                    col.isNotNull(),
+                    F.concat(F.lit("{" + k + ":"), _fmt_value(col, all_keys[k]), F.lit("}")),
+                )
+            )
+        arr = F.array(*parts) if parts else F.array().cast("array<string>")
+        df = s.df.select(
+            *s.hist_cols(), F.explode(F.filter(arr, lambda x: x.isNotNull())).alias(VAL)
+        )
+        return self._traversal_result(s, df, "S", dtype="string")
+
+    # ---------- history ----------
+
+    def _step_as(self, s: Stream, label: str) -> Stream:
+        col = AS + label
+        s2 = replace(s, df=s.df.withColumn(col, s.val()), history=dict(s.history))
+        s2.history[label] = col
+        return s2
+
+    def _step_select(self, s: Stream, *labels: str) -> Stream:
+        # 1 key → the recorded value; n keys → "[a:v1, b:v2]"
+        # (/root/reference/expert/select_expert.hpp:70-138)
+        for lb in labels:
+            assert lb in s.history, f"select: unknown label '{lb}'"
+        if len(labels) == 1:
+            col = F.col(s.history[labels[0]])
+            df = s.df.select(*s.hist_cols(), *s.sort_cols(), col.alias(VAL))
+            return self._traversal_result(s, df, "S", keep_sort=True, dtype="long")
+        inner = [
+            F.concat(F.lit(f"{lb}:"), F.col(s.history[lb]).cast("string"))
+            for lb in labels
+        ]
+        val = F.concat(F.lit("["), F.concat_ws(", ", *inner), F.lit("]"))
+        df = s.df.select(*s.hist_cols(), *s.sort_cols(), val.alias(VAL))
+        return self._traversal_result(s, df, "S", keep_sort=True, dtype="string")
+
+    # ---------- where ----------
+
+    def _step_where(self, s: Stream, *args: Any) -> Stream:
+        """where(pred-on-labels) | where('a', pred) | where(within/without('x'))."""
+        if len(args) == 1 and isinstance(args[0], Pred):
+            pred = args[0]
+            if pred.op in ("within", "without") and all(
+                a in self.side_effects for a in pred.args
+            ):
+                return self._where_side_effect(s, pred)
+            lhs = s.val()
+        elif len(args) == 2 and isinstance(args[0], str):
+            assert args[0] in s.history, f"where: unknown label '{args[0]}'"
+            lhs, pred = F.col(s.history[args[0]]), args[1]
+        else:
+            raise ValueError(f"where: bad args {args}")
+        refs = [F.col(s.history[a]) for a in pred.args]
+        return replace(s, df=s.df.filter(pred_to_condition(pred, lhs, other=refs)))
+
+    def _where_side_effect(self, s: Stream, pred: Pred) -> Stream:
+        # membership vs aggregate('x') store — semi/anti join
+        # (/root/reference/expert/where_expert.hpp:61-81,158-198)
+        df = s.df.withColumn("_wv", s.val())
+        for name in pred.args:
+            se = F.broadcast(self.side_effects[name].select(F.col("seval").alias("_wv")).distinct())
+            how = "left_semi" if pred.op == "within" else "left_anti"
+            df = df.join(se, "_wv", how)
+        return replace(s, df=df.drop("_wv"))
+
+    # ---------- side effects ----------
+
+    def _step_aggregate(self, s: Stream, name: str) -> Stream:
+        # snapshot the stream into store `name`; stream passes through
+        # (/root/reference/expert/barrier_expert.hpp:314-364)
+        self.side_effects[name] = s.df.select(s.val().alias("seval"))
+        return s
+
+    def _step_cap(self, s: Stream, *names: str) -> Stream:
+        # "x:[v1, v2]" per store (/root/reference/expert/barrier_expert.hpp:366-430);
+        # values sorted for determinism (reference emits arrival order).
+        outs = []
+        for name in names:
+            se = self.side_effects[name]
+            dtype = dict(se.dtypes)["seval"]
+            outs.append(
+                se.agg(
+                    F.concat(
+                        F.lit(name + ":["),
+                        F.concat_ws(
+                            ", ",
+                            F.transform(
+                                F.array_sort(F.collect_list("seval")),
+                                lambda x: _fmt_value(x, dtype),
+                            ),
+                        ),
+                        F.lit("]"),
+                    ).alias(VAL)
+                )
+            )
+        df = outs[0]
+        for o in outs[1:]:
+            df = df.unionByName(o)
+        return Stream(df=df, kind="S", dtype="string")
+
+    # ---------- barriers ----------
+
+    def _grouped_agg(self, s: Stream, agg: Column) -> Stream:
+        gcols = s.group_cols
+        if gcols:
+            df = s.df.groupBy(*gcols).agg(agg.alias(VAL))
+        else:
+            df = s.df.agg(agg.alias(VAL))
+        return Stream(
+            df=df, kind="S", dtype=None, history={c: c for c in gcols if c == TID},
+            group_cols=list(gcols),
+        )
+
+    def _step_count(self, s: Stream) -> Stream:
+        # partial+final agg is Catalyst-native — the reference's
+        # sender-side partial counts (/root/reference/core/message.cpp:336-340)
+        out = self._grouped_agg(s, F.count(F.lit(1)))
+        out.dtype = "bigint"
+        return out
+
+    def _math(self, s: Stream, fn: str) -> Stream:
+        assert s.kind == "S", f"{fn}() needs a scalar stream"
+        col = F.col(VAL)
+        agg = {"sum": F.sum, "max": F.max, "min": F.min, "mean": F.avg}[fn](col)
+        # reference MATH coerces to double
+        # (/root/reference/expert/barrier_expert.hpp:1061-1178)
+        out = self._grouped_agg(s, agg.cast("double"))
+        out.dtype = "double"
+        return out
+
+    def _step_sum(self, s: Stream) -> Stream:
+        return self._math(s, "sum")
+
+    def _step_max(self, s: Stream) -> Stream:
+        return self._math(s, "max")
+
+    def _step_min(self, s: Stream) -> Stream:
+        return self._math(s, "min")
+
+    def _step_mean(self, s: Stream) -> Stream:
+        return self._math(s, "mean")
+
+    def _group_key(self, s: Stream, key: Optional[str]) -> tuple[Stream, Column, str]:
+        if key is None:
+            return s, s.val(), ("long" if s.kind in ("V", "E") else s.dtype or "string")
+        return self._prop_col(s, key)
+
+    def _step_groupCount(self, s: Stream, key: Optional[str] = None, relational: bool = False) -> Stream:
+        # group → "key:count" strings (/root/reference/expert/barrier_expert.hpp:605-730)
+        s, kcol, kdt = self._group_key(s, key)
+        df = s.df.filter(kcol.isNotNull()) if key is not None else s.df
+        gcols = [kcol.alias("_gk"), *s.group_cols]
+        grouped = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("_gc"))
+        if relational:
+            out = grouped.select(
+                *s.group_cols, F.col("_gk").alias("key"), F.col("_gc").alias("cnt")
+            )
+            return Stream(df=out, kind="G", group_cols=list(s.group_cols))
+        val = F.concat(_fmt_value(F.col("_gk"), kdt), F.lit(":"), F.col("_gc").cast("string"))
+        out = grouped.select(*s.group_cols, val.alias(VAL))
+        return Stream(df=out, kind="S", dtype="string", group_cols=list(s.group_cols))
+
+    def _step_group(
+        self,
+        s: Stream,
+        key: Optional[str] = None,
+        value: Optional[str] = None,
+        relational: bool = False,
+    ) -> Stream:
+        # group(k?, v?) → "key:[v1, v2]" strings; missing keys/values drop
+        # the element (/root/reference/expert/barrier_expert.hpp:663-667)
+        s, kcol, kdt = self._group_key(s, key)
+        s, vcol, vdt = self._group_key(s, value)
+        df = s.df
+        if key is not None:
+            df = df.filter(kcol.isNotNull())
+        if value is not None:
+            df = df.filter(vcol.isNotNull())
+        gcols = [kcol.alias("_gk"), *s.group_cols]
+        grouped = df.groupBy(*gcols).agg(F.array_sort(F.collect_list(vcol)).alias("_gv"))
+        if relational:
+            out = grouped.select(
+                *s.group_cols, F.col("_gk").alias("key"), F.col("_gv").alias("vals")
+            )
+            return Stream(df=out, kind="G", group_cols=list(s.group_cols))
+        val = F.concat(
+            _fmt_value(F.col("_gk"), kdt),
+            F.lit(":["),
+            F.concat_ws(", ", F.transform(F.col("_gv"), lambda x: _fmt_value(x, vdt))),
+            F.lit("]"),
+        )
+        out = grouped.select(*s.group_cols, val.alias(VAL))
+        return Stream(df=out, kind="S", dtype="string", group_cols=list(s.group_cols))
+
+    def _step_dedup(self, s: Stream, *labels: str) -> Stream:
+        # distinct by current value, or by history-label tuple
+        # (/root/reference/expert/barrier_expert.hpp:502-593)
+        if labels:
+            cols = [s.history[lb] for lb in labels]
+            return replace(s, df=s.df.dropDuplicates([*s.group_cols, *cols]))
+        if s.kind == "E":
+            keys = [ESRC, EDST]
+        elif s.kind == "V":
+            keys = [VCOL]
+        else:
+            keys = [VAL]
+        return replace(s, df=s.df.dropDuplicates([*s.group_cols, *keys]))
+
+    def _step_order(self, s: Stream, key: Optional[str] = None, asc: bool = True) -> Stream:
+        # global sort; keyed order drops elements missing the key
+        # (/root/reference/expert/barrier_expert.hpp:745-858)
+        if key is None:
+            if s.kind == "S":
+                return replace(s, sort=[(VAL, asc)])
+            oc = ORD + str(next(_uid))
+            return replace(s, df=s.df.withColumn(oc, s.val()), sort=[(oc, asc)])
+        s, col, _ = self._prop_col(s, key)
+        oc = ORD + str(next(_uid))
+        df = s.df.filter(col.isNotNull()).withColumn(oc, col)
+        return replace(s, df=df, sort=[(oc, asc)])
+
+    def _slice(self, s: Stream, start: int, end: int) -> Stream:
+        """range(a,b) inclusive positional slice; b=-1 → to end
+        (/root/reference/expert/barrier_expert.hpp:870-958). Slices follow
+        the current sort if any, else an arbitrary-but-stable order
+        (reference slices arrival order — nondeterministic too)."""
+        if s.sort:
+            order = [F.col(c).asc() if a else F.col(c).desc() for c, a in s.sort]
+        else:
+            order = [F.monotonically_increasing_id().asc()]
+        if not s.group_cols and start == 0 and end >= 0:
+            # limit(n): unsorted → plain limit; sorted → orderBy+limit, which
+            # Spark executes as TakeOrderedAndProject (no global window).
+            df = s.df.orderBy(*order) if s.sort else s.df
+            return replace(s, df=df.limit(end + 1))
+        w = Window.partitionBy(*s.group_cols).orderBy(*order) if s.group_cols else (
+            Window.orderBy(*order)
+        )
+        rn = F.row_number().over(w) - 1
+        df = s.df.withColumn("_rn", rn)
+        cond = (F.col("_rn") >= start) if end < 0 else (
+            (F.col("_rn") >= start) & (F.col("_rn") <= end)
+        )
+        return replace(s, df=df.filter(cond).drop("_rn"))
+
+    def _step_range(self, s: Stream, a: int, b: int) -> Stream:
+        return self._slice(s, a, b)
+
+    def _step_limit(self, s: Stream, n: int) -> Stream:
+        return self._slice(s, 0, n - 1)
+
+    def _step_skip(self, s: Stream, n: int) -> Stream:
+        return self._slice(s, n, -1)
+
+    # ---------- branches ----------
+
+    def _align_union(self, streams: list[Stream]) -> Stream:
+        kinds = {st.kind for st in streams}
+        assert len(kinds) == 1, f"union branches must share output type: {kinds}"
+        kind = kinds.pop()
+        shared_hist = set.intersection(*[set(st.history) for st in streams])
+        hist = {lb: streams[0].history[lb] for lb in shared_hist}
+        core = streams[0].core_cols() if kind != "E" else [ESRC, EDST, ELAB] + [
+            EP + k for k in self.g.edge_keys
+        ]
+        dfs = [st.df.select(*core, *[st.history[lb] for lb in sorted(shared_hist)]) for st in streams]
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d)
+        dtype = streams[0].dtype
+        return Stream(
+            df=df, kind=kind, dtype=dtype, props=False, history=hist,
+            group_cols=list(streams[0].group_cols),
+        )
+
+    def _step_union(self, s: Stream, *branches: Sequence[Step]) -> Stream:
+        # copy input into each sub-pipeline, merge outputs
+        # (/root/reference/expert/branch_expert.hpp:12-45)
+        outs = [self.compile(list(b), start=s) for b in branches]
+        return self._align_union(outs)
+
+    def _step_repeat(self, s: Stream, branch: Sequence[Step], times: int = 1) -> Stream:
+        # reference repeat == single-pass union ("Act just as union",
+        # /root/reference/core/parser.cpp:1305-1318); times>1 is our
+        # parity-plus unrolling extension.
+        out = s
+        for _ in range(max(1, times)):
+            out = self.compile(list(branch), start=out)
+        return out
+
+    def _tagged(self, s: Stream) -> Stream:
+        """Attach a content-hash traverser id for labelled branches.
+
+        Two identical traversers get the same tid — semantically
+        interchangeable for existential tests, so this is safe, fully
+        deterministic, and needs no caching (unlike
+        monotonically_increasing_id)."""
+        if TID in s.df.columns:
+            return s
+        cols = [s.val(), *[F.col(c) for c in s.hist_cols()]]
+        df = s.df.withColumn(TID, F.xxhash64(*cols))
+        s2 = replace(s, df=df, history=dict(s.history), group_cols=list(s.group_cols))
+        s2.history[TID] = TID
+        if TID not in s2.group_cols:
+            s2.group_cols = s2.group_cols + [TID]
+        return s2
+
+    def _branch_tids(self, tagged: Stream, branches: Sequence[Sequence[Step]]) -> list[DataFrame]:
+        outs = []
+        for b in branches:
+            res = self.compile(list(b), start=tagged)
+            outs.append(res.df.select(TID).distinct())
+        return outs
+
+    def _labelled_filter(self, s: Stream, branches: Sequence[Sequence[Step]], mode: str) -> Stream:
+        # per-traverser existential test: pass iff all/any/none branches
+        # produced ≥1 result for this input traverser
+        # (/root/reference/expert/labelled_branch_expert.hpp:184-289)
+        tagged = self._tagged(s)
+        tid_sets = self._branch_tids(tagged, branches)
+        if mode == "and":
+            passing = tid_sets[0]
+            for t in tid_sets[1:]:
+                passing = passing.join(t, TID, "inner")
+            how = "left_semi"
+        elif mode == "or":
+            passing = tid_sets[0]
+            for t in tid_sets[1:]:
+                passing = passing.unionByName(t)
+            passing = passing.distinct()
+            how = "left_semi"
+        else:  # not
+            passing = tid_sets[0]
+            for t in tid_sets[1:]:
+                passing = passing.unionByName(t)
+            how = "left_anti"
+        df = tagged.df.join(passing, TID, how).drop(TID)
+        hist = {k: v for k, v in s.history.items() if k != TID}
+        return replace(
+            s, df=df, history=hist,
+            group_cols=[c for c in s.group_cols if c != TID],
+        )
+
+    def _step_and(self, s: Stream, *branches: Sequence[Step]) -> Stream:
+        return self._labelled_filter(s, branches, "and")
+
+    def _step_or(self, s: Stream, *branches: Sequence[Step]) -> Stream:
+        return self._labelled_filter(s, branches, "or")
+
+    def _step_not(self, s: Stream, branch: Sequence[Step]) -> Stream:
+        return self._labelled_filter(s, [branch], "not")

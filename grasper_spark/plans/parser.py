@@ -1,0 +1,146 @@
+"""Gremlin-subset string parser.
+
+A from-scratch tokenizer/parser with the reference parser's surface
+(/root/reference/core/parser.cpp): step whitelist at parser.cpp:1496-1539
+(42 steps), predicate names at parser.cpp:1541-1553, paren-matching step
+splitter GetSteps at parser.cpp:442-493, literal typing rules at
+utils/tool.hpp:159-177 (int if no '.', double with '.', quoted strings).
+
+Produces the same Step AST the fluent API builds; compilation is shared.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from grasper_spark.plans.compiler import Step
+from grasper_spark.plans.predicates import P, Pred
+
+PRED_NAMES = {
+    "eq", "neq", "lt", "lte", "gt", "gte",
+    "inside", "outside", "between", "within", "without",
+}
+
+STEP_NAMES = {
+    "V", "E", "has", "hasNot", "hasKey", "hasValue", "hasLabel", "is",
+    "where", "coin", "out", "in", "both", "outE", "inE", "bothE", "outV",
+    "inV", "bothV", "values", "label", "key", "properties", "as", "select",
+    "aggregate", "cap", "count", "sum", "max", "min", "mean", "group",
+    "groupCount", "dedup", "order", "range", "limit", "skip", "union",
+    "repeat", "and", "or", "not",
+}
+
+# steps whose string args are python-reserved in the fluent API
+_ALIASES = {"is_": "is", "in_": "in", "as_": "as", "and_": "and", "or_": "or", "not_": "not"}
+
+
+class ParseError(ValueError):
+    pass
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on sep at paren/quote depth 0 (GetSteps-style matching)."""
+    parts, depth, buf, i = [], 0, [], 0
+    quote: str | None = None
+    while i < len(s):
+        c = s[i]
+        if quote:
+            buf.append(c)
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+            buf.append(c)
+        elif c == "(":
+            depth += 1
+            buf.append(c)
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                raise ParseError(f"unbalanced ')' in: {s}")
+            buf.append(c)
+        elif c == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if depth != 0 or quote:
+        raise ParseError(f"unbalanced parens/quotes in: {s}")
+    parts.append("".join(buf).strip())
+    return parts
+
+
+def _parse_literal(tok: str) -> Any:
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
+        return tok[1:-1]
+    try:
+        return int(tok)  # no '.' → int (utils/tool.hpp:159-177)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    raise ParseError(f"cannot type literal: {tok!r}")
+
+
+def _parse_arg(tok: str) -> Any:
+    tok = tok.strip()
+    if tok.startswith("__."):
+        tok = tok[3:]
+    head = tok.split("(", 1)[0].strip()
+    if "(" in tok and head in PRED_NAMES:
+        inner = tok[tok.index("(") + 1 : tok.rindex(")")]
+        args = [] if not inner.strip() else [_parse_literal(a) for a in _split_top(inner, ",")]
+        return Pred(head, tuple(args))
+    if "(" in tok and head in STEP_NAMES:
+        return tuple(parse_steps(tok))
+    if tok in ("incr", "asc"):
+        return ("ORDER", True)
+    if tok in ("decr", "desc"):
+        return ("ORDER", False)
+    return _parse_literal(tok)
+
+
+def _parse_step(tok: str) -> Step:
+    if "(" not in tok:
+        raise ParseError(f"malformed step: {tok!r}")
+    name = tok.split("(", 1)[0].strip()
+    if name not in STEP_NAMES:
+        raise ParseError(f"unknown step: {name!r}")
+    inner = tok[tok.index("(") + 1 : tok.rindex(")")].strip()
+    raw_args = [] if not inner else [_parse_arg(a) for a in _split_top(inner, ",")]
+    # normalize per-step argument shapes
+    if name == "order":
+        key, asc = None, True
+        for a in raw_args:
+            if isinstance(a, tuple) and len(a) == 2 and a[0] == "ORDER":
+                asc = a[1]
+            else:
+                key = a
+        return Step("order", (key, asc))
+    if name in ("and", "or", "union"):
+        return Step(name, tuple(tuple(a) if isinstance(a, tuple) else a for a in raw_args))
+    if name in ("not", "repeat"):
+        return Step(name, (tuple(raw_args[0]),))
+    if name == "where" and len(raw_args) == 1 and isinstance(raw_args[0], tuple):
+        # where(subquery) → and(subquery) (/root/reference/core/parser.cpp:1468-1474)
+        return Step("and", (raw_args[0],))
+    if name == "has" and len(raw_args) == 2 and not isinstance(raw_args[1], Pred):
+        return Step("has", (raw_args[0], P.eq(raw_args[1])))
+    return Step(name, tuple(raw_args))
+
+
+def parse_steps(chain: str) -> list[Step]:
+    """Parse a dotted step chain like `out('knows').values('age')`."""
+    toks = _split_top(chain.strip(), ".")
+    return [_parse_step(t) for t in toks if t]
+
+
+def parse_query(query: str) -> list[Step]:
+    """Parse a full query starting with `g.V()` / `g.E()`."""
+    q = query.strip()
+    if not q.startswith("g."):
+        raise ParseError("query must start with 'g.' (parser.cpp:63-112 prefix check)")
+    return parse_steps(q[2:])

@@ -1,0 +1,132 @@
+"""Predicate kernel.
+
+Reference semantics: /root/reference/base/predicate.cpp:100-150 and enum
+Predicate_T (/root/reference/base/type.hpp:412): eq, neq, lt, lte, gt,
+gte, inside (exclusive), outside, between (inclusive), within, without,
+any, none.  Numeric int/double cross-comparison is supported
+(/root/reference/base/predicate.cpp:28-44) — Spark's numeric coercion
+covers that natively.
+
+Missing-property semantics: `has(key, pred)` keeps only elements that
+HAVE the key and satisfy the predicate, so every compiled condition is
+null-rejecting (Spark comparisons with NULL are already false-ish under
+filter; `neq` and `without` need explicit isNotNull guards).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Pred:
+    op: str
+    args: tuple[Any, ...] = ()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"{self.op}({', '.join(map(repr, self.args))})"
+
+
+class P:
+    """Predicate builders mirroring the reference's Predicate_T."""
+
+    @staticmethod
+    def eq(v: Any) -> Pred:
+        return Pred("eq", (v,))
+
+    @staticmethod
+    def neq(v: Any) -> Pred:
+        return Pred("neq", (v,))
+
+    @staticmethod
+    def lt(v: Any) -> Pred:
+        return Pred("lt", (v,))
+
+    @staticmethod
+    def lte(v: Any) -> Pred:
+        return Pred("lte", (v,))
+
+    @staticmethod
+    def gt(v: Any) -> Pred:
+        return Pred("gt", (v,))
+
+    @staticmethod
+    def gte(v: Any) -> Pred:
+        return Pred("gte", (v,))
+
+    @staticmethod
+    def inside(a: Any, b: Any) -> Pred:
+        """Exclusive (a, b) — predicate.cpp:118-121."""
+        return Pred("inside", (a, b))
+
+    @staticmethod
+    def outside(a: Any, b: Any) -> Pred:
+        """< a or > b — predicate.cpp:122-125."""
+        return Pred("outside", (a, b))
+
+    @staticmethod
+    def between(a: Any, b: Any) -> Pred:
+        """Inclusive [a, b] — predicate.cpp:126-129."""
+        return Pred("between", (a, b))
+
+    @staticmethod
+    def within(*vals: Any) -> Pred:
+        return Pred("within", tuple(vals))
+
+    @staticmethod
+    def without(*vals: Any) -> Pred:
+        return Pred("without", tuple(vals))
+
+    # has(key) with no value: "any value present"
+    ANY = Pred("any", ())
+
+
+def pred_to_condition(pred: Pred, col: Column, other: Sequence[Column] | None = None) -> Column:
+    """Compile a predicate against a column.
+
+    ``other`` overrides literal args with Columns (the where-step form
+    compares against history columns instead of literals).
+    """
+    a = list(other) if other is not None else [F.lit(v) for v in pred.args]
+    op = pred.op
+    if op == "any":
+        return col.isNotNull()
+    if op == "none":
+        return col.isNull()
+    if op == "eq":
+        return col == a[0]
+    if op == "neq":
+        return col.isNotNull() & (col != a[0])
+    if op == "lt":
+        return col < a[0]
+    if op == "lte":
+        return col <= a[0]
+    if op == "gt":
+        return col > a[0]
+    if op == "gte":
+        return col >= a[0]
+    if op == "inside":
+        return (col > a[0]) & (col < a[1])
+    if op == "outside":
+        return (col < a[0]) | (col > a[1])
+    if op == "between":
+        return (col >= a[0]) & (col <= a[1])
+    if op == "within":
+        if other is None:
+            return col.isin(list(pred.args))
+        cond = F.lit(False)
+        for x in a:
+            cond = cond | (col == x)
+        return cond
+    if op == "without":
+        if other is None:
+            return col.isNotNull() & ~col.isin(list(pred.args))
+        cond = col.isNotNull()
+        for x in a:
+            cond = cond & (col != x)
+        return cond
+    raise ValueError(f"unknown predicate op: {op}")

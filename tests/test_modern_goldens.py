@@ -1,0 +1,348 @@
+"""Golden tests on the TinkerPop 'modern' graph (FIXTURES.md §1).
+
+Hand-computed expected answers; graph picture:
+/root/reference/data/graph-example-1.jpg.
+"""
+
+from conftest import vals
+
+from grasper_spark import P
+from grasper_spark.plans.api import A, Order
+
+
+def test_v_count(g):
+    assert vals(g.V().count()) == [6]
+
+
+def test_e_count(g):
+    assert vals(g.E().count()) == [6]
+
+
+def test_haslabel_count(g):
+    assert vals(g.V().hasLabel("person").count()) == [4]
+
+
+def test_first_real_query(g):
+    # the SURVEY.md §7 phase-1 spine query
+    assert vals(g.V().has("name", "marko").out("knows").values("age")) == [27, 32]
+
+
+def test_has_gt(g):
+    assert vals(g.V().has("age", P.gt(29)).values("name")) == ["josh", "peter"]
+
+
+def test_out_dedup_count(g):
+    assert vals(g.V().out("created").dedup().count()) == [2]
+
+
+def test_edge_weight_filter(g):
+    assert vals(g.E().has("weight", P.gte(0.5)).count()) == [3]
+
+
+def test_both(g):
+    # lop's neighbors via both(): in-edges from 1,4,6 (created); no out
+    assert vals(g.V().has("name", "lop").both().values("name")) == [
+        "josh",
+        "marko",
+        "peter",
+    ]
+
+
+def test_in_traversal(g):
+    assert vals(g.V().has("name", "lop").in_("created").values("name")) == [
+        "josh",
+        "marko",
+        "peter",
+    ]
+
+
+def test_oute_inv(g):
+    assert vals(g.V().has("name", "marko").outE("knows").inV().values("name")) == [
+        "josh",
+        "vadas",
+    ]
+
+
+def test_outv_from_edges(g):
+    assert vals(g.E().has("weight", P.eq(1.0)).outV().values("name")) == [
+        "josh",
+        "marko",
+    ]
+
+
+def test_bothv(g):
+    assert vals(g.E().has("weight", P.eq(0.5)).bothV().values("name")) == [
+        "marko",
+        "vadas",
+    ]
+
+
+def test_values_missing_key_drops(g):
+    # only persons have age; software rows are DROPPED, not null
+    assert vals(g.V().values("age")) == [27, 29, 32, 35]
+
+
+def test_values_multi(g):
+    assert vals(g.V().has("name", "lop").values("name", "lang")) == ["java", "lop"]
+
+
+def test_label_step(g):
+    assert vals(g.V().label()) == ["person"] * 4 + ["software"] * 2
+
+
+def test_key_step(g):
+    assert vals(g.V().has("name", "marko").key()) == ["age", "name"]
+
+
+def test_properties_format(g):
+    # reference format: {key:value} (utils/tool.hpp:295-301)
+    assert vals(g.V().has("name", "marko").properties()) == ["{age:29}", "{name:marko}"]
+
+
+def test_properties_double_format(g):
+    # DebugString double rendering (utils/tool.hpp:334-368)
+    assert vals(g.E().has("weight", P.eq(0.5)).properties("weight")) == ["{weight:0.500000}"]
+    assert vals(
+        g.V().has("name", "josh").outE("created").has("weight", P.eq(1.0)).properties("weight")
+    ) == ["{weight:1}"]
+
+
+def test_is_pred(g):
+    assert vals(g.V().values("age").is_(P.inside(27, 32))) == [29]
+
+
+def test_is_between(g):
+    assert vals(g.V().values("age").is_(P.between(27, 32))) == [27, 29, 32]
+
+
+def test_is_outside(g):
+    assert vals(g.V().values("age").is_(P.outside(27, 32))) == [35]
+
+
+def test_within_literal(g):
+    assert vals(g.V().has("name", P.within("marko", "lop")).label()) == [
+        "person",
+        "software",
+    ]
+
+
+def test_hasnot(g):
+    assert vals(g.V().hasNot("age").values("name")) == ["lop", "ripple"]
+
+
+def test_haskey(g):
+    assert vals(g.V().hasKey("lang").count()) == [2]
+
+
+def test_hasvalue(g):
+    assert vals(g.V().hasValue("java").values("name")) == ["lop", "ripple"]
+
+
+def test_sum_mean_max_min(g):
+    assert vals(g.V().values("age").sum_()) == [123.0]
+    assert vals(g.V().values("age").max_()) == [35.0]
+    assert vals(g.V().values("age").min_()) == [27.0]
+    assert vals(g.V().values("age").mean()) == [30.75]
+
+
+def test_dedup_values(g):
+    assert vals(g.V().out("created").values("lang").dedup()) == ["java"]
+
+
+def test_order_values(g):
+    assert g.V().values("age").order().to_list() == [27, 29, 32, 35]
+    assert g.V().values("age").order(direction=Order.decr).to_list() == [35, 32, 29, 27]
+
+
+def test_order_by_key(g):
+    # order('age') drops elements without the key, sorts by it
+    assert g.V().order("age").values("name").to_list() == [
+        "vadas",
+        "marko",
+        "josh",
+        "peter",
+    ]
+
+
+def test_limit_after_order(g):
+    assert g.V().values("age").order(direction=Order.decr).limit(2).to_list() == [35, 32]
+
+
+def test_range_after_order(g):
+    # range(a,b) inclusive (barrier_expert.hpp:870-958)
+    assert g.V().values("age").order().range_(1, 2).to_list() == [29, 32]
+
+
+def test_skip_after_order(g):
+    assert g.V().values("age").order().skip(2).to_list() == [32, 35]
+
+
+def test_as_where_neq(g):
+    # marko's created targets' creators, excluding marko himself
+    assert vals(
+        g.V().has("name", "marko").as_("a").out("created").in_("created")
+        .where(P.neq("a")).values("name")
+    ) == ["josh", "peter"]
+
+
+def test_as_select_single(g):
+    # select('a') returns the recorded vid per surviving traverser
+    assert vals(
+        g.V().hasLabel("person").as_("a").out("knows").select("a")
+    ) == [1, 1]
+
+
+def test_select_multi_format(g):
+    # "[a:v, b:v]" formatting (select_expert.hpp:70-138)
+    assert vals(
+        g.V().has("name", "marko").as_("a").out("knows").has("age", 32).as_("b").select("a", "b")
+    ) == ["[a:1, b:4]"]
+
+
+def test_dedup_by_history(g):
+    # one row per distinct 'a' (first per group)
+    assert vals(
+        g.V().hasLabel("person").as_("a").out("created").dedup("a").count()
+    ) == [3]
+
+
+def test_group_count_label(g):
+    assert vals(g.V().groupCount("label")) == ["person:4", "software:2"]
+
+
+def test_group_count_by_value(g):
+    assert vals(g.V().out("created").groupCount()) == ["3:3", "5:1"]
+
+
+def test_group_key_value(g):
+    assert vals(g.V().hasLabel("person").group("label", "name")) == [
+        "person:[josh, marko, peter, vadas]"
+    ]
+
+
+def test_group_by_prop(g):
+    assert vals(g.V().hasLabel("software").group("lang", "name")) == [
+        "java:[lop, ripple]"
+    ]
+
+
+def test_aggregate_where_without(g):
+    # persons marko knows, then persons NOT in that set
+    assert vals(
+        g.V().has("name", "marko").out("knows").aggregate("x")
+        .in_("knows").out("knows").where(P.without("x")).values("name")
+    ) == []  # marko knows vadas+josh; in(knows) of them = marko; out again = vadas,josh → all within
+
+
+def test_aggregate_where_within(g):
+    assert vals(
+        g.V().has("name", "marko").out("knows").aggregate("x")
+        .in_("knows").out("knows").where(P.within("x")).values("name")
+    ) == ["josh", "josh", "vadas", "vadas"]  # multiplicity: 2 traversers re-expand
+
+
+def test_cap_format(g):
+    # "x:[v1, v2]" (barrier_expert.hpp:366-430); ours sorts values
+    assert vals(g.V().hasLabel("person").values("age").aggregate("x").cap("x")) == [
+        "x:[27, 29, 32, 35]"
+    ]
+
+
+def test_union(g):
+    assert vals(
+        g.V().has("name", "marko").union(A.out("knows"), A.out("created")).values("name")
+    ) == ["josh", "lop", "vadas"]
+
+
+def test_union_scalar(g):
+    assert vals(
+        g.V().has("name", "marko").union(A.values("age"), A.out("knows").values("age"))
+    ) == [27, 29, 32]
+
+
+def test_repeat_is_union_single_pass(g):
+    # reference repeat == single pass (core/parser.cpp:1305-1318)
+    assert vals(g.V().has("name", "marko").repeat(A.out("knows")).values("name")) == [
+        "josh",
+        "vadas",
+    ]
+
+
+def test_repeat_times_extension(g):
+    assert vals(g.V().has("name", "marko").repeat(A.out(), times=2).values("name")) == [
+        "lop",
+        "ripple",
+    ]
+
+
+def test_and_branches(g):
+    # persons who both know someone and created something: only marko
+    # (josh creates but knows nobody — knows edges are 1→2, 1→4 only)
+    got = vals(g.V().hasLabel("person").and_(A.out("knows"), A.out("created")).values("name"))
+    assert got == ["marko"]
+
+
+def test_or_branches(g):
+    got = vals(g.V().hasLabel("person").or_(A.out("knows"), A.out("created")).values("name"))
+    assert got == ["josh", "marko", "peter"]
+
+
+def test_not_branch(g):
+    got = vals(g.V().hasLabel("person").not_(A.out()).values("name"))
+    assert got == ["vadas"]
+
+
+def test_and_with_barrier_per_traverser(g):
+    # Q6 shape: barrier inside labelled branch groups per input traverser
+    # (get_branch_key, barrier_expert.hpp:70-99)
+    got = vals(
+        g.V().hasLabel("person")
+        .and_(A.out("created").count().is_(P.gte(2)))
+        .values("name")
+    )
+    assert got == ["josh"]
+
+
+def test_where_subquery_is_and(g):
+    got = vals(g.V().hasLabel("person").where(A.out("created")).values("name"))
+    assert got == ["josh", "marko", "peter"]
+
+
+def test_coin_seeded(g):
+    n = g.V().coin(0.5).count().to_list()[0]
+    assert 0 <= n <= 6
+
+
+def test_string_query_parity(g):
+    df = g.query('g.V().has("name","marko").out("knows").values("age")')
+    assert sorted(r[0] for r in df.collect()) == [27, 32]
+
+
+def test_string_query_predicates(g):
+    df = g.query("g.V().has('age', gt(29)).values('name')")
+    assert sorted(r[0] for r in df.collect()) == ["josh", "peter"]
+
+
+def test_string_query_union_where(g):
+    df = g.query(
+        "g.V().has('name','marko').as('a').union(out('knows'), out('created')).where(neq('a')).count()"
+    )
+    assert [r[0] for r in df.collect()] == [3]
+
+
+def test_string_query_order_limit(g):
+    df = g.query("g.V().values('age').order(decr).limit(2)")
+    assert [r[0] for r in df.collect()] == [35, 32]
+
+
+def test_string_query_groupcount(g):
+    df = g.query("g.V().groupCount('label')")
+    assert sorted(r[0] for r in df.collect()) == ["person:4", "software:2"]
+
+
+def test_build_index_command(g):
+    assert g.query("BuildIndex(V, 'name')").collect()[0][0] == "Index is enabled"
+
+
+def test_set_config_command(g):
+    assert g.query("SetConfig('caching', 'true')").collect()[0][0] == "Config modified"
