@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the engine's operator inventory (SURVEY.md §2 + the
+training-data-pipeline extensions) as (spark, sf_dir) -> DataFrame
+callables; `oracle_sql()` gives the DuckDB-equivalent SQL over the same
+parquet tables. Column names/types are aligned pairwise; float
+aggregates are rounded identically on both sides.
+
+Graph queries run over the property-graph projection of the TPC-H
+tables (FIXTURES.md §2) through the Gremlin-subset compiler; their
+oracles are the equivalent relational SQL over the base tables.
 """
 
 from __future__ import annotations
@@ -12,27 +16,657 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grasper_spark import G, P
+from grasper_spark.plans.api import A, Order
+from grasper_spark.sources import load_tpch_graph
+
+_GRAPH_CACHE: dict[str, object] = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> G:
+    key = sf_dir
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = G(load_tpch_graph(spark, sf_dir).cache())
+    return _GRAPH_CACHE[key]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (Q7 shape from the reference paper, Table 4):
+    scan→filter→as→union→traverse→where(neq)→order→limit."""
+    g = _graph(spark, "/root/testdata/sf0.001")
+    return (
+        g.V().hasLabel("nation").as_("a")
+        .union(A.in_("from_nation"), A.in_("from_nation").out("placed").in_("placed"))
+        .where(P.neq("a"))
+        .has("acctbal", P.gt(0.0))
+        .values("acctbal")
+        .order(direction=Order.decr)
+        .limit(20)
+        .df()
+    )
+
+
+# --------------------------------------------------------------------------
+# graph queries (Gremlin-subset engine over the tpch projection)
+# --------------------------------------------------------------------------
+
+def _q_g_v_count(spark, sf):
+    return _graph(spark, sf).V().count().df()
+
+
+def _q_g_e_count(spark, sf):
+    return _graph(spark, sf).E().count().df()
+
+
+def _q_g_has_gt_values(spark, sf):
+    return (
+        _graph(spark, sf).V().hasLabel("customer").has("acctbal", P.gt(5000.0))
+        .values("name").df()
+    )
+
+
+def _q_g_has_between(spark, sf):
+    return (
+        _graph(spark, sf).V().hasLabel("part")
+        .has("retailprice", P.between(900.0, 1100.0)).values("name").df()
+    )
+
+
+def _q_g_in_traversal(spark, sf):
+    return (
+        _graph(spark, sf).V().has("name", "NATION_3").in_("from_nation")
+        .hasLabel("customer").values("acctbal").df()
+    )
+
+
+def _q_g_q3_max(spark, sf):
+    # Q3 shape: g.V().has(f).in(l).values(k).max()
+    return (
+        _graph(spark, sf).V().has("name", "NATION_3").in_("from_nation")
+        .values("acctbal").max_().df()
+    )
+
+
+def _q_g_out_traversal(spark, sf):
+    return (
+        _graph(spark, sf).V().has("name", "Customer#000000005").out("placed")
+        .values("totalprice").df()
+    )
+
+
+def _q_g_q4_dedup_count(spark, sf):
+    # Q4 shape: g.E().has(f1).outV().dedup().count()
+    return (
+        _graph(spark, sf).E().hasLabel("contains").has("quantity", P.gt(30.0))
+        .outV().dedup().count().df()
+    )
+
+
+def _q_g_groupcount_rel(spark, sf):
+    return _graph(spark, sf).V().hasLabel("order").groupCount("orderstatus", relational=True).df()
+
+
+def _q_g_groupcount_str(spark, sf):
+    return _graph(spark, sf).V().hasLabel("order").groupCount("orderstatus").df()
+
+
+def _q_g_order_limit(spark, sf):
+    return (
+        _graph(spark, sf).V().hasLabel("customer").values("acctbal")
+        .order(direction=Order.decr).limit(5).df()
+    )
+
+
+def _q_g_range(spark, sf):
+    return (
+        _graph(spark, sf).V().hasLabel("customer").values("acctbal")
+        .order().range_(10, 19).df()
+    )
+
+
+def _q_g_union(spark, sf):
+    return (
+        _graph(spark, sf).V().has("name", "NATION_1")
+        .union(
+            A.in_("from_nation").hasLabel("customer").values("name"),
+            A.in_("from_nation").hasLabel("supplier").values("name"),
+        ).df()
+    )
+
+
+def _q_g_where_neq(spark, sf):
+    # Q7 core: as('a') … where(neq('a')): co-suppliers of shared parts
+    return (
+        _graph(spark, sf).V().hasLabel("supplier").as_("a").out("supplies")
+        .in_("supplies").where(P.neq("a")).dedup().count().df()
+    )
+
+
+def _q_g_aggregate_without(spark, sf):
+    # Q8 shape: aggregate('x') … where(without('x'))
+    return (
+        _graph(spark, sf).V().hasLabel("order").has("totalprice", P.gt(200000.0))
+        .aggregate("big").in_("placed").out("placed")
+        .where(P.without("big")).dedup().count().df()
+    )
+
+
+def _q_g_and(spark, sf):
+    # Q6 shape: and(branch1, branch2)
+    return (
+        _graph(spark, sf).V().hasLabel("customer")
+        .and_(
+            A.out("placed").has("orderstatus", P.eq("F")),
+            A.out("placed").has("totalprice", P.gt(150000.0)),
+        ).values("name").df()
+    )
+
+
+def _q_g_or(spark, sf):
+    return (
+        _graph(spark, sf).V().hasLabel("customer")
+        .or_(A.has("acctbal", P.lt(0.0)), A.has("mktsegment", P.eq("BUILDING")))
+        .count().df()
+    )
+
+
+def _q_g_not(spark, sf):
+    # Q5 shape: not(subquery)
+    return _graph(spark, sf).V().hasLabel("customer").not_(A.out("placed")).count().df()
+
+
+def _q_g_select_history(spark, sf):
+    return (
+        _graph(spark, sf).V().hasLabel("nation").as_("a").out("in_region")
+        .has("name", "ASIA").select("a").df()
+    )
+
+
+def _q_g_is_filter(spark, sf):
+    return (
+        _graph(spark, sf).V().hasLabel("order").values("totalprice")
+        .is_(P.gt(150000.0)).count().df()
+    )
+
+
+def _q_g_properties(spark, sf):
+    return _graph(spark, sf).V().hasLabel("region").properties("name").df()
+
+
+def _q_g_label_step(spark, sf):
+    return _graph(spark, sf).V().has("acctbal", P.lt(-900.0)).label().df()
+
+
+def _q_g_dedup_history(spark, sf):
+    return (
+        _graph(spark, sf).V().hasLabel("nation").as_("n").in_("from_nation")
+        .dedup("n").count().df()
+    )
+
+
+def _q_g_cap(spark, sf):
+    return (
+        _graph(spark, sf).V().hasLabel("customer").has("mktsegment", P.eq("MACHINERY"))
+        .values("acctbal").aggregate("x").cap("x").df()
+    )
+
+
+def _q_g_hasnot(spark, sf):
+    return _graph(spark, sf).V().hasNot("acctbal").count().df()
+
+
+# --------------------------------------------------------------------------
+# pipeline queries (documents / embeddings / events)
+# --------------------------------------------------------------------------
+
+def _q_doc_token_count(spark, sf):
+    from grasper_spark.functions.text import token_count
+
+    return _docs(spark, sf).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def _q_doc_text_stats(spark, sf):
+    from grasper_spark.functions.text import punct_ratio, quality_score, stopword_ratio
+
+    t = F.col("text")
+    return _docs(spark, sf).select(
+        "doc_id",
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def _q_doc_lang_id(spark, sf):
+    from grasper_spark.functions.text import lang_id
+
+    return _docs(spark, sf).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_doc_fingerprint(spark, sf):
+    from grasper_spark.functions.text import fingerprint
+
+    return _docs(spark, sf).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_doc_exact_dedup(spark, sf):
+    from grasper_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf))
+
+
+def _q_doc_minhash_sig(spark, sf):
+    from grasper_spark.functions.dedup import minhash_signature
+
+    return minhash_signature(_docs(spark, sf)).select("doc_id", "sig")
+
+
+def _q_doc_simhash(spark, sf):
+    from grasper_spark.functions.dedup import simhash
+
+    return simhash(_docs(spark, sf))
+
+
+def _q_doc_neardup_jaccard(spark, sf):
+    from grasper_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.2)
+
+
+def _q_emb_cosine_topk(spark, sf):
+    from grasper_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _q_events_window(spark, sf):
+    from grasper_spark.streaming.windows import windowed_counts_batch
+
+    return windowed_counts_batch(spark, sf)
+
+
+def _q_events_sessionize(spark, sf):
+    from grasper_spark.streaming.windows import sessionize_batch
+
+    return sessionize_batch(spark, sf)
+
+
+def _q_multimodal_features(spark, sf):
+    from grasper_spark.functions.multimodal import documents_as_media, extract_features
+
+    return extract_features(documents_as_media(_docs(spark, sf))).select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "byte_sum",
+        "byte_mean",
+        F.col("first_byte").cast("long").alias("first_byte"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "g_v_count": _q_g_v_count,
+        "g_e_count": _q_g_e_count,
+        "g_has_gt_values": _q_g_has_gt_values,
+        "g_has_between": _q_g_has_between,
+        "g_in_traversal": _q_g_in_traversal,
+        "g_q3_max": _q_g_q3_max,
+        "g_out_traversal": _q_g_out_traversal,
+        "g_q4_dedup_count": _q_g_q4_dedup_count,
+        "g_groupcount_rel": _q_g_groupcount_rel,
+        "g_groupcount_str": _q_g_groupcount_str,
+        "g_order_limit": _q_g_order_limit,
+        "g_range": _q_g_range,
+        "g_union": _q_g_union,
+        "g_where_neq": _q_g_where_neq,
+        "g_aggregate_without": _q_g_aggregate_without,
+        "g_and": _q_g_and,
+        "g_or": _q_g_or,
+        "g_not": _q_g_not,
+        "g_select_history": _q_g_select_history,
+        "g_is_filter": _q_g_is_filter,
+        "g_properties": _q_g_properties,
+        "g_label_step": _q_g_label_step,
+        "g_dedup_history": _q_g_dedup_history,
+        "g_cap": _q_g_cap,
+        "g_hasnot": _q_g_hasnot,
+        "doc_token_count": _q_doc_token_count,
+        "doc_text_stats": _q_doc_text_stats,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_minhash_sig": _q_doc_minhash_sig,
+        "doc_simhash": _q_doc_simhash,
+        "doc_neardup_jaccard": _q_doc_neardup_jaccard,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+# shared SQL fragments ------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_NTOK = rf"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
+# DebugString-style double rendering (utils/tool.hpp:334-368 parity)
+_FMT_D = (
+    "CASE WHEN abs({v}) >= 1 THEN regexp_replace(printf('%.6f', {v}), '[.0]+$', '') "
+    "ELSE printf('%.6f', {v}) END"
+)
+
+_PUNCT_RATIO = (
+    "round(length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}-]', '', 'g')) "
+    "/ greatest(length(text), 1), 6)"
+)
+_SW_EN = "('the','and','of','to','in')"
+_SW_RATIO = (
+    f"round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+    f"t -> t IN {_SW_EN})) / greatest(len({_TOKS}), 1), 6)"
+)
+
+
+def _lang_votes(lang_words: str) -> str:
+    return (
+        f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"t -> t IN ({lang_words})))"
+    )
+
+
+def _minhash_oracle() -> str:
+    from grasper_spark.functions.dedup import _A, _B, MERSENNE_P
+
+    mins = ", ".join(
+        f"min(({a}::BIGINT * x + {b}) % {MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(zip(_A[:16], _B[:16]))
+    )
+    concat = " || ',' || ".join(f"m{i}::VARCHAR" for i in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+), xs AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM xs GROUP BY doc_id
+)
+SELECT doc_id, {concat} AS sig FROM sig
+"""
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ", ".join(
+        f"sum((((h >> {j}) & 1) * 2 - 1)) AS s{j}" for j in range(bits)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id, unnest(regexp_split_to_array({_NORM}, '\\s+')) AS t FROM documents)
+), hs AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM toks
+), sums AS (
+  SELECT doc_id, {sums} FROM hs GROUP BY doc_id
+)
+SELECT doc_id, ({recon})::BIGINT AS simhash FROM sums
+"""
+
+
+def _jaccard_oracle(threshold: float = 0.2) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(common / (sa.sz + sb.sz - common), 6) >= {threshold}
+"""
+
+
+def _lang_id_oracle() -> str:
+    v = {
+        "en": _lang_votes("'the','and','of','to','in'"),
+        "de": _lang_votes("'der','und','die','das','ist'"),
+        "es": _lang_votes("'el','la','de','que','los'"),
+        "fr": _lang_votes("'le','la','et','les','des'"),
+    }
+    return f"""
+WITH votes AS (
+  SELECT doc_id, {v['en']} AS v_en, {v['de']} AS v_de,
+         {v['es']} AS v_es, {v['fr']} AS v_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN v_fr > v_en AND v_fr > v_de AND v_fr > v_es THEN 'fr'
+    WHEN v_es > v_en AND v_es > v_de AND v_es >= v_fr THEN 'es'
+    WHEN v_de > v_en AND v_de >= v_es AND v_de >= v_fr THEN 'de'
+    WHEN v_en > 0 AND v_en >= v_de AND v_en >= v_es AND v_en >= v_fr THEN 'en'
+    ELSE 'unknown'
+  END AS lang_pred
+FROM votes
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fmt_acct = _FMT_D.format(v="c_acctbal")
+    return {
+        "g_v_count": """
+SELECT ((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+      + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+      + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders))::BIGINT AS val
+""",
+        "g_e_count": """
+SELECT ((SELECT count(*) FROM nation) + (SELECT count(*) FROM customer)
+      + (SELECT count(*) FROM supplier) + (SELECT count(*) FROM orders)
+      + (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+      + (SELECT count(*) FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)))::BIGINT AS val
+""",
+        "g_has_gt_values": "SELECT c_name AS val FROM customer WHERE c_acctbal > 5000",
+        "g_has_between": (
+            "SELECT p_name AS val FROM part WHERE p_retailprice BETWEEN 900 AND 1100"
+        ),
+        "g_in_traversal": """
+SELECT c_acctbal AS val FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+""",
+        "g_q3_max": """
+SELECT max(v)::DOUBLE AS val FROM (
+  SELECT c_acctbal AS v FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  UNION ALL
+  SELECT s_acctbal FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+) t
+""",
+        "g_out_traversal": """
+SELECT o_totalprice AS val FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_name = 'Customer#000000005'
+""",
+        "g_q4_dedup_count": """
+WITH c AS (SELECT l_orderkey, l_partkey, sum(l_quantity) AS q
+           FROM lineitem GROUP BY 1, 2)
+SELECT count(DISTINCT l_orderkey)::BIGINT AS val FROM c WHERE q > 30
+""",
+        "g_groupcount_rel": (
+            "SELECT o_orderstatus AS key, count(*)::BIGINT AS cnt FROM orders GROUP BY 1"
+        ),
+        "g_groupcount_str": (
+            "SELECT o_orderstatus || ':' || count(*)::VARCHAR AS val FROM orders GROUP BY o_orderstatus"
+        ),
+        "g_order_limit": (
+            "SELECT c_acctbal AS val FROM customer ORDER BY c_acctbal DESC LIMIT 5"
+        ),
+        "g_range": (
+            "SELECT c_acctbal AS val FROM customer ORDER BY c_acctbal LIMIT 10 OFFSET 10"
+        ),
+        "g_union": """
+SELECT c_name AS val FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+UNION ALL
+SELECT s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+""",
+        "g_where_neq": """
+WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+SELECT count(DISTINCT s2.l_suppkey)::BIGINT AS val
+FROM sp s1 JOIN sp s2 ON s1.l_partkey = s2.l_partkey
+                      AND s2.l_suppkey <> s1.l_suppkey
+""",
+        "g_aggregate_without": """
+WITH big AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 200000)
+SELECT count(DISTINCT o.o_orderkey)::BIGINT AS val
+FROM orders o
+WHERE o.o_custkey IN (SELECT o_custkey FROM big)
+  AND o.o_orderkey NOT IN (SELECT o_orderkey FROM big)
+""",
+        "g_and": """
+SELECT c_name AS val FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND o_totalprice > 150000)
+""",
+        "g_or": """
+SELECT count(*)::BIGINT AS val FROM customer
+WHERE c_acctbal < 0 OR c_mktsegment = 'BUILDING'
+""",
+        "g_not": """
+SELECT count(*)::BIGINT AS val FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+""",
+        "g_select_history": """
+SELECT (n_nationkey + 10)::BIGINT AS val FROM nation
+JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+""",
+        "g_is_filter": (
+            "SELECT count(*)::BIGINT AS val FROM orders WHERE o_totalprice > 150000"
+        ),
+        "g_properties": "SELECT '{name:' || r_name || '}' AS val FROM region",
+        "g_label_step": """
+SELECT 'customer' AS val FROM customer WHERE c_acctbal < -900
+UNION ALL
+SELECT 'supplier' FROM supplier WHERE s_acctbal < -900
+""",
+        "g_dedup_history": """
+SELECT count(*)::BIGINT AS val FROM (
+  SELECT DISTINCT n FROM (
+    SELECT c_nationkey AS n FROM customer
+    UNION ALL SELECT s_nationkey FROM supplier
+  ) t
+) d
+""",
+        "g_cap": f"""
+SELECT 'x:[' || string_agg({fmt_acct}, ', ' ORDER BY c_acctbal) || ']' AS val
+FROM customer WHERE c_mktsegment = 'MACHINERY'
+""",
+        "g_hasnot": """
+SELECT ((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+      + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders))::BIGINT AS val
+""",
+        # ---- pipeline ----
+        "doc_token_count": f"SELECT doc_id, {_NTOK}::BIGINT AS n_tokens FROM documents",
+        "doc_text_stats": f"""
+SELECT doc_id,
+  {_PUNCT_RATIO} AS punct_ratio,
+  {_SW_RATIO} AS stopword_ratio,
+  round((0.5 * least({_NTOK} / 50.0, 1.0) + 0.4 * least({_SW_RATIO} * 5.0, 1.0))
+        * (1.0 - 0.3 * least({_PUNCT_RATIO} * 10.0, 1.0)), 6) AS quality
+FROM documents
+""",
+        "doc_lang_id": _lang_id_oracle(),
+        "doc_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "doc_exact_dedup": f"""
+SELECT md5({_NORM}) AS fingerprint, min(doc_id)::BIGINT AS keep_id,
+       count(*)::BIGINT AS dup_cnt
+FROM documents GROUP BY 1
+""",
+        "doc_minhash_sig": _minhash_oracle(),
+        "doc_simhash": _simhash_oracle(),
+        "doc_neardup_jaccard": _jaccard_oracle(),
+        "emb_cosine_topk": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(range(1, len(c.embedding) + 1),
+             i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))), 6) AS sim
+  FROM embeddings c, q WHERE c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC)::INTEGER AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+""",
+        "events_window": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM gaps
+), sids AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events FROM sids GROUP BY 1, 2
+)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       max(n_events)::BIGINT AS max_session_events
+FROM per_session GROUP BY 1
+""",
+        "multimodal_features": """
+SELECT doc_id AS media_id,
+       length(text)::BIGINT AS n_bytes,
+       list_sum(list_transform(range(1, length(text) + 1),
+                               i -> ascii(text[i])))::BIGINT AS byte_sum,
+       round(list_sum(list_transform(range(1, length(text) + 1),
+                                     i -> ascii(text[i])))
+             / greatest(length(text), 1), 6) AS byte_mean,
+       ascii(text[1])::BIGINT AS first_byte
+FROM documents
+""",
+    }

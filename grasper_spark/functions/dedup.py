@@ -1,0 +1,197 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of these at 100 TB):
+- exact dedup = hash-groupBy on a fingerprint — one shuffle, map-side
+  partial aggregation.
+- n-gram Jaccard pairs use an INVERTED-INDEX join (explode shingles →
+  self-join on shingle → count common), never a cross join. Candidate
+  space is bounded by shared-shingle pairs; hot shingles (df > cap) are
+  dropped like stopwords to bound skew.
+- MinHash: k permutations via (a*x+b) mod p over md5-derived shingle
+  ints; banding reduces the pair join to bucket collisions only.
+- SimHash: 64-bit sign-aggregate of token hashes; near-dup = small
+  Hamming distance on banded prefixes.
+
+All hashes are md5-derived (cross-engine deterministic — see
+functions/__init__).  No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from grasper_spark.functions.text import _md5_int, normalize, tokens
+
+MERSENNE_P = 4294967311  # prime > 2^32
+# fixed permutation params (seeded once, embedded in oracle SQL too).
+# all a < 2^31 so a*x < 2^63 with x < 2^32 — no BIGINT overflow in
+# either engine.
+_A = [823741393, 1640531527, 507435761, 99822519, 1119489917,
+      668265263, 374761393, 930345085, 1181783497, 319324469,
+      1281228951, 1588635695, 2006136029, 1503766193, 785373223, 1357904647]
+_B = [1234567891, 987654321, 192837465, 564738291, 1029384756,
+      2093847561, 847563029, 1726354849, 398472610, 689981371,
+      1627384950, 918273645, 746352819, 1983746550, 283746591, 1092837465]
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram strings of the normalized text."""
+    toks = tokens(normalize(text))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint.
+
+    Returns (fingerprint, keep_id, dup_cnt): one row per distinct
+    content, keep_id = smallest id (the retained representative)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig string "m0,m1,...") — k minhash values per doc.
+
+    min over shingles of (a_i * md5int(shingle) + b_i) mod p; all-BIGINT
+    arithmetic (a_i < 2^32, x < 2^32 → product < 2^63.3... kept safe by
+    mod p per term)."""
+    assert num_hashes <= len(_A)
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    ).select(id_col, _md5_int(F.col("sh")).alias("x"))
+    mins = [
+        F.min((F.lit(a).cast("long") * F.col("x") + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(_A[:num_hashes], _B[:num_hashes]))
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col,
+        F.concat_ws(",", *[F.col(f"m{i}").cast("string") for i in range(num_hashes)]).alias("sig"),
+        *[F.col(f"m{i}") for i in range(num_hashes)],
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash, verified by
+    exact shingle-Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"m{b * rows_per_band + r}").cast("string")
+                               for r in range(rows_per_band)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    buckets = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("h"))
+                      for b in range(bands)])
+        ).alias("bk"),
+    ).select(id_col, "bk.b", "bk.h")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.h") == F.col("b.h"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard(df, cand, text_col, id_col, shingle_n, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.5, max_shingle_df: int = 10000,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via inverted-index join (no cross
+    join; `max_shingle_df` drops degenerate hot shingles to bound skew)."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
+        F.col("df_cnt") > max_shingle_df
+    ).select("sh")
+    sh = sh.join(hot, "sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _verify_jaccard(
+    df: DataFrame, cand: DataFrame, text_col: str, id_col: str,
+    shingle_n: int, threshold: float,
+) -> DataFrame:
+    sh = df.select(
+        F.col(id_col).alias("vid_"), shingles(F.col(text_col), shingle_n).alias("shs")
+    )
+    j = (
+        cand.join(sh.select(F.col("vid_").alias("id_a"), F.col("shs").alias("sa")), "id_a")
+        .join(sh.select(F.col("vid_").alias("id_b"), F.col("shs").alias("sb")), "id_b")
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size("sa") + F.size("sb") - F.col("common")),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """(id, simhash) — sign-aggregated token-hash fingerprint.
+
+    bit_j = 1 iff sum over distinct tokens of (2*bit_j(md5int(tok)) - 1) > 0.
+    32 bits keeps the JVM expression tree reasonable; near-dup = small
+    Hamming distance (use bit_count(xor(...)) downstream)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(normalize(F.col(text_col))))).alias("t"),
+    ).select(id_col, _md5_int(F.col("t")).alias("h"))
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return sums.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real pipelines store image/audio/video as `binary` columns with a
+metadata struct, and run decode / feature-extraction as Arrow-batched
+Pandas UDFs over `mapInPandas`. The image/audio libs are NOT in this
+container, so the decode step is a deterministic fake (byte statistics)
+behind the same plumbing — schema, partitioning, UDF signature, and
+batch shape are real and tested; swap `_decode_batch` for PIL/ffmpeg
+in production.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("first_byte", T.IntegerType()),
+    ]
+)
+
+
+def decode_real(payload: bytes) -> bytes:  # pragma: no cover
+    """Production decode hook — requires PIL/ffmpeg, absent here."""
+    raise NotImplementedError("media decode libs not available in this environment")
+
+
+def _decode_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Deterministic fake decode: byte statistics (vectorized numpy)."""
+    import numpy as np
+
+    n_bytes, byte_sum, first = [], [], []
+    for p in payloads:
+        arr = np.frombuffer(p, dtype=np.uint8) if p else np.array([], dtype=np.uint8)
+        n_bytes.append(len(arr))
+        byte_sum.append(int(arr.sum()))
+        first.append(int(arr[0]) if len(arr) else -1)
+    n = pd.Series(n_bytes)
+    s = pd.Series(byte_sum)
+    return pd.DataFrame(
+        {
+            "n_bytes": n.astype("int32"),
+            "byte_sum": s.astype("int64"),
+            "byte_mean": (s / n.clip(lower=1)).round(6),
+            "first_byte": pd.Series(first).astype("int32"),
+        }
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction — Arrow batches in, Arrow batches
+    out; scales with partitions (repartition upstream for 100 TB).
+
+    The UDF closure is self-contained (decode logic inlined, stdlib/numpy
+    only) so workers never need grasper_spark on their PYTHONPATH."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n_bytes, byte_sum, first = [], [], []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(p, dtype=np.uint8) if p else np.array([], dtype=np.uint8)
+                n_bytes.append(len(arr))
+                byte_sum.append(int(arr.sum()))
+                first.append(int(arr[0]) if len(arr) else -1)
+            n, s = pd.Series(n_bytes), pd.Series(byte_sum)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "n_bytes": n.astype("int32"),
+                    "byte_sum": s.astype("int64"),
+                    "byte_mean": (s / n.clip(lower=1)).round(6),
+                    "first_byte": pd.Series(first).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter used in tests/bench: documents.text encoded as the binary
+    payload (deterministic), with plausible metadata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    timestamp (decode stubbed; timestamps derived from metadata)."""
+    return media.filter(F.col("meta.duration_ms").isNotNull()).select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

@@ -33,6 +33,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow: vectorized transfer for the Pandas-UDF extension operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the driver's events.parquet stores TIMESTAMP(NANOS) — read as
+        # long nanos and normalize in the loader (Spark has no nanos type).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,94 @@
+"""Event-stream operators: windowed aggregation + sessionization.
+
+Both exist in two forms:
+- a Structured Streaming form (`readStream` + watermark) — the
+  production path; tested with file-source + memory-sink in tests.
+- a batch form with identical semantics — used by the oracle gate
+  (DuckDB can verify it) and by backfills.
+
+Scale: windowed counts shuffle once on (window, event_type);
+sessionization is a per-user window function — partition by user_id,
+no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it reads as long — truncate to
+    micros (exactly what DuckDB does) and cast to timestamp."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet directory."""
+    schema = T.StructType(
+        [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENT_SCHEMA]
+    )
+    return _normalize_ts(spark.readStream.schema(schema).parquet(path))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count+sum per event_type (streaming or batch DF)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def windowed_counts_batch(spark: SparkSession, sf_dir: str,
+                          window: str = "1 hour") -> DataFrame:
+    return windowed_counts(load_events(spark, sf_dir), window)
+
+
+def sessionize_batch(spark: SparkSession, sf_dir: str,
+                     gap_minutes: int = 30) -> DataFrame:
+    """Session assignment: a new session starts when the gap from the
+    previous event of the same user exceeds `gap_minutes`. Returns
+    per-user session stats (user_id, n_sessions, max_session_events)."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap in exact integer microseconds — matches DuckDB epoch_us()
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    with_new = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sid = with_new.withColumn("session_id", F.sum("new_session").over(w))
+    per_session = with_sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
