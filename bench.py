@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = sum of per-query wall seconds (graph projection build/cache time
+is reported separately under "load" and not counted — at scale the
+projection is a persisted bucketed table, see sources/tpch_graph.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # graph engine (reference Q-template shapes, paper Table 4)
+    "g_v_count",
+    "g_e_count",
+    "g_q3_max",
+    "g_q4_dedup_count",
+    "g_where_neq",
+    "g_aggregate_without",
+    "g_and",
+    "g_not",
+    "g_union",
+    "g_order_limit",
+    "g_groupcount_rel",
+    # training-data pipeline
+    "doc_minhash_sig",
+    "doc_neardup_jaccard",
+    "doc_text_stats",
+    "doc_lang_id",
+    "emb_cosine_topk",
+    "events_window",
+    "events_sessionize",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry
+    from grasper_spark import get_spark
+
+    spark = get_spark("grasper-bench", master=f"local[{cpus}]")
+    qs = entry.queries()
+
+    t0 = time.perf_counter()
+    g = entry._graph(spark, sf_dir)
+    g.graph.vertices.count()
+    g.graph.edges.count()
+    load_s = round(time.perf_counter() - t0, 3)
+
+    times: dict[str, float] = {"load": load_s}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        times[name] = dt
+        total += dt
+        print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -36,14 +36,30 @@ _B = [1234567891, 987654321, 192837465, 564738291, 1029384756,
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram strings of the normalized text."""
+    """Distinct word n-gram strings of the normalized text.
+
+    Built with element_at (O(1) per term) rather than slice (which copies
+    an n-array per index) — ~10× cheaper in codegen."""
     toks = tokens(normalize(text))
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
     return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
         F.array_distinct(grams)
     )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism — local parquet often
+    arrives as ONE partition, serializing the shingle computation. At
+    cluster scale inputs are already split; this is a cheap no-op-ish
+    guard, not a semantic change."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -68,7 +84,7 @@ def minhash_signature(
     arithmetic (a_i < 2^32, x < 2^32 → product < 2^63.3... kept safe by
     mod p per term)."""
     assert num_hashes <= len(_A)
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
     ).select(id_col, _md5_int(F.col("sh")).alias("x"))
     mins = [
@@ -123,13 +139,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via inverted-index join (no cross
     join; `max_shingle_df` drops degenerate hot shingles to bound skew)."""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
     )
+    sh.persist()  # reused 3× below (both join sides + sizes)
     hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
         F.col("df_cnt") > max_shingle_df
     ).select("sh")
-    sh = sh.join(hot, "sh", "left_anti")
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -181,7 +198,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bit_j = 1 iff sum over distinct tokens of (2*bit_j(md5int(tok)) - 1) > 0.
     32 bits keeps the JVM expression tree reasonable; near-dup = small
     Hamming distance (use bit_count(xor(...)) downstream)."""
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(normalize(F.col(text_col))))).alias("t"),
     ).select(id_col, _md5_int(F.col("t")).alias("h"))
