@@ -1,0 +1,141 @@
+"""Emulator throughput mode — parity with the reference's `emu` entry
+point (/root/reference/driver/worker.hpp:91-261, config format
+/root/reference/driver/client.cpp:149-171).
+
+Config file format (same as the reference):
+
+    <seconds_of_emulation> <parallel_factor>
+    <query_count n>
+    <query_with_$RAND> <property_key> <ratio>     # n lines
+
+`$RAND` is substituted with a random value of the given property key
+sampled from the loaded graph (the reference samples from its index
+store — /root/reference/core/index_store.hpp:141-164; we sample the
+distinct property values once up front).
+
+Execution: a thread pool fires compiled queries at bounded in-flight
+parallelism against the shared SparkSession (Spark's FAIR scheduler
+handles concurrency); reports throughput and a latency CDF like
+base/throughput_monitor.hpp.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from grasper_spark.plans.api import G
+
+_RAND = re.compile(r"\$RAND")
+
+
+@dataclass
+class EmuTemplate:
+    query: str
+    key: str
+    ratio: float
+
+
+@dataclass
+class EmuResult:
+    total_queries: int
+    elapsed_s: float
+    throughput_qps: float
+    latency_p50_ms: float
+    latency_p95_ms: float
+    latency_p99_ms: float
+    per_template: dict[int, int] = field(default_factory=dict)
+
+    def as_dict(self) -> dict:
+        return self.__dict__.copy()
+
+
+def parse_emu_config(text: str) -> tuple[float, int, list[EmuTemplate]]:
+    lines = [ln.strip() for ln in text.strip().splitlines() if ln.strip()]
+    seconds, parallel = lines[0].split()
+    n = int(lines[1])
+    templates = []
+    for ln in lines[2 : 2 + n]:
+        parts = ln.rsplit(None, 2)
+        templates.append(EmuTemplate(parts[0], parts[1], float(parts[2])))
+    return float(seconds), int(parallel), templates
+
+
+def _sample_values(g: G, key: str, element: str, limit: int = 10000) -> list:
+    df = g.graph.vertices if element == "V" else g.graph.edges
+    if key not in df.columns:
+        return []
+    rows = df.select(key).where(f"{key} IS NOT NULL").distinct().limit(limit).collect()
+    return [r[0] for r in rows]
+
+
+def run_emu(
+    g: G,
+    config_text: str,
+    max_queries: int = 200,
+    seed: int = 42,
+) -> EmuResult:
+    """Run the emulator; stops at `seconds` (from config) or
+    `max_queries`, whichever first."""
+    seconds, parallel, templates = parse_emu_config(config_text)
+    rng = random.Random(seed)
+
+    pools: list[list] = []
+    for t in templates:
+        element = "E" if t.query.lstrip().startswith("g.E()") else "V"
+        vals = _sample_values(g, t.key, element)
+        if not vals:
+            raise ValueError(f"no values for property '{t.key}' to substitute $RAND")
+        pools.append(vals)
+
+    weights = [t.ratio for t in templates]
+    latencies: list[float] = []
+    per_template: dict[int, int] = {i: 0 for i in range(len(templates))}
+
+    def one(q: str) -> float:
+        t0 = time.perf_counter()
+        g.query(q).collect()
+        return (time.perf_counter() - t0) * 1000
+
+    def render(i: int) -> str:
+        # template quoting mirrors the reference examples: "$RAND" is
+        # already quoted for strings; bare $RAND takes the value verbatim
+        val = rng.choice(pools[i])
+        tq = templates[i].query
+        if '"$RAND"' in tq or "'$RAND'" in tq:
+            return _RAND.sub(str(val), tq)
+        sub = str(val) if isinstance(val, (int, float)) else f'"{val}"'
+        return _RAND.sub(sub, tq)
+
+    start = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=max(1, parallel)) as ex:
+        futures = []
+        fired = 0
+        while fired < max_queries and (time.perf_counter() - start) < seconds:
+            i = rng.choices(range(len(templates)), weights=weights)[0]
+            per_template[i] += 1
+            futures.append(ex.submit(one, render(i)))
+            fired += 1
+        for f in futures:
+            latencies.append(f.result())
+    elapsed = time.perf_counter() - start
+
+    latencies.sort()
+
+    def pct(p: float) -> float:
+        if not latencies:
+            return 0.0
+        return round(latencies[min(len(latencies) - 1, int(p * len(latencies)))], 2)
+
+    return EmuResult(
+        total_queries=len(latencies),
+        elapsed_s=round(elapsed, 3),
+        throughput_qps=round(len(latencies) / elapsed, 2) if elapsed else 0.0,
+        latency_p50_ms=pct(0.50),
+        latency_p95_ms=pct(0.95),
+        latency_p99_ms=pct(0.99),
+        per_template=per_template,
+    )

@@ -1,0 +1,65 @@
+"""Plan-shape regression tests — the scale contract.
+
+These assert Catalyst does what the architecture relies on (SURVEY.md
+§4.1): label filters constant-fold through the projection union and
+prune to single table scans; property predicates reach the parquet
+scan; small-side traversal joins broadcast."""
+
+import re
+
+import pytest
+
+from grasper_spark import G, P
+from grasper_spark.sources import load_tpch_graph
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tg(spark):
+    return G(load_tpch_graph(spark, SF))
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_label_filter_prunes_union_to_one_scan(tg):
+    df = tg.V().hasLabel("customer").has("acctbal", P.gt(5000.0)).values("name").df()
+    scans = re.findall(r"FileScan parquet \[[^\]]*\]", _plan(df))
+    assert len(scans) == 1, f"expected 1 scan, got {scans}"
+    # column pruning: only the two needed columns read
+    assert "c_name" in scans[0] and "c_acctbal" in scans[0]
+    assert "c_mktsegment" not in scans[0]
+
+
+def test_predicate_reaches_parquet_scan(tg):
+    df = tg.V().hasLabel("part").has("retailprice", P.between(900.0, 1100.0)).values("name").df()
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(p_retailprice", plan)
+
+
+def test_edge_label_filter_prunes_edge_union(tg):
+    df = tg.V().has("name", "NATION_3").in_("from_nation").hasLabel("customer").values("acctbal").df()
+    plan = _plan(df)
+    # only customer-FK and supplier-FK edge branches survive; no
+    # lineitem-derived edge scans should remain
+    assert "lineitem" not in plan
+    assert re.search(r"BroadcastHashJoin", plan)
+
+
+def test_count_uses_partial_aggregation(tg):
+    df = tg.V().count().df()
+    plan = _plan(df)
+    # partial (map-side) + final HashAggregate — the Catalyst-native
+    # analogue of the reference's sender-side partial counts
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_udfs_in_graph_plans(tg):
+    df = (
+        tg.V().hasLabel("supplier").as_("a").out("supplies").in_("supplies")
+        .where(P.neq("a")).dedup().count().df()
+    )
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
