@@ -17,6 +17,10 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def tg(spark):
+    # other test modules may have cached an identical projection plan;
+    # CacheManager would then swap InMemoryRelation in for our scans and
+    # hide the FileScan shapes these tests assert on.
+    spark.catalog.clearCache()
     return G(load_tpch_graph(spark, SF))
 
 
