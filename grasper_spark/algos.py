@@ -1,0 +1,158 @@
+"""Iterative graph algorithms — the unbounded-`repeat` extension.
+
+The reference parses `repeat()` but executes it as a single-pass union
+(/root/reference/core/parser.cpp:1305-1318); these algorithms are the
+parity-plus path SURVEY.md §7 phase 4 calls for: a Pregel-style
+driver loop over DataFrames (PySpark has no GraphX binding — the
+message-passing pattern is expressed as join + groupBy per superstep,
+which is exactly what GraphX compiles to anyway).
+
+Scale notes:
+- each superstep is one shuffle (join on dst + groupBy vid); frontiers
+  shrink monotonically for BFS, so later supersteps are cheap.
+- `checkpoint_every` truncates the lineage with localCheckpoint —
+  without it, plan depth grows linearly and the driver OOMs compiling
+  superstep ~30+ at scale.
+- connected components uses large-star/small-star-ish min-label
+  propagation; converges in O(log n) rounds on real graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grasper_spark.graph import PropertyGraph
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(F.col("src"), F.col("dst"))
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def bfs_distances(
+    graph: PropertyGraph,
+    sources: DataFrame,
+    max_hops: int = 10,
+    direction: str = "out",
+    edge_label: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Multi-source BFS: (vid, dist) for every vertex reachable from
+    `sources` (a DataFrame with a `vid` column) within max_hops.
+
+    direction: 'out' follows src→dst, 'in' follows dst→src, 'both'
+    ignores direction."""
+    e = graph.edges
+    if edge_label is not None:
+        e = e.filter(F.col("label") == edge_label)
+    if direction == "out":
+        adj = e.select("src", "dst")
+    elif direction == "in":
+        adj = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    else:
+        adj = _undirected(e)
+    adj = adj.distinct()
+
+    adj = adj.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    visited = sources.select("vid").distinct().withColumn("dist", F.lit(0))
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        # qualified aliases: frontier derives from adj after hop 1, so an
+        # unqualified join would trip AMBIGUOUS_SELF_JOIN
+        nxt = (
+            frontier.alias("f")
+            .join(adj.alias("a"), F.col("f.vid") == F.col("a._s"), "inner")
+            .select(F.col("a._d").alias("vid"))
+            .distinct()
+            .join(visited.select("vid"), "vid", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        if hop % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def connected_components(
+    graph: PropertyGraph, max_iter: int = 20, checkpoint_every: int = 3
+) -> DataFrame:
+    """(vid, component) — undirected connected components by iterative
+    min-id propagation; component = smallest vid in the component."""
+    adj = _undirected(graph.edges).distinct().select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    )
+    labels = graph.vertices.select("vid").withColumn("component", F.col("vid"))
+    for i in range(max_iter):
+        # each vertex adopts min(own, neighbors') component label
+        msgs = (
+            labels.alias("l")
+            .join(adj.alias("a"), F.col("l.vid") == F.col("a._s"), "inner")
+            .select(F.col("a._d").alias("vid"), F.col("l.component").alias("component"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("vid")
+            .agg(F.min("component").alias("component"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vid")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels
+
+
+def pagerank(
+    graph: PropertyGraph,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(vid, rank) after `iterations` power steps; ranks sum to ~|V|.
+    Dangling mass is redistributed uniformly each step."""
+    v = graph.vertices.select("vid")
+    n = v.count()
+    out_deg = graph.edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = v.withColumn("rank", F.lit(1.0))
+    edges = graph.edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    for i in range(iterations):
+        contribs = (
+            ranks.join(out_deg, "vid", "inner").alias("r")
+            .join(edges.alias("e"), F.col("r.vid") == F.col("e._s"), "inner")
+            .select(
+                F.col("e._d").alias("vid"),
+                (F.col("r.rank") / F.col("r.deg")).alias("c"),
+            )
+            .groupBy("vid")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = (
+            ranks.join(out_deg, "vid", "left_anti").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        ranks = (
+            v.join(contribs, "vid", "left")
+            .na.fill({"in_sum": 0.0})
+            .select(
+                "vid",
+                (
+                    F.lit(1 - damping)
+                    + F.lit(damping) * (F.col("in_sum") + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

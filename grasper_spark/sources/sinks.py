@@ -1,0 +1,123 @@
+"""Graph sinks: parquet (the scale path) and Grasper's native text
+format (round-trip parity with the reference loader,
+/root/reference/docs/Tutorial.md:10-42).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from grasper_spark.graph import PropertyGraph
+
+
+def write_parquet(graph: PropertyGraph, out_dir: str, buckets: int = 0) -> None:
+    """Persist V/E as parquet. With buckets>0, also writes bucketed
+    copies via saveAsTable so traversal joins co-locate without a
+    shuffle (requires a warehouse dir; used on clusters)."""
+    graph.vertices.write.mode("overwrite").parquet(os.path.join(out_dir, "vertices"))
+    graph.edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
+    if buckets:
+        name = graph.name.replace("-", "_").replace(":", "_").replace("/", "_").replace(".", "_")
+        graph.vertices.write.mode("overwrite").bucketBy(buckets, "vid").saveAsTable(
+            f"{name}_v"
+        )
+        graph.edges.write.mode("overwrite").bucketBy(buckets, "src").saveAsTable(
+            f"{name}_e_by_src"
+        )
+        graph.edges.write.mode("overwrite").bucketBy(buckets, "dst").saveAsTable(
+            f"{name}_e_by_dst"
+        )
+
+
+def read_parquet(spark, out_dir: str, name: str = "graph") -> PropertyGraph:
+    v = spark.read.parquet(os.path.join(out_dir, "vertices"))
+    e = spark.read.parquet(os.path.join(out_dir, "edges"))
+    return PropertyGraph(v, e, name=name)
+
+
+def write_grasper_text(graph: PropertyGraph, out_dir: str) -> None:
+    """Write the reference's native text format (inverse of
+    sources/grasper_text.py) — proves data-model round-trip parity.
+
+    Driver-side by design: this is a debug/parity sink for toy-sized
+    graphs; parquet (above) is the scale path.
+
+    Dictionaries are derived from the data; property values are
+    rendered with the reference's literal syntax (strings quoted,
+    type codes from Spark column types)."""
+    os.makedirs(os.path.join(out_dir, "index"), exist_ok=True)
+
+    v_labels = [r[0] for r in graph.vertices.select("label").distinct().orderBy("label").collect()]
+    e_labels = [r[0] for r in graph.edges.select("label").distinct().orderBy("label").collect()]
+    v_label_id = {s: i + 1 for i, s in enumerate(v_labels)}
+    e_label_id = {s: i + 1 for i, s in enumerate(e_labels)}
+
+    def _type_code(spark_type: str) -> int:
+        if spark_type in ("int", "smallint", "tinyint", "bigint"):
+            return 1
+        if spark_type in ("double", "float"):
+            return 2
+        return 4
+
+    vp = {k: (i + 1, _type_code(t)) for i, (k, t) in enumerate(graph.vertex_keys.items())}
+    ep = {k: (i + 1, _type_code(t)) for i, (k, t) in enumerate(graph.edge_keys.items())}
+
+    with open(os.path.join(out_dir, "index", "vtx_label"), "w") as f:
+        for s, i in v_label_id.items():
+            f.write(f"{s}\t{i}\n")
+    with open(os.path.join(out_dir, "index", "edge_label"), "w") as f:
+        for s, i in e_label_id.items():
+            f.write(f"{s}\t{i}\n")
+    with open(os.path.join(out_dir, "index", "vtx_property_index"), "w") as f:
+        for k, (pid, tc) in vp.items():
+            f.write(f"{k}\t{pid}\t{tc}\n")
+    with open(os.path.join(out_dir, "index", "edge_property_index"), "w") as f:
+        for k, (pid, tc) in ep.items():
+            f.write(f"{k}\t{pid}\t{tc}\n")
+
+    def _fmt(v, tc):
+        if tc == 2:
+            return repr(float(v))
+        if tc == 4:
+            return f'"{v}"'
+        return str(int(v))
+
+    os.makedirs(os.path.join(out_dir, "vtx_property"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "edge_property"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "vertices"), exist_ok=True)
+
+    vrows = graph.vertices.orderBy("vid").collect()
+    with open(os.path.join(out_dir, "vtx_property", "part_1"), "w") as f:
+        for r in vrows:
+            props = ",".join(
+                f"{vp[k][0]}:{_fmt(r[k], vp[k][1])}"
+                for k in graph.vertex_keys
+                if r[k] is not None
+            )
+            f.write(f"{r['vid']}\t{v_label_id[r['label']]}\t[{props}]\n")
+
+    erows = graph.edges.orderBy("src", "dst").collect()
+    with open(os.path.join(out_dir, "edge_property", "part_1"), "w") as f:
+        for r in erows:
+            props = ",".join(
+                f"{ep[k][0]}:{_fmt(r[k], ep[k][1])}"
+                for k in graph.edge_keys
+                if r[k] is not None
+            )
+            f.write(f"{r['src']}\t{r['dst']}\t{e_label_id[r['label']]}\t[{props}]\n")
+
+    # adjacency lists: {vid}\t{num_in}\t{in..}\t{num_out}\t{out..}
+    adj_in = {r["vid"]: r["ins"] for r in graph.edges.groupBy(F.col("dst").alias("vid"))
+              .agg(F.sort_array(F.collect_list("src")).alias("ins")).collect()}
+    adj_out = {r["vid"]: r["outs"] for r in graph.edges.groupBy(F.col("src").alias("vid"))
+               .agg(F.sort_array(F.collect_list("dst")).alias("outs")).collect()}
+    with open(os.path.join(out_dir, "vertices", "part_1"), "w") as f:
+        for r in vrows:
+            ins = adj_in.get(r["vid"], [])
+            outs = adj_out.get(r["vid"], [])
+            f.write(
+                f"{r['vid']}\t{len(ins)}\t{' '.join(map(str, ins))}\t"
+                f"{len(outs)}\t{' '.join(map(str, outs))}\n"
+            )

@@ -42,12 +42,20 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the events parquet directory."""
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over `{sf_dir}/events.parquet` (same contract
+    as load_events — pointing at the whole sf dir would ingest every
+    table under the events schema)."""
     schema = T.StructType(
         [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENT_SCHEMA]
     )
-    return _normalize_ts(spark.readStream.schema(schema).parquet(path))
+    # the file-stream source needs a DIRECTORY; glob-filter to the events
+    # table so sibling tables aren't ingested under this schema
+    return _normalize_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",

@@ -1,0 +1,54 @@
+"""Iterative graph algorithm tests on the modern graph (hand-checked)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from grasper_spark.algos import bfs_distances, connected_components, pagerank
+
+
+def test_bfs_out_from_marko(modern, spark):
+    src = spark.createDataFrame([(1,)], ["vid"])
+    got = {r.vid: r.dist for r in bfs_distances(modern, src, direction="out").collect()}
+    # marko →(knows) vadas,josh →(created) lop,ripple; lop also direct
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1, 5: 2}
+
+
+def test_bfs_both_reaches_everything(modern, spark):
+    src = spark.createDataFrame([(5,)], ["vid"])
+    got = {r.vid: r.dist for r in bfs_distances(modern, src, direction="both").collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[5] == 0 and got[4] == 1 and got[3] == 2
+
+
+def test_bfs_edge_label_filter(modern, spark):
+    src = spark.createDataFrame([(1,)], ["vid"])
+    got = {r.vid: r.dist for r in
+           bfs_distances(modern, src, direction="out", edge_label="knows").collect()}
+    assert got == {1: 0, 2: 1, 4: 1}
+
+
+def test_connected_components_single(modern):
+    got = {r.vid: r.component for r in connected_components(modern).collect()}
+    assert set(got.values()) == {1}  # modern graph is one component
+
+
+def test_connected_components_two(spark):
+    from grasper_spark import PropertyGraph
+
+    v = spark.createDataFrame([(i, "x") for i in range(1, 7)], "vid long, label string")
+    e = spark.createDataFrame(
+        [(1, 2, "e"), (2, 3, "e"), (4, 5, "e")], "src long, dst long, label string"
+    )
+    g = PropertyGraph(v, e)
+    got = {r.vid: r.component for r in connected_components(g).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == 4
+    assert got[6] == 6  # isolated
+
+
+def test_pagerank_sums_and_order(modern):
+    ranks = {r.vid: r.rank for r in pagerank(modern, iterations=15).collect()}
+    assert abs(sum(ranks.values()) - 6.0) < 0.05
+    # lop (3 in-edges) outranks everything; vadas > ripple? both 1 in-edge
+    assert ranks[3] == max(ranks.values())
+    assert ranks[1] == min(ranks.values()) or ranks[6] == min(ranks.values())

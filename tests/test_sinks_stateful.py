@@ -1,0 +1,58 @@
+"""Sink round-trips + custom stateful streaming operator."""
+
+import pytest
+from conftest import MODERN_E, MODERN_V, rows
+from pyspark.sql import functions as F
+
+
+def test_grasper_text_roundtrip(modern, spark, tmp_path):
+    from grasper_spark.sources import load_grasper_text
+    from grasper_spark.sources.sinks import write_grasper_text
+
+    out = str(tmp_path / "graph_text")
+    write_grasper_text(modern, out)
+    back = load_grasper_text(spark, out)
+    assert rows(back.vertices.select("vid", "label", "name", "age", "lang")) == sorted(MODERN_V)
+    assert rows(back.edges.select("src", "dst", "label", "weight")) == sorted(MODERN_E)
+
+
+def test_parquet_roundtrip(modern, spark, tmp_path):
+    from grasper_spark.sources.sinks import read_parquet, write_parquet
+
+    out = str(tmp_path / "graph_pq")
+    write_parquet(modern, out)
+    back = read_parquet(spark, out)
+    assert rows(back.vertices) == rows(modern.vertices)
+    assert rows(back.edges) == rows(modern.edges)
+
+
+def test_stateful_running_user_stats(spark):
+    from grasper_spark.streaming.stateful import running_user_stats
+    from grasper_spark.streaming.windows import load_events, read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    q = (
+        running_user_stats(read_events_stream(spark, sf))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last update per user == batch aggregate
+    got_df = spark.sql(
+        "SELECT user_id, n_events, total_value FROM user_stats"
+    )
+    # with a single micro-batch there is exactly one update per user
+    got = {r.user_id: (r.n_events, round(r.total_value, 4)) for r in got_df.collect()}
+    want_df = (
+        load_events(spark, sf)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("t"))
+    )
+    want = {r.user_id: (r.n, r.t) for r in want_df.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6
