@@ -312,6 +312,44 @@ def _q_multimodal_features(spark, sf):
     )
 
 
+def _q_algo_bfs(spark, sf):
+    from grasper_spark.algos import bfs_distances
+
+    g = _graph(spark, sf).graph
+    regions = g.vertices.filter(F.col("label") == "region").select("vid")
+    return bfs_distances(g, regions, direction="in", max_hops=4)
+
+
+def _q_algo_cc(spark, sf):
+    from grasper_spark.algos import connected_components
+
+    return connected_components(_graph(spark, sf).graph, max_iter=8)
+
+
+def _q_algo_pagerank(spark, sf):
+    # iterative; not SQL-expressible — rows-only check (no oracle entry)
+    from grasper_spark.algos import pagerank
+
+    return pagerank(_graph(spark, sf).graph, iterations=5).select(
+        "vid", F.round("rank", 4).alias("rank")
+    )
+
+
+def _q_events_user_stats(spark, sf):
+    # batch twin of streaming/stateful.running_user_stats final state
+    # (equality tested in tests/test_sinks_stateful.py)
+    from grasper_spark.streaming.windows import load_events
+
+    return (
+        load_events(spark, sf)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("total_value"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g_v_count": _q_g_v_count,
@@ -351,6 +389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "multimodal_features": _q_multimodal_features,
+        "algo_bfs": _q_algo_bfs,
+        "algo_cc": _q_algo_cc,
+        "algo_pagerank": _q_algo_pagerank,
+        "events_user_stats": _q_events_user_stats,
     }
 
 
@@ -668,5 +710,37 @@ SELECT doc_id AS media_id,
              / greatest(length(text), 1), 6) AS byte_mean,
        ascii(text[1])::BIGINT AS first_byte
 FROM documents
+""",
+        # BFS over the FK graph from regions, direction 'in': the layered
+        # star schema makes the exact distances closed-form
+        "algo_bfs": """
+SELECT r_regionkey::BIGINT AS vid, 0 AS dist FROM region
+UNION ALL SELECT (n_nationkey + 10)::BIGINT, 1 FROM nation
+UNION ALL SELECT (c_custkey + 100)::BIGINT, 2 FROM customer
+UNION ALL SELECT (s_suppkey + 10000000)::BIGINT, 2 FROM supplier
+""",
+        # the FK graph is one component rooted at region vid 0 (nation→
+        # region, customer/supplier→nation, order→customer FKs are total);
+        # the only possible isolates are parts never referenced by any
+        # lineitem, which keep their own vid as component
+        "algo_cc": """
+SELECT vid, 0::BIGINT AS component FROM (
+  SELECT r_regionkey::BIGINT AS vid FROM region
+  UNION ALL SELECT (n_nationkey + 10)::BIGINT FROM nation
+  UNION ALL SELECT (c_custkey + 100)::BIGINT FROM customer
+  UNION ALL SELECT (s_suppkey + 10000000)::BIGINT FROM supplier
+  UNION ALL SELECT (o_orderkey + 40000000)::BIGINT FROM orders
+  UNION ALL SELECT (p_partkey + 20000000)::BIGINT FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+) t
+UNION ALL
+SELECT (p_partkey + 20000000)::BIGINT AS vid,
+       (p_partkey + 20000000)::BIGINT AS component
+FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+""",
+        "events_user_stats": """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(coalesce(value, 0.0)), 4) AS total_value
+FROM events GROUP BY 1
 """,
     }
