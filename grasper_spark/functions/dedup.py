@@ -35,12 +35,12 @@ _B = [1234567891, 987654321, 192837465, 564738291, 1029384756,
       1627384950, 918273645, 746352819, 1983746550, 283746591, 1092837465]
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram strings of the normalized text.
-
-    Built with element_at (O(1) per term) rather than slice (which copies
-    an n-array per index) — ~10× cheaper in codegen."""
-    toks = tokens(normalize(text))
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an ALREADY-MATERIALIZED token-array
+    column. `toks` must be a plain column reference, not an expression:
+    Spark does no common-subexpression elimination into HOF lambdas, so
+    an expression here would re-run (e.g.) the regex tokenizer once per
+    element_at — ~150× per row."""
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
     grams = F.transform(
@@ -49,6 +49,52 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
         F.array_distinct(grams)
     )
+
+
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(id, sh) rows — n-gram shingles per document (DISTINCT by default;
+    pass distinct=False for idempotent consumers like minhash-min, which
+    saves the dedup shuffle).
+
+    posexplode + window-lead formulation: higher-order-function lambdas
+    (transform/array_distinct) run on Spark's interpreted path (~9 ms/row
+    measured); exploding tokens to rows and building shingles with
+    lead() keeps the whole pipeline in WholeStageCodegen (~5× faster).
+    One shuffle (window partitionBy id) + one distinct."""
+    from pyspark.sql import Window
+
+    toks = (
+        _spread(df)
+        .select(F.col(id_col), F.posexplode(tokens(normalize(F.col(text_col)))).alias("pos", "t"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
+    with_sh = toks.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("_cnt"),
+        F.concat_ws(" ", *leads).alias("sh"),
+        leads[-1].alias("_last"),
+    )
+    long_docs = with_sh.filter((F.col("_cnt") >= n) & F.col("_last").isNotNull()).select(
+        id_col, "sh"
+    )
+    # cnt < n → the whole normalized text is the single shingle; the
+    # pos==0 row already holds it (concat_ws skips the null leads)
+    short_docs = with_sh.filter((F.col("_cnt") < n) & (F.col("pos") == 0)).select(
+        id_col, "sh"
+    )
+    out = long_docs.unionByName(short_docs)
+    return out.distinct() if distinct else out
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram strings of normalized text. Fine for tests /
+    small inputs; hot paths use _exploded_shingles (see
+    shingles_from_tokens for why)."""
+    return shingles_from_tokens(tokens(normalize(text)), n)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -84,9 +130,11 @@ def minhash_signature(
     arithmetic (a_i < 2^32, x < 2^32 → product < 2^63.3... kept safe by
     mod p per term)."""
     assert num_hashes <= len(_A)
-    sh = _spread(df).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    ).select(id_col, _md5_int(F.col("sh")).alias("x"))
+    # distinct=False: min() is idempotent, duplicate shingles can't
+    # change a minhash — skipping the dedup shuffle
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n, distinct=False).select(
+        id_col, _md5_int(F.col("sh")).alias("x")
+    )
     mins = [
         F.min((F.lit(a).cast("long") * F.col("x") + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
         for i, (a, b) in enumerate(zip(_A[:num_hashes], _B[:num_hashes]))
@@ -139,9 +187,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via inverted-index join (no cross
     join; `max_shingle_df` drops degenerate hot shingles to bound skew)."""
-    sh = _spread(df).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n)
     sh.persist()  # reused 3× below (both join sides + sizes)
     hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
         F.col("df_cnt") > max_shingle_df
@@ -173,8 +219,8 @@ def _verify_jaccard(
     shingle_n: int, threshold: float,
 ) -> DataFrame:
     sh = df.select(
-        F.col(id_col).alias("vid_"), shingles(F.col(text_col), shingle_n).alias("shs")
-    )
+        F.col(id_col).alias("vid_"), tokens(normalize(F.col(text_col))).alias("_toks")
+    ).select("vid_", shingles_from_tokens(F.col("_toks"), shingle_n).alias("shs"))
     j = (
         cand.join(sh.select(F.col("vid_").alias("id_a"), F.col("shs").alias("sa")), "id_a")
         .join(sh.select(F.col("vid_").alias("id_b"), F.col("shs").alias("sb")), "id_b")

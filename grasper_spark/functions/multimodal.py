@@ -81,6 +81,11 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     The UDF closure is self-contained (decode logic inlined, stdlib/numpy
     only) so workers never need grasper_spark on their PYTHONPATH."""
+    # single-partition local inputs serialize the whole stage; a bounded
+    # fan-out keeps Arrow batches large while using several workers
+    if media.rdd.getNumPartitions() == 1:
+        target = min(8, media.sparkSession.sparkContext.defaultParallelism)
+        media = media.repartition(target)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

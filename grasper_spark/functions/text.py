@@ -97,14 +97,22 @@ def fingerprint(text: Column) -> Column:
 def rolling_fingerprints(text: Column, window: int = 8) -> Column:
     """Winnowing-style rolling fingerprints: md5-int of each `window`-token
     shingle (the full set; selecting minima per window is done by the
-    caller when sampling)."""
-    toks = tokens(normalize(text))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window))  # noqa: E731
-    return F.when(
-        n < window, F.array(_md5_int(F.concat_ws(" ", toks)))
-    ).otherwise(F.transform(idx, lambda i: _md5_int(shingle(i))))
+    caller when sampling).
+
+    The token array is let-bound via a single-element transform so the
+    tokenizer runs once per row — Spark does no CSE into HOF lambdas."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+        shingle = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(toks, i + j + 1) for j in range(window)]
+        )
+        return F.when(
+            n < window, F.array(_md5_int(F.concat_ws(" ", toks)))
+        ).otherwise(F.transform(idx, lambda i: _md5_int(shingle(i))))
+
+    return F.element_at(F.transform(F.array(tokens(normalize(text))), body), 1)
 
 
 def _md5_int(col: Column) -> Column:
