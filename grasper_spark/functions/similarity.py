@@ -91,6 +91,71 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
     return bucket
 
 
+def ivf_index(
+    corpus: DataFrame, n_clusters: int = 16, id_col: str = "vec_id",
+    vec_col: str = "embedding", seed: int = 42,
+):
+    """Train an IVF (inverted-file) index: seeded KMeans centroids +
+    cluster assignment for every corpus vector.
+
+    Returns (assigned_df, centroids) where assigned_df adds a `cluster`
+    column and centroids is a list[(cluster_id, vector)]. At scale the
+    assignment is written out partitioned by cluster so a probe reads
+    only its clusters' files."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(ml_df)
+    assigned = model.transform(ml_df).withColumnRenamed("prediction", "cluster").drop(
+        "features"
+    )
+    centroids = [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame, centroids: list, queries: DataFrame, k: int = 10,
+    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score each query only against the `n_probe`
+    clusters whose centroids are closest (by cosine) to the query.
+
+    Probing is a broadcast join of (query, cluster) pairs against the
+    cluster-partitioned corpus — the IVF pruning that makes ANN linear
+    in |probed clusters| instead of |corpus|."""
+    spark = assigned.sparkSession
+    cent_df = spark.createDataFrame(centroids, ["cluster", "centroid"])
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q_scored = q.crossJoin(F.broadcast(cent_df)).select(
+        "query_id", "qv", "cluster",
+        cosine(F.col("qv"), F.col("centroid").cast("array<double>")).alias("csim"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cluster"))
+    probes = (
+        q_scored.withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "cluster")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cluster"
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     num_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",

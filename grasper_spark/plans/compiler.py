@@ -58,6 +58,10 @@ ORD = "_ord_"
 _uid = itertools.count()
 
 
+class CompileError(ValueError):
+    """Ill-typed or invalid step chain (plan-time, before execution)."""
+
+
 @dataclass(frozen=True)
 class Step:
     name: str
@@ -200,8 +204,13 @@ class GremlinCompiler:
         name = step.name
         fn = getattr(self, f"_step_{name}", None)
         if fn is None:
-            raise NotImplementedError(f"step not implemented: {name}")
-        return fn(s, *step.args)
+            raise CompileError(f"step not implemented: {name}")
+        try:
+            return fn(s, *step.args)
+        except AssertionError as e:
+            # io_type state-machine parity: the reference parser rejects
+            # ill-typed chains at plan time (core/parser.cpp:161-215)
+            raise CompileError(f"at step {step!r}: {e}") from None
 
     # ---------- sources ----------
 

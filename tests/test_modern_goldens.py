@@ -346,3 +346,18 @@ def test_build_index_command(g):
 
 def test_set_config_command(g):
     assert g.query("SetConfig('caching', 'true')").collect()[0][0] == "Config modified"
+
+
+def test_ill_typed_chain_raises_compile_error(g):
+    import pytest
+
+    from grasper_spark.plans.compiler import CompileError
+
+    # out() on a scalar stream — rejected at plan time like the
+    # reference's io_type state machine (core/parser.cpp:161-215)
+    with pytest.raises(CompileError, match="out"):
+        g.V().values("age").out("knows").df()
+    with pytest.raises(CompileError, match="is"):
+        g.V().is_(__import__("grasper_spark").P.gt(1)).df()
+    with pytest.raises(CompileError, match="select"):
+        g.V().select("nosuchlabel").df()

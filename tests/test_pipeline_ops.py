@@ -184,3 +184,28 @@ def test_streaming_windowed_equals_batch(spark):
     got = sorted(tuple(r) for r in spark.sql("select * from win_test").collect())
     want = sorted(tuple(r) for r in windowed_counts_batch(spark, sf).collect())
     assert got == want and len(got) > 0
+
+
+def test_ivf_topk_recall(spark):
+    from grasper_spark.functions.similarity import cosine_topk, ivf_index, ivf_topk
+    from pyspark.sql import functions as F
+    import math
+
+    # 4 well-separated clusters in 8-d
+    rows = []
+    for c in range(4):
+        base = [0.0] * 8
+        base[c * 2] = 1.0
+        for i in range(25):
+            v = list(base)
+            v[(c * 2 + 1)] = 0.01 * i
+            rows.append((c * 100 + i, v))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = ivf_index(vecs, n_clusters=4)
+    queries = vecs.filter(F.col("vec_id").isin(0, 100, 200, 300))
+    approx = ivf_topk(assigned, cents, queries, k=5, n_probe=1)
+    exact = cosine_topk(vecs, queries, k=5)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"IVF recall too low: {recall}"
