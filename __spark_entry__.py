@@ -26,6 +26,9 @@ _GRAPH_CACHE: dict[str, object] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str) -> G:
+    from grasper_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # driver-provided sessions lack our confs
     key = sf_dir
     if key not in _GRAPH_CACHE:
         _GRAPH_CACHE[key] = G(load_tpch_graph(spark, sf_dir).cache())
@@ -33,6 +36,9 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grasper_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -283,7 +289,9 @@ def _q_doc_neardup_jaccard(spark, sf):
 
 def _q_emb_cosine_topk(spark, sf):
     from grasper_spark.functions.similarity import cosine_topk
+    from grasper_spark.session import ensure_runtime_confs
 
+    ensure_runtime_confs(spark)
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 

@@ -12,6 +12,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs this engine depends on to an
+    EXTERNALLY-built session (e.g. the evaluation driver's): nanos
+    timestamps in events.parquet and UTC rendering for oracle parity.
+    Idempotent and cheap — called from the loaders."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def get_spark(
     app_name: str = "grasper_spark",
     master: str | None = None,

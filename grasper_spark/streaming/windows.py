@@ -39,6 +39,9 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grasper_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     return _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
