@@ -508,7 +508,8 @@ class GremlinCompiler:
         else:
             df = s.df.agg(agg.alias(VAL))
         return Stream(
-            df=df, kind="S", dtype=None, history={c: c for c in gcols if c == TID},
+            df=df, kind="S", dtype=None,
+            history={c: c for c in gcols if c.startswith(TID)},
             group_cols=list(gcols),
         )
 
@@ -689,40 +690,40 @@ class GremlinCompiler:
             out = self.compile(list(branch), start=out)
         return out
 
-    def _tagged(self, s: Stream) -> Stream:
+    def _tagged(self, s: Stream) -> tuple[Stream, str]:
         """Attach a content-hash traverser id for labelled branches.
 
         Two identical traversers get the same tid — semantically
         interchangeable for existential tests, so this is safe, fully
         deterministic, and needs no caching (unlike
-        monotonically_increasing_id)."""
-        if TID in s.df.columns:
-            return s
-        cols = [s.val(), *[F.col(c) for c in s.hist_cols()]]
-        df = s.df.withColumn(TID, F.xxhash64(*cols))
-        s2 = replace(s, df=df, history=dict(s.history), group_cols=list(s.group_cols))
-        s2.history[TID] = TID
-        if TID not in s2.group_cols:
-            s2.group_cols = s2.group_cols + [TID]
-        return s2
+        monotonically_increasing_id).
 
-    def _branch_tids(self, tagged: Stream, branches: Sequence[Sequence[Step]]) -> list[DataFrame]:
-        outs = []
-        for b in branches:
-            res = self.compile(list(b), start=tagged)
-            outs.append(res.df.select(TID).distinct())
-        return outs
+        Tid columns STACK for nested labelled branches (e.g. the
+        where(not(…))→and([not(…)]) rewrite): each nesting level gets
+        its own _tidK keyed to its own input traversers; the inner
+        level's hash covers the outer tids via the history columns."""
+        k = sum(1 for c in s.df.columns if c.startswith(TID))
+        tcol = f"{TID}{k}"
+        cols = [s.val(), *[F.col(c) for c in s.hist_cols()]]
+        df = s.df.withColumn(tcol, F.xxhash64(*cols))
+        s2 = replace(s, df=df, history=dict(s.history), group_cols=list(s.group_cols))
+        s2.history[tcol] = tcol
+        s2.group_cols = s2.group_cols + [tcol]
+        return s2, tcol
 
     def _labelled_filter(self, s: Stream, branches: Sequence[Sequence[Step]], mode: str) -> Stream:
         # per-traverser existential test: pass iff all/any/none branches
         # produced ≥1 result for this input traverser
         # (/root/reference/expert/labelled_branch_expert.hpp:184-289)
-        tagged = self._tagged(s)
-        tid_sets = self._branch_tids(tagged, branches)
+        tagged, tcol = self._tagged(s)
+        tid_sets = [
+            self.compile(list(b), start=tagged).df.select(tcol).distinct()
+            for b in branches
+        ]
         if mode == "and":
             passing = tid_sets[0]
             for t in tid_sets[1:]:
-                passing = passing.join(t, TID, "inner")
+                passing = passing.join(t, tcol, "inner")
             how = "left_semi"
         elif mode == "or":
             passing = tid_sets[0]
@@ -735,11 +736,11 @@ class GremlinCompiler:
             for t in tid_sets[1:]:
                 passing = passing.unionByName(t)
             how = "left_anti"
-        df = tagged.df.join(passing, TID, how).drop(TID)
-        hist = {k: v for k, v in s.history.items() if k != TID}
+        df = tagged.df.join(passing, tcol, how).drop(tcol)
+        hist = {k: v for k, v in s.history.items() if v != tcol}
         return replace(
             s, df=df, history=hist,
-            group_cols=[c for c in s.group_cols if c != TID],
+            group_cols=[c for c in s.group_cols if c != tcol],
         )
 
     def _step_and(self, s: Stream, *branches: Sequence[Step]) -> Stream:
