@@ -26,12 +26,27 @@ _GRAPH_CACHE: dict[str, object] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str) -> G:
+    import os
+
     from grasper_spark.session import ensure_runtime_confs
+    from grasper_spark.sources.sinks import read_parquet, write_parquet
 
     ensure_runtime_confs(spark)  # driver-provided sessions lack our confs
     key = sf_dir
     if key not in _GRAPH_CACHE:
-        _GRAPH_CACHE[key] = G(load_tpch_graph(spark, sf_dir).cache())
+        # persist the deterministic projection once per sf (parquet IS the
+        # snapshot — the reference reloads from its disk snapshot the same
+        # way, storage/mpi_snapshot.hpp); cuts per-session load ~10s → ~1s
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".graph_cache", f"v1_{tag}")
+        try:
+            if not os.path.isdir(os.path.join(cache_dir, "vertices")):
+                write_parquet(load_tpch_graph(spark, sf_dir), cache_dir)
+            g = read_parquet(spark, cache_dir, name=f"tpch-graph:{sf_dir}")
+        except Exception:
+            g = load_tpch_graph(spark, sf_dir)  # read-only FS etc.
+        _GRAPH_CACHE[key] = G(g.cache())
     return _GRAPH_CACHE[key]
 
 
@@ -120,6 +135,11 @@ def _q_g_groupcount_rel(spark, sf):
 
 def _q_g_groupcount_str(spark, sf):
     return _graph(spark, sf).V().hasLabel("order").groupCount("orderstatus").df()
+
+
+def _q_g_group_str(spark, sf):
+    # formatted group output "key:[v1, v2]" (reference string parity)
+    return _graph(spark, sf).V().hasLabel("region").group("label", "name").df()
 
 
 def _q_g_order_limit(spark, sf):
@@ -370,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_q4_dedup_count": _q_g_q4_dedup_count,
         "g_groupcount_rel": _q_g_groupcount_rel,
         "g_groupcount_str": _q_g_groupcount_str,
+        "g_group_str": _q_g_group_str,
         "g_order_limit": _q_g_order_limit,
         "g_range": _q_g_range,
         "g_union": _q_g_union,
@@ -573,6 +594,9 @@ SELECT count(DISTINCT l_orderkey)::BIGINT AS val FROM c WHERE q > 30
         ),
         "g_groupcount_str": (
             "SELECT o_orderstatus || ':' || count(*)::VARCHAR AS val FROM orders GROUP BY o_orderstatus"
+        ),
+        "g_group_str": (
+            "SELECT 'region:[' || string_agg(r_name, ', ' ORDER BY r_name) || ']' AS val FROM region"
         ),
         "g_order_limit": (
             "SELECT c_acctbal AS val FROM customer ORDER BY c_acctbal DESC LIMIT 5"

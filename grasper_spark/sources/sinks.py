@@ -6,6 +6,7 @@ format (round-trip parity with the reference loader,
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import functions as F
 
@@ -19,22 +20,62 @@ def write_parquet(graph: PropertyGraph, out_dir: str, buckets: int = 0) -> None:
     graph.vertices.write.mode("overwrite").parquet(os.path.join(out_dir, "vertices"))
     graph.edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
     if buckets:
-        name = graph.name.replace("-", "_").replace(":", "_").replace("/", "_").replace(".", "_")
-        graph.vertices.write.mode("overwrite").bucketBy(buckets, "vid").saveAsTable(
-            f"{name}_v"
-        )
-        graph.edges.write.mode("overwrite").bucketBy(buckets, "src").saveAsTable(
-            f"{name}_e_by_src"
-        )
-        graph.edges.write.mode("overwrite").bucketBy(buckets, "dst").saveAsTable(
-            f"{name}_e_by_dst"
-        )
+        name = re.sub(r"[^A-Za-z0-9_]", "_", graph.name)
+        write_bucketed(graph, name, buckets)
 
 
 def read_parquet(spark, out_dir: str, name: str = "graph") -> PropertyGraph:
     v = spark.read.parquet(os.path.join(out_dir, "vertices"))
     e = spark.read.parquet(os.path.join(out_dir, "edges"))
     return PropertyGraph(v, e, name=name)
+
+
+class BucketedPropertyGraph(PropertyGraph):
+    """Graph over bucketed tables: V by vid, E by src AND a dst-keyed
+    copy — both traversal directions join co-located, no shuffle."""
+
+    def __init__(self, vertices, e_by_src, e_by_dst, name="graph"):
+        super().__init__(vertices, e_by_src, name=name)
+        self._e_by_dst = e_by_dst
+
+    def edges_by_dst(self):
+        return self._e_by_dst
+
+
+def write_bucketed(graph: PropertyGraph, table_prefix: str, buckets: int = 16) -> None:
+    """Persist V/E as bucketed+sorted tables (spark-warehouse). The
+    100 TB deployment shape: traversal joins become bucket-local
+    sort-merge joins with zero Exchange."""
+    spark = graph.spark
+
+    def _clean(table: str) -> None:
+        # a previous session's warehouse dir survives while its catalog
+        # entry doesn't — saveAsTable then fails LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), table.lower())
+        if os.path.isdir(loc):
+            import shutil
+
+            shutil.rmtree(loc)
+
+    for suffix, df, key in [
+        ("_v", graph.vertices, "vid"),
+        ("_e_src", graph.edges, "src"),
+        ("_e_dst", graph.edges, "dst"),
+    ]:
+        table = f"{table_prefix}{suffix}"
+        _clean(table)
+        df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+
+def read_bucketed(spark, table_prefix: str, name: str = "graph") -> BucketedPropertyGraph:
+    return BucketedPropertyGraph(
+        spark.table(f"{table_prefix}_v"),
+        spark.table(f"{table_prefix}_e_src"),
+        spark.table(f"{table_prefix}_e_dst"),
+        name=name,
+    )
 
 
 def write_grasper_text(graph: PropertyGraph, out_dir: str) -> None:

@@ -56,3 +56,31 @@ def test_stateful_running_user_stats(spark):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-6
+
+
+def test_bucketed_traversal_no_shuffle(modern, spark):
+    """The 100 TB deployment shape: V bucketed by vid, E by src and dst —
+    the traversal join runs bucket-local (zero hash exchanges; only the
+    property re-attach join shuffles the moved stream side)."""
+    from grasper_spark import G
+    from grasper_spark.sources.sinks import read_bucketed, write_bucketed
+
+    write_bucketed(modern, "modern_bkt_test", buckets=4)
+    bg = read_bucketed(spark, "modern_bkt_test")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = G(bg).V().has("name", "marko").out("knows").count().df()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        assert [r[0] for r in q.collect()] == [2]
+
+        q2 = G(bg).V().has("name", "marko").out("knows").values("age").df()
+        plan2 = q2._jdf.queryExecution().executedPlan().toString()
+        # only the moved traverser stream re-shuffles for the property
+        # join — the Grasper send_remote hop; both base tables stay put
+        assert plan2.count("Exchange hashpartitioning") <= 1, plan2
+        assert sorted(r[0] for r in q2.collect()) == [27, 32]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
