@@ -316,6 +316,15 @@ def _q_emb_cosine_topk(spark, sf):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def _q_emb_neardup(spark, sf):
+    from grasper_spark.functions.similarity import cosine_neardup_pairs
+    from grasper_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return cosine_neardup_pairs(emb, threshold=0.8)
+
+
 def _q_events_window(spark, sf):
     from grasper_spark.streaming.windows import windowed_counts_batch
 
@@ -415,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _q_doc_simhash,
         "doc_neardup_jaccard": _q_doc_neardup_jaccard,
         "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_neardup": _q_emb_neardup,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "multimodal_features": _q_multimodal_features,
@@ -705,6 +715,24 @@ scored AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+""",
+        "emb_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+              i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+              i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) >= 0.8
 """,
         "events_window": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

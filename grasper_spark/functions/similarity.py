@@ -91,6 +91,24 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
     return bucket
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ t).
+
+    Exact all-pairs — correct but O(n²); at corpus scale, generate
+    candidates with lsh_topk/ivf_topk buckets first and verify with
+    this on the candidate set only."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_index(
     corpus: DataFrame, n_clusters: int = 16, id_col: str = "vec_id",
     vec_col: str = "embedding", seed: int = 42,
