@@ -32,7 +32,9 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
     from grasper_spark.sources.sinks import read_parquet, write_parquet
 
     ensure_runtime_confs(spark)  # driver-provided sessions lack our confs
-    key = sf_dir
+    # key by session too: a driver may build/stop a session per call, and
+    # DataFrames from a stopped session are unusable
+    key = (id(spark), sf_dir)
     if key not in _GRAPH_CACHE:
         # persist the deterministic projection once per sf (parquet IS the
         # snapshot — the reference reloads from its disk snapshot the same
