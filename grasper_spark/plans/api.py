@@ -125,6 +125,9 @@ class Traversal:
     def select(self, *labels: str) -> "Traversal":
         return self._add("select", *labels)
 
+    def path(self) -> "Traversal":
+        return self._add("path")
+
     # -- side effects
     def aggregate(self, name: str) -> "Traversal":
         return self._add("aggregate", name)

@@ -140,11 +140,54 @@ class GremlinCompiler:
 
     # ---------- entry ----------
 
+    # steps that move the traverser to a new location (grow the path)
+    _PATH_STEPS = frozenset(
+        ["V", "E", "out", "in", "both", "outE", "inE", "bothE", "outV", "inV",
+         "bothV", "values", "label", "key", "properties", "select"]
+    )
+
     def compile(self, steps: Sequence[Step], start: Optional[Stream] = None) -> Stream:
+        if start is None and any(st.name == "path" for st in steps):
+            # path mode: record each location as a string column riding
+            # the history machinery (extension — the reference has no
+            # path(), SURVEY.md §2.7)
+            self._path_mode = True
+            self._path_n = 0
         s = start
         for step in steps:
             s = self._apply(s, step)
+            if (
+                getattr(self, "_path_mode", False)
+                and start is None
+                and step.name in self._PATH_STEPS
+            ):
+                s = self._record_path(s)
         return s
+
+    def _record_path(self, s: Stream) -> Stream:
+        col = f"_pp{self._path_n}"
+        self._path_n += 1
+        if s.kind == "E":
+            loc = F.concat(F.col(ESRC).cast("string"), F.lit("->"), F.col(EDST).cast("string"))
+        else:
+            loc = s.val().cast("string")
+        s2 = replace(s, df=s.df.withColumn(col, loc), history=dict(s.history))
+        s2.history[col] = col
+        return s2
+
+    def _step_path(self, s: Stream) -> Stream:
+        pps = sorted(
+            (c for c in s.history if c.startswith("_pp")),
+            key=lambda c: int(c[3:]),
+        )
+        if not pps:
+            raise CompileError("path(): no recorded locations")
+        val = F.concat(F.lit("["), F.concat_ws(", ", *[F.col(c) for c in pps]), F.lit("]"))
+        df = s.df.select(*[h for h in s.hist_cols() if not h.startswith("_pp")], val.alias(VAL))
+        hist = {k: v for k, v in s.history.items() if not k.startswith("_pp")}
+        out = Stream(df=df, kind="S", dtype="string", history=hist,
+                     group_cols=list(s.group_cols))
+        return out
 
     def result_df(self, stream: Stream) -> DataFrame:
         """User-facing projection: vertices → (vid), edges → (src,dst),

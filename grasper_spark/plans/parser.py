@@ -26,7 +26,7 @@ STEP_NAMES = {
     "where", "coin", "out", "in", "both", "outE", "inE", "bothE", "outV",
     "inV", "bothV", "values", "label", "key", "properties", "as", "select",
     "aggregate", "cap", "count", "sum", "max", "min", "mean", "group",
-    "groupCount", "dedup", "order", "range", "limit", "skip", "union",
+    "groupCount", "dedup", "order", "range", "limit", "skip", "union", "path",
     "repeat", "and", "or", "not",
 }
 

@@ -361,3 +361,24 @@ def test_ill_typed_chain_raises_compile_error(g):
         g.V().is_(__import__("grasper_spark").P.gt(1)).df()
     with pytest.raises(CompileError, match="select"):
         g.V().select("nosuchlabel").df()
+
+
+def test_path_extension(g):
+    # parity-plus: path() records each traverser location
+    got = vals(g.V().has("name", "marko").out("knows").path())
+    assert got == ["[1, 2]", "[1, 4]"]
+    got2 = vals(g.V().has("name", "marko").outE("knows").inV().values("name").path())
+    assert got2 == ["[1, 1->2, 2, vadas]", "[1, 1->4, 4, josh]"]
+    got3 = sorted(
+        r[0] for r in g.query('g.V().has("name","marko").out("created").path()').collect()
+    )
+    assert got3 == ["[1, 3]"]
+
+
+def test_path_after_barrier_rejected(g):
+    import pytest
+
+    from grasper_spark.plans.compiler import CompileError
+
+    with pytest.raises(CompileError, match="path"):
+        g.V().count().path().df()
