@@ -189,6 +189,9 @@ class Traversal:
     def not_(self, branch: "Traversal") -> "Traversal":
         return self._add("not", _steps_of(branch))
 
+    def optional(self, branch: "Traversal") -> "Traversal":
+        return self._add("optional", _steps_of(branch))
+
     # -- terminals
     def _compile(self) -> tuple[GremlinCompiler, Stream]:
         assert self._graph is not None, "anonymous traversal cannot execute"

@@ -786,6 +786,30 @@ class GremlinCompiler:
             group_cols=[c for c in s.group_cols if c != tcol],
         )
 
+    def _step_optional(self, s: Stream, branch: Sequence[Step]) -> Stream:
+        """optional(q): per traverser, the branch results if any, else
+        the input traverser unchanged (extension — not in the reference;
+        built from the same labelled-branch machinery)."""
+        tagged, tcol = self._tagged(s)
+        res = self.compile(list(branch), start=tagged)
+        assert res.kind == s.kind, (
+            f"optional: branch output kind {res.kind} must match input {s.kind}"
+        )
+        matched = res.df.select(tcol).distinct()
+        shared_hist = {
+            k: v for k, v in s.history.items() if k in res.history and v != tcol
+        }
+        core = s.core_cols()
+        took = res.df.select(*core, *shared_hist.values())
+        kept = tagged.df.join(matched, tcol, "left_anti").select(
+            *core, *shared_hist.values()
+        )
+        return Stream(
+            df=took.unionByName(kept), kind=s.kind, dtype=s.dtype, props=False,
+            history=shared_hist,
+            group_cols=[c for c in s.group_cols if c != tcol],
+        )
+
     def _step_and(self, s: Stream, *branches: Sequence[Step]) -> Stream:
         return self._labelled_filter(s, branches, "and")
 

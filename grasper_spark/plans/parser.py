@@ -27,7 +27,7 @@ STEP_NAMES = {
     "inV", "bothV", "values", "label", "key", "properties", "as", "select",
     "aggregate", "cap", "count", "sum", "max", "min", "mean", "group",
     "groupCount", "dedup", "order", "range", "limit", "skip", "union", "path",
-    "repeat", "and", "or", "not",
+    "repeat", "and", "or", "not", "optional",
 }
 
 # steps whose string args are python-reserved in the fluent API
@@ -122,7 +122,7 @@ def _parse_step(tok: str) -> Step:
         return Step("order", (key, asc))
     if name in ("and", "or", "union"):
         return Step(name, tuple(tuple(a) if isinstance(a, tuple) else a for a in raw_args))
-    if name in ("not", "repeat"):
+    if name in ("not", "repeat", "optional"):
         return Step(name, (tuple(raw_args[0]),))
     if name == "where" and len(raw_args) == 1 and isinstance(raw_args[0], tuple):
         # where(subquery) → and(subquery) (/root/reference/core/parser.cpp:1468-1474)

@@ -382,3 +382,13 @@ def test_path_after_barrier_rejected(g):
 
     with pytest.raises(CompileError, match="path"):
         g.V().count().path().df()
+
+
+def test_optional_extension(g):
+    # persons take their out('knows') neighbors if any, else stay
+    got = vals(g.V().hasLabel("person").optional(A.out("knows")).values("name"))
+    # marko → {vadas, josh}; vadas/josh/peter have no knows → themselves
+    assert got == ["josh", "josh", "peter", "vadas", "vadas"]
+    got2 = sorted(r[0] for r in g.query(
+        'g.V().hasLabel("person").optional(out("knows")).values("name")').collect())
+    assert got2 == got
