@@ -318,6 +318,13 @@ def _q_emb_cosine_topk(spark, sf):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def _q_doc_curation(spark, sf):
+    # composite pipeline (SQL-expressible configuration: no near-dup stage)
+    from grasper_spark.functions.curation import curate
+
+    return curate(_docs(spark, sf), min_quality=0.3, languages=("en", "de"))
+
+
 def _q_emb_neardup(spark, sf):
     from grasper_spark.functions.similarity import cosine_neardup_pairs
     from grasper_spark.session import ensure_runtime_confs
@@ -425,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_sig": _q_doc_minhash_sig,
         "doc_simhash": _q_doc_simhash,
         "doc_neardup_jaccard": _q_doc_neardup_jaccard,
+        "doc_curation": _q_doc_curation,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_neardup": _q_emb_neardup,
         "events_window": _q_events_window,
@@ -536,28 +544,54 @@ WHERE round(common / (sa.sz + sb.sz - common), 6) >= {threshold}
 """
 
 
-def _lang_id_oracle() -> str:
+_LANG_CASE = """CASE
+    WHEN v_fr > v_en AND v_fr > v_de AND v_fr > v_es THEN 'fr'
+    WHEN v_es > v_en AND v_es > v_de AND v_es >= v_fr THEN 'es'
+    WHEN v_de > v_en AND v_de >= v_es AND v_de >= v_fr THEN 'de'
+    WHEN v_en > 0 AND v_en >= v_de AND v_en >= v_es AND v_en >= v_fr THEN 'en'
+    ELSE 'unknown'
+  END"""
+
+
+def _votes_cte() -> str:
     v = {
         "en": _lang_votes("'the','and','of','to','in'"),
         "de": _lang_votes("'der','und','die','das','ist'"),
         "es": _lang_votes("'el','la','de','que','los'"),
         "fr": _lang_votes("'le','la','et','les','des'"),
     }
+    return (
+        f"SELECT *, {v['en']} AS v_en, {v['de']} AS v_de, "
+        f"{v['es']} AS v_es, {v['fr']} AS v_fr FROM documents"
+    )
+
+
+def _lang_id_oracle() -> str:
     return f"""
-WITH votes AS (
-  SELECT doc_id, {v['en']} AS v_en, {v['de']} AS v_de,
-         {v['es']} AS v_es, {v['fr']} AS v_fr
-  FROM documents
+WITH votes AS ({_votes_cte()})
+SELECT doc_id, {_LANG_CASE} AS lang_pred FROM votes
+"""
+
+
+def _curation_oracle() -> str:
+    quality = (
+        f"round((0.5 * least({_NTOK} / 50.0, 1.0) + 0.4 * least({_SW_RATIO} * 5.0, 1.0))"
+        f" * (1.0 - 0.3 * least({_PUNCT_RATIO} * 10.0, 1.0)), 6)"
+    )
+    return f"""
+WITH votes AS ({_votes_cte()}),
+scored AS (
+  SELECT doc_id, {_LANG_CASE} AS lang_pred, {quality} AS quality,
+         {_NTOK}::BIGINT AS n_tokens, md5({_NORM}) AS fingerprint
+  FROM votes
+),
+gated AS (
+  SELECT * FROM scored WHERE quality >= 0.3 AND lang_pred IN ('en', 'de')
 )
-SELECT doc_id,
-  CASE
-    WHEN v_fr > v_en AND v_fr > v_de AND v_fr > v_es THEN 'fr'
-    WHEN v_es > v_en AND v_es > v_de AND v_es >= v_fr THEN 'es'
-    WHEN v_de > v_en AND v_de >= v_es AND v_de >= v_fr THEN 'de'
-    WHEN v_en > 0 AND v_en >= v_de AND v_en >= v_es AND v_en >= v_fr THEN 'en'
-    ELSE 'unknown'
-  END AS lang_pred
-FROM votes
+SELECT doc_id, lang_pred, quality, n_tokens, fingerprint FROM (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM gated
+) t WHERE rn = 1
 """
 
 
@@ -698,6 +732,7 @@ FROM documents GROUP BY 1
         "doc_minhash_sig": _minhash_oracle(),
         "doc_simhash": _simhash_oracle(),
         "doc_neardup_jaccard": _jaccard_oracle(),
+        "doc_curation": _curation_oracle(),
         "emb_cosine_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
 scored AS (

@@ -209,3 +209,24 @@ def test_ivf_topk_recall(spark):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(a & e) / len(e)
     assert recall >= 0.9, f"IVF recall too low: {recall}"
+
+
+def test_curation_with_neardup_removal(spark):
+    from grasper_spark.functions.curation import curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs to the house of cards again"),
+            (2, "the quick brown fox jumps over the lazy dog and runs to the house of cards again"),  # exact dup
+            (3, "the quick brown fox jumps over the lazy dog and runs to the house of bricks again"),  # near dup
+            (4, "der hund und die katze ist das"),  # german (passes languages filter)
+            (5, "xy zz qq"),  # unknown lang -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in curate(docs, min_quality=0.0, languages=("en", "de"),
+                                     near_dup_threshold=0.5).collect()}
+    assert 1 in kept          # representative of the dup group
+    assert 2 not in kept      # exact dup removed
+    assert 3 not in kept      # near dup removed (jaccard vs doc 1 >= 0.5)
+    assert 4 in kept and 5 not in kept
