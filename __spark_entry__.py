@@ -334,6 +334,25 @@ def _q_emb_neardup(spark, sf):
     return cosine_neardup_pairs(emb, threshold=0.8)
 
 
+def _q_emb_lsh_topk(spark, sf):
+    # approximate (bucket-dependent) — rows-only check, no oracle
+    from grasper_spark.functions.similarity import lsh_topk
+    from grasper_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64, num_planes=6)
+
+
+def _q_doc_minhash_lsh_pairs(spark, sf):
+    # banded-LSH candidates + jaccard verify — recall is probabilistic,
+    # so rows-only (the exact-jaccard twin doc_neardup_jaccard is the
+    # oracle-checked path)
+    from grasper_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf), threshold=0.2)
+
+
 def _q_events_window(spark, sf):
     from grasper_spark.streaming.windows import windowed_counts_batch
 
@@ -435,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation": _q_doc_curation,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_neardup": _q_emb_neardup,
+        "emb_lsh_topk": _q_emb_lsh_topk,
+        "doc_minhash_lsh_pairs": _q_doc_minhash_lsh_pairs,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "multimodal_features": _q_multimodal_features,

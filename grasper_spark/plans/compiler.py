@@ -78,6 +78,7 @@ class Stream:
     dtype: Optional[str] = None  # scalar spark type name
     props: bool = False  # vertex properties attached
     history: dict[str, str] = field(default_factory=dict)  # as-label -> column
+    hist_dtype: dict[str, str] = field(default_factory=dict)  # as-label -> spark type
     group_cols: list[str] = field(default_factory=list)  # barrier grouping (branch tid)
     sort: list[tuple[str, bool]] = field(default_factory=list)  # (col, asc)
 
@@ -238,6 +239,7 @@ class GremlinCompiler:
     ) -> Stream:
         return Stream(
             df=df, kind=kind, props=False, history=dict(s.history),
+            hist_dtype=dict(s.hist_dtype),
             group_cols=list(s.group_cols), sort=(list(s.sort) if keep_sort else []), **kw,
         )
 
@@ -459,6 +461,9 @@ class GremlinCompiler:
         col = AS + label
         s2 = replace(s, df=s.df.withColumn(col, s.val()), history=dict(s.history))
         s2.history[label] = col
+        # record the captured value's type so select() reports it right
+        s2.hist_dtype = dict(s.hist_dtype)
+        s2.hist_dtype[label] = (s.dtype or "string") if s.kind == "S" else "bigint"
         return s2
 
     def _step_select(self, s: Stream, *labels: str) -> Stream:
@@ -469,7 +474,8 @@ class GremlinCompiler:
         if len(labels) == 1:
             col = F.col(s.history[labels[0]])
             df = s.df.select(*s.hist_cols(), *s.sort_cols(), col.alias(VAL))
-            return self._traversal_result(s, df, "S", keep_sort=True, dtype="long")
+            dt = s.hist_dtype.get(labels[0], "bigint")
+            return self._traversal_result(s, df, "S", keep_sort=True, dtype=dt)
         inner = [
             F.concat(F.lit(f"{lb}:"), F.col(s.history[lb]).cast("string"))
             for lb in labels

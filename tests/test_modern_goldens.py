@@ -392,3 +392,12 @@ def test_optional_extension(g):
     got2 = sorted(r[0] for r in g.query(
         'g.V().hasLabel("person").optional(out("knows")).values("name")').collect())
     assert got2 == got
+
+
+def test_select_scalar_history_type(g):
+    # as() after values() captures a scalar; select must keep its type
+    df = (
+        g.V().hasLabel("person").values("name").as_("n").select("n").df()
+    )
+    assert dict(df.dtypes)["val"] == "string"
+    assert sorted(r[0] for r in df.collect()) == ["josh", "marko", "peter", "vadas"]
