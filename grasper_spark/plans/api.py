@@ -192,6 +192,10 @@ class Traversal:
     def optional(self, branch: "Traversal") -> "Traversal":
         return self._add("optional", _steps_of(branch))
 
+    def choose(self, cond: Any, true_branch: "Traversal", false_branch: "Traversal") -> "Traversal":
+        c = cond if isinstance(cond, Pred) else _steps_of(cond)
+        return self._add("choose", c, _steps_of(true_branch), _steps_of(false_branch))
+
     # -- terminals
     def _compile(self) -> tuple[GremlinCompiler, Stream]:
         assert self._graph is not None, "anonymous traversal cannot execute"

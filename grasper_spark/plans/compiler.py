@@ -792,6 +792,35 @@ class GremlinCompiler:
             group_cols=[c for c in s.group_cols if c != tcol],
         )
 
+    def _step_choose(
+        self, s: Stream, cond: Any, true_branch: Sequence[Step],
+        false_branch: Sequence[Step],
+    ) -> Stream:
+        """choose(pred|subquery, qTrue, qFalse): route each traverser
+        through one branch (extension — not in the reference)."""
+        if isinstance(cond, Pred):
+            c = pred_to_condition(cond, s.val())
+            true_s = replace(s, df=s.df.filter(c))
+            false_s = replace(s, df=s.df.filter(~F.coalesce(c, F.lit(False))))
+        else:  # existence of a sub-traversal
+            tagged, tcol = self._tagged(s)
+            matched = self.compile(list(cond), start=tagged).df.select(tcol).distinct()
+            hist = {k: v for k, v in tagged.history.items() if v != tcol}
+            gcols = [g for g in tagged.group_cols if g != tcol]
+            true_s = replace(
+                tagged, df=tagged.df.join(matched, tcol, "left_semi").drop(tcol),
+                history=hist, group_cols=gcols,
+            )
+            false_s = replace(
+                tagged, df=tagged.df.join(matched, tcol, "left_anti").drop(tcol),
+                history=hist, group_cols=gcols,
+            )
+        outs = [
+            self.compile(list(true_branch), start=true_s),
+            self.compile(list(false_branch), start=false_s),
+        ]
+        return self._align_union(outs)
+
     def _step_optional(self, s: Stream, branch: Sequence[Step]) -> Stream:
         """optional(q): per traverser, the branch results if any, else
         the input traverser unchanged (extension — not in the reference;

@@ -27,7 +27,7 @@ STEP_NAMES = {
     "inV", "bothV", "values", "label", "key", "properties", "as", "select",
     "aggregate", "cap", "count", "sum", "max", "min", "mean", "group",
     "groupCount", "dedup", "order", "range", "limit", "skip", "union", "path",
-    "repeat", "and", "or", "not", "optional",
+    "repeat", "and", "or", "not", "optional", "choose",
 }
 
 # steps whose string args are python-reserved in the fluent API
@@ -124,6 +124,9 @@ def _parse_step(tok: str) -> Step:
         return Step(name, tuple(tuple(a) if isinstance(a, tuple) else a for a in raw_args))
     if name in ("not", "repeat", "optional"):
         return Step(name, (tuple(raw_args[0]),))
+    if name == "choose":
+        cond = raw_args[0] if isinstance(raw_args[0], Pred) else tuple(raw_args[0])
+        return Step("choose", (cond, tuple(raw_args[1]), tuple(raw_args[2])))
     if name == "where" and len(raw_args) == 1 and isinstance(raw_args[0], tuple):
         # where(subquery) → and(subquery) (/root/reference/core/parser.cpp:1468-1474)
         return Step("and", (raw_args[0],))

@@ -401,3 +401,30 @@ def test_select_scalar_history_type(g):
     )
     assert dict(df.dtypes)["val"] == "string"
     assert sorted(r[0] for r in df.collect()) == ["josh", "marko", "peter", "vadas"]
+
+
+def test_choose_pred_extension(g):
+    # ages >30 route to sum() (32+35=67.0); the rest to count() (2)
+    got = sorted(
+        r[0]
+        for r in g.V().hasLabel("person").values("age")
+        .choose(P.gt(30), A.sum_(), A.count())
+        .df().collect()
+    )
+    assert got == [2.0, 67.0]
+
+
+def test_choose_subquery_extension(g):
+    # persons who created something -> names; else -> label
+    got = sorted(r[0] for r in (
+        g.V().hasLabel("person")
+        .choose(A.out("created"), A.values("name"), A.label())
+        .df().collect()))
+    assert got == ["josh", "marko", "person", "peter"]  # vadas -> 'person'
+
+
+def test_choose_string_form(g):
+    got = sorted(r[0] for r in g.query(
+        'g.V().hasLabel("person").choose(out("created"), values("name"), label())'
+    ).collect())
+    assert got == ["josh", "marko", "person", "peter"]
