@@ -82,5 +82,11 @@ def test_bucketed_traversal_no_shuffle(modern, spark):
         # join — the Grasper send_remote hop; both base tables stay put
         assert plan2.count("Exchange hashpartitioning") <= 1, plan2
         assert sorted(r[0] for r in q2.collect()) == [27, 32]
+
+        # in() uses the dst-bucketed orientation — also exchange-free
+        q3 = G(bg).V().has("name", "lop").in_("created").count().df()
+        plan3 = q3._jdf.queryExecution().executedPlan().toString()
+        assert plan3.count("Exchange hashpartitioning") == 0, plan3
+        assert [r[0] for r in q3.collect()] == [3]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
