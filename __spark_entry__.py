@@ -39,9 +39,17 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
         # persist the deterministic projection once per sf (parquet IS the
         # snapshot — the reference reloads from its disk snapshot the same
         # way, storage/mpi_snapshot.hpp); cuts per-session load ~10s → ~1s
+        # cache version = hash of the projection source, so editing
+        # tpch_graph.py auto-invalidates stale snapshots across rounds
+        import hashlib
+
+        import grasper_spark.sources.tpch_graph as _tg
+
+        with open(_tg.__file__, "rb") as fh:
+            ver = hashlib.md5(fh.read()).hexdigest()[:8]
         tag = os.path.basename(sf_dir.rstrip("/"))
         cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".graph_cache", f"v1_{tag}")
+                                 ".graph_cache", f"{ver}_{tag}")
         try:
             if not os.path.isdir(os.path.join(cache_dir, "vertices")):
                 write_parquet(load_tpch_graph(spark, sf_dir), cache_dir)
@@ -400,6 +408,12 @@ def _q_algo_pagerank(spark, sf):
     )
 
 
+def _q_algo_triangles(spark, sf):
+    from grasper_spark.algos import triangle_count
+
+    return triangle_count(_graph(spark, sf).graph)
+
+
 def _q_events_user_stats(spark, sf):
     # batch twin of streaming/stateful.running_user_stats final state
     # (equality tested in tests/test_sinks_stateful.py)
@@ -462,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "algo_bfs": _q_algo_bfs,
         "algo_cc": _q_algo_cc,
         "algo_pagerank": _q_algo_pagerank,
+        "algo_triangles": _q_algo_triangles,
         "events_user_stats": _q_events_user_stats,
     }
 
@@ -855,6 +870,22 @@ UNION ALL
 SELECT (p_partkey + 20000000)::BIGINT AS vid,
        (p_partkey + 20000000)::BIGINT AS component
 FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+""",
+        # canonical a<b undirected edge set from the FK projection, then
+        # the same 3-way triangle join the Spark op performs
+        "algo_triangles": """
+WITH E AS (
+  SELECT least(n_nationkey + 10, n_regionkey)::BIGINT AS a,
+         greatest(n_nationkey + 10, n_regionkey)::BIGINT AS b FROM nation
+  UNION SELECT least(c_custkey + 100, c_nationkey + 10), greatest(c_custkey + 100, c_nationkey + 10) FROM customer
+  UNION SELECT least(s_suppkey + 10000000, s_nationkey + 10), greatest(s_suppkey + 10000000, s_nationkey + 10) FROM supplier
+  UNION SELECT least(o_custkey + 100, o_orderkey + 40000000), greatest(o_custkey + 100, o_orderkey + 40000000) FROM orders
+  UNION SELECT DISTINCT least(l_orderkey + 40000000, l_partkey + 20000000), greatest(l_orderkey + 40000000, l_partkey + 20000000) FROM lineitem
+  UNION SELECT DISTINCT least(l_suppkey + 10000000, l_partkey + 20000000), greatest(l_suppkey + 10000000, l_partkey + 20000000) FROM lineitem
+)
+SELECT count(*)::BIGINT AS n_triangles
+FROM E ab JOIN E bc ON ab.b = bc.a
+          JOIN E ac ON ac.a = ab.a AND ac.b = bc.b
 """,
         "events_user_stats": """
 SELECT user_id, count(*)::BIGINT AS n_events,

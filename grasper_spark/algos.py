@@ -112,6 +112,27 @@ def connected_components(
     return labels
 
 
+def triangle_count(graph: PropertyGraph) -> DataFrame:
+    """Global undirected triangle count — the canonical multi-way graph
+    join. Edges are canonicalized (a<b) then joined twice; each triangle
+    {a<b<c} is produced exactly once. One row, column `n_triangles`.
+
+    Scale: two shuffles on edge endpoints; the second join's build side
+    is the same canonical edge set — bucket it once at deployment."""
+    e = _undirected(graph.edges).distinct()
+    canon = e.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    ab = canon
+    bc = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = canon.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")), "inner")
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def pagerank(
     graph: PropertyGraph,
     iterations: int = 10,

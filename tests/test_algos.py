@@ -52,3 +52,21 @@ def test_pagerank_sums_and_order(modern):
     # lop (3 in-edges) outranks everything; vadas > ripple? both 1 in-edge
     assert ranks[3] == max(ranks.values())
     assert ranks[1] == min(ranks.values()) or ranks[6] == min(ranks.values())
+
+
+def test_triangle_count_modern(modern):
+    from grasper_spark.algos import triangle_count
+
+    # the only undirected triangle in 'modern' is {1 (marko), 3 (lop), 4 (josh)}
+    assert triangle_count(modern).collect()[0]["n_triangles"] == 1
+
+
+def test_triangle_count_constructed(spark):
+    from grasper_spark import PropertyGraph
+    from grasper_spark.algos import triangle_count
+
+    v = spark.createDataFrame([(i, "x") for i in range(1, 6)], "vid long, label string")
+    # K4 on {1,2,3,4} → C(4,3)=4 triangles; vertex 5 isolated
+    edges = [(a, b, "e") for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long, label string")
+    assert triangle_count(PropertyGraph(v, e)).collect()[0]["n_triangles"] == 4
