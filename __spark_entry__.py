@@ -408,6 +408,12 @@ def _q_algo_pagerank(spark, sf):
     )
 
 
+def _q_doc_split(spark, sf):
+    from grasper_spark.functions.sampling import hash_split
+
+    return hash_split(_docs(spark, sf)).select("doc_id", "split")
+
+
 def _q_algo_triangles(spark, sf):
     from grasper_spark.algos import triangle_count
 
@@ -466,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _q_doc_simhash,
         "doc_neardup_jaccard": _q_doc_neardup_jaccard,
         "doc_curation": _q_doc_curation,
+        "doc_split": _q_doc_split,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_neardup": _q_emb_neardup,
         "emb_lsh_topk": _q_emb_lsh_topk,
@@ -769,6 +776,17 @@ FROM documents GROUP BY 1
         "doc_simhash": _simhash_oracle(),
         "doc_neardup_jaccard": _jaccard_oracle(),
         "doc_curation": _curation_oracle(),
+        "doc_split": """
+WITH b AS (
+  SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bk
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN bk >= 9500 THEN 'test'
+       WHEN bk >= 9000 THEN 'val'
+       ELSE 'train' END AS split
+FROM b
+""",
         "emb_cosine_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
 scored AS (

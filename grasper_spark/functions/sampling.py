@@ -1,0 +1,43 @@
+"""Dataset sampling/splitting for training pipelines.
+
+- `hash_split`: deterministic train/val/test assignment from a
+  md5-derived bucket of the id — stable across runs, engines, and
+  cluster sizes (reproducible in DuckDB, oracle-checked).
+- `stratified_sample`: per-stratum fractions via sampleBy (seeded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grasper_spark.functions.text import _md5_int
+
+BUCKETS = 10_000
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Adds a `split` column by hashing the id into 10k buckets and
+    cutting at the cumulative weight boundaries. Deterministic: the
+    same id always lands in the same split, anywhere."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    assert abs(sum(weights.values()) - 1.0) < 1e-9, "weights must sum to 1"
+    bucket = _md5_int(F.col(id_col).cast("string")) % BUCKETS
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    for name, w in weights.items():
+        lo, cum = cum, cum + w
+        cond = (bucket >= int(round(lo * BUCKETS))) & (bucket < int(round(cum * BUCKETS)))
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum sampling (e.g. language-balanced subsets)."""
+    return df.sampleBy(stratum_col, fractions, seed=seed)

@@ -233,11 +233,15 @@ A = _Anon()
 class G:
     """Graph handle: fluent start (V/E) + string queries + commands."""
 
-    def __init__(self, graph: PropertyGraph, seed: int = 42):
+    def __init__(self, graph: PropertyGraph, seed: int = 42, cache_plans: bool = True):
         self.graph = graph
         self._seed = seed
         self._config: dict[str, Any] = {}
         self._indexes: dict[tuple[str, str], bool] = {}
+        # compiled-plan cache: repeated query strings (console, emu
+        # templates with repeated parameters) skip parse+compile+analyze
+        self._cache_plans = cache_plans
+        self._plan_cache: dict[str, DataFrame] = {}
 
     def V(self) -> Traversal:
         return Traversal(self.graph, (Step("V"),), self._seed)
@@ -256,7 +260,12 @@ class G:
             return self._build_index(q)
         if q.startswith("SetConfig"):
             return self._set_config(q)
-        return self.traversal(parse_query(q)).df()
+        if self._cache_plans and q in self._plan_cache:
+            return self._plan_cache[q]
+        df = self.traversal(parse_query(q)).df()
+        if self._cache_plans and len(self._plan_cache) < 4096:
+            self._plan_cache[q] = df
+        return df
 
     def _build_index(self, q: str) -> DataFrame:
         # BuildIndex(V,'key') — the reference builds value→posting-list maps

@@ -230,3 +230,30 @@ def test_curation_with_neardup_removal(spark):
     assert 2 not in kept      # exact dup removed
     assert 3 not in kept      # near dup removed (jaccard vs doc 1 >= 0.5)
     assert 4 in kept and 5 not in kept
+
+
+def test_hash_split_deterministic(spark):
+    from grasper_spark.functions.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert a == b  # fully deterministic
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert c["val"] > 0 and c["test"] > 0
+    assert set(c) == {"train", "val", "test"}
+
+
+def test_stratified_sample(spark):
+    from grasper_spark.functions.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(400)], ["doc_id", "lang"]
+    )
+    out = stratified_sample(df, "lang", {"en": 0.5, "de": 0.1}, seed=7)
+    counts = {r["lang"]: r["cnt"] for r in
+              out.groupBy("lang").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")).collect()}
+    assert counts.get("en", 0) > counts.get("de", 0)
