@@ -1,0 +1,29 @@
+"""Streaming deduplication: drop exact duplicates as documents arrive.
+
+`dropDuplicates` on a fingerprint keyed by content; with a watermark the
+state store evicts fingerprints older than the horizon (bounded state —
+the production requirement for infinite streams). Without an event-time
+column the caller gets global (unbounded-state) dedup, correct for
+bounded backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grasper_spark.functions.text import fingerprint
+
+
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-seen document per normalized-content fingerprint."""
+    out = docs.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    if ts_col is not None:
+        out = out.withWatermark(ts_col, watermark)
+        return out.dropDuplicates(["fingerprint", ts_col])
+    return out.dropDuplicates(["fingerprint"])

@@ -90,3 +90,30 @@ def test_bucketed_traversal_no_shuffle(modern, spark):
         assert [r[0] for r in q3.collect()] == [3]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from grasper_spark.streaming.dedup import dedup_stream
+
+    # stream a parquet dir with duplicate texts
+    src = str(tmp_path / "docs_stream")
+    spark.createDataFrame(
+        [(1, "hello world"), (2, "hello  WORLD"), (3, "different")],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from dedup_out").collect()
+    assert len(rows) == 2  # docs 1+2 share a normalized fingerprint
+    assert {r.doc_id for r in rows} & {1, 2}  # one representative survived
+    assert any(r.doc_id == 3 for r in rows)
