@@ -420,6 +420,22 @@ def _q_algo_triangles(spark, sf):
     return triangle_count(_graph(spark, sf).graph)
 
 
+def _q_events_asof(spark, sf):
+    # enrich each click with the user's most recent purchase value
+    from grasper_spark.functions.asof import as_of_join
+    from grasper_spark.streaming.windows import load_events
+
+    ev = load_events(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("purchase_value"))
+    )
+    out = as_of_join(clicks, purchases, key="user_id", ts="ts", value_cols=["purchase_value"])
+    return out.select("event_id", "user_id", "asof_purchase_value")
+
+
 def _q_events_user_stats(spark, sf):
     # batch twin of streaming/stateful.running_user_stats final state
     # (equality tested in tests/test_sinks_stateful.py)
@@ -485,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "algo_pagerank": _q_algo_pagerank,
         "algo_triangles": _q_algo_triangles,
         "events_user_stats": _q_events_user_stats,
+        "events_asof": _q_events_asof,
     }
 
 
@@ -904,6 +921,17 @@ WITH E AS (
 SELECT count(*)::BIGINT AS n_triangles
 FROM E ab JOIN E bc ON ab.b = bc.a
           JOIN E ac ON ac.a = ab.a AND ac.b = bc.b
+""",
+        "events_asof": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, round(max(value), 4) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, p.purchase_value AS asof_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
 """,
         "events_user_stats": """
 SELECT user_id, count(*)::BIGINT AS n_events,

@@ -257,3 +257,20 @@ def test_stratified_sample(spark):
     counts = {r["lang"]: r["cnt"] for r in
               out.groupBy("lang").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")).collect()}
     assert counts.get("en", 0) > counts.get("de", 0)
+
+
+def test_as_of_join_semantics(spark):
+    from grasper_spark.functions.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 25), (3, 2, 10)], ["event_id", "k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 20, 200.0), (1, 25, 250.0), (2, 50, 999.0)],
+        ["k", "t", "v"],
+    )
+    got = {r.event_id: r.asof_v for r in
+           as_of_join(left, right, key="k", ts="t", value_cols=["v"]).collect()}
+    assert got[1] == 100.0   # latest right at t<=10 is t=5
+    assert got[2] == 250.0   # inclusive: right at t=25 counts
+    assert got[3] is None    # no right row at or before t=10 for k=2
