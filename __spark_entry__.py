@@ -436,6 +436,38 @@ def _q_events_asof(spark, sf):
     return out.select("event_id", "user_id", "asof_purchase_value")
 
 
+def _q_events_pivot(spark, sf):
+    # per-user event-type counts as columns (explicit value list keeps
+    # the schema deterministic)
+    from grasper_spark.streaming.windows import load_events
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        load_events(spark, sf)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, [t for t in types])
+    )
+
+
+def _q_orders_rollup(spark, sf):
+    from grasper_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+            "total",
+        )
+    )
+
+
 def _q_events_user_stats(spark, sf):
     # batch twin of streaming/stateful.running_user_stats final state
     # (equality tested in tests/test_sinks_stateful.py)
@@ -502,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "algo_triangles": _q_algo_triangles,
         "events_user_stats": _q_events_user_stats,
         "events_asof": _q_events_asof,
+        "events_pivot": _q_events_pivot,
+        "orders_rollup": _q_orders_rollup,
     }
 
 
@@ -932,6 +966,21 @@ WITH clicks AS (
 SELECT c.event_id, c.user_id, p.purchase_value AS asof_purchase_value
 FROM clicks c ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+        "events_pivot": """
+SELECT user_id,
+  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+FROM events GROUP BY 1
+""",
+        "orders_rollup": """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
         "events_user_stats": """
 SELECT user_id, count(*)::BIGINT AS n_events,
