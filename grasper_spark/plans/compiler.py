@@ -645,17 +645,28 @@ class GremlinCompiler:
 
     def _step_dedup(self, s: Stream, *labels: str) -> Stream:
         # distinct by current value, or by history-label tuple
-        # (/root/reference/expert/barrier_expert.hpp:502-593)
+        # (/root/reference/expert/barrier_expert.hpp:502-593).
+        # The reference keeps an arbitrary arrival-order survivor; we keep
+        # the content-hash-minimal row instead — same multiset semantics,
+        # but DETERMINISTIC across runs, partitionings, and cluster sizes.
         if labels:
-            cols = [s.history[lb] for lb in labels]
-            return replace(s, df=s.df.dropDuplicates([*s.group_cols, *cols]))
-        if s.kind == "E":
-            keys = [ESRC, EDST]
+            keys = [*s.group_cols, *[s.history[lb] for lb in labels]]
+        elif s.kind == "E":
+            keys = [*s.group_cols, ESRC, EDST]
         elif s.kind == "V":
-            keys = [VCOL]
+            keys = [*s.group_cols, VCOL]
         else:
-            keys = [VAL]
-        return replace(s, df=s.df.dropDuplicates([*s.group_cols, *keys]))
+            keys = [*s.group_cols, VAL]
+        others = [c for c in s.df.columns if c not in keys]
+        if not others:
+            return replace(s, df=s.df.dropDuplicates(keys))
+        w = Window.partitionBy(*keys).orderBy(F.xxhash64(*[F.col(c) for c in others]))
+        df = (
+            s.df.withColumn("_dd", F.row_number().over(w))
+            .filter(F.col("_dd") == 1)
+            .drop("_dd")
+        )
+        return replace(s, df=df)
 
     def _step_order(self, s: Stream, key: Optional[str] = None, asc: bool = True) -> Stream:
         # global sort; keyed order drops elements missing the key
