@@ -477,7 +477,10 @@ class GremlinCompiler:
             dt = s.hist_dtype.get(labels[0], "bigint")
             return self._traversal_result(s, df, "S", keep_sort=True, dtype=dt)
         inner = [
-            F.concat(F.lit(f"{lb}:"), F.col(s.history[lb]).cast("string"))
+            F.concat(
+                F.lit(f"{lb}:"),
+                _fmt_value(F.col(s.history[lb]), s.hist_dtype.get(lb, "bigint")),
+            )
             for lb in labels
         ]
         val = F.concat(F.lit("["), F.concat_ws(", ", *inner), F.lit("]"))

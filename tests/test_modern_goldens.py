@@ -428,3 +428,12 @@ def test_choose_string_form(g):
         'g.V().hasLabel("person").choose(out("created"), values("name"), label())'
     ).collect())
     assert got == ["josh", "marko", "person", "peter"]
+
+
+def test_select_multi_double_format(g):
+    # DebugString parity for doubles captured in history
+    got = vals(
+        g.E().has("weight", P.eq(0.5)).values("weight").as_("w")
+        .select("w", "w")
+    )
+    assert got == ["[w:0.500000, w:0.500000]"]
