@@ -98,18 +98,24 @@ def extract_features(media: DataFrame) -> DataFrame:
                 n_bytes.append(len(arr))
                 byte_sum.append(int(arr.sum()))
                 first.append(int(arr[0]) if len(arr) else -1)
-            n, s = pd.Series(n_bytes), pd.Series(byte_sum)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
-                    "n_bytes": n.astype("int32"),
-                    "byte_sum": s.astype("int64"),
-                    "byte_mean": (s / n.clip(lower=1)).round(6),
+                    "n_bytes": pd.Series(n_bytes).astype("int32"),
+                    "byte_sum": pd.Series(byte_sum).astype("int64"),
                     "first_byte": pd.Series(first).astype("int32"),
                 }
             )
 
-    return media.mapInPandas(fn, FEATURE_SCHEMA)
+    raw_schema = T.StructType([f for f in FEATURE_SCHEMA if f.name != "byte_mean"])
+    out = media.mapInPandas(fn, raw_schema)
+    # derive the mean JVM-side: F.round is HALF_UP like the SQL oracles;
+    # pandas .round is banker's and diverges on exact .5 ties (which
+    # power-of-two byte counts produce)
+    return out.withColumn(
+        "byte_mean",
+        F.round(F.col("byte_sum") / F.greatest(F.col("n_bytes"), F.lit(1)), 6),
+    ).select([f.name for f in FEATURE_SCHEMA])
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
