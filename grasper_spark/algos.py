@@ -140,7 +140,12 @@ def pagerank(
     checkpoint_every: int = 5,
 ) -> DataFrame:
     """(vid, rank) after `iterations` power steps; ranks sum to ~|V|.
-    Dangling mass is redistributed uniformly each step."""
+    Dangling mass is redistributed uniformly each step.
+
+    The dangling-mass scalar stays IN the plan: a 1-row aggregate
+    broadcast-crossJoined into the rank update, so each iteration is one
+    Spark job with no driver round-trip (the |V| count is the only
+    driver-side scalar, computed once)."""
     v = graph.vertices.select("vid")
     n = v.count()
     out_deg = graph.edges.groupBy(F.col("src").alias("vid")).agg(
@@ -160,17 +165,19 @@ def pagerank(
             .agg(F.sum("c").alias("in_sum"))
         )
         dangling = (
-            ranks.join(out_deg, "vid", "left_anti").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+            ranks.join(out_deg, "vid", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         ranks = (
             v.join(contribs, "vid", "left")
             .na.fill({"in_sum": 0.0})
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "vid",
                 (
                     F.lit(1 - damping)
-                    + F.lit(damping) * (F.col("in_sum") + F.lit(dangling / n))
+                    + F.lit(damping)
+                    * (F.col("in_sum") + F.col("_dang") / F.lit(float(n)))
                 ).alias("rank"),
             )
         )

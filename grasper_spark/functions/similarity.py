@@ -73,11 +73,14 @@ def _plane(dim: int, j: int) -> list[float]:
     return out
 
 
-def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
-    """Sign-pattern bucket id from `num_planes` fixed hyperplanes."""
+def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, plane_offset: int = 0) -> Column:
+    """Sign-pattern bucket id from `num_planes` fixed hyperplanes.
+
+    `plane_offset` selects a disjoint plane family — banded LSH uses
+    offset b*planes_per_band for band b so bands are independent."""
     bucket = F.lit(0)
     for j in range(num_planes):
-        plane = _plane(dim, j)
+        plane = _plane(dim, plane_offset + j)
         dot = F.aggregate(
             F.zip_with(
                 vec,
@@ -105,6 +108,51 @@ def cosine_neardup_pairs(
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def lsh_neardup_pairs(
+    corpus: DataFrame, threshold: float = 0.4, dim: int = 64,
+    num_planes: int = 16, bands: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: banded hyperplane-LSH
+    candidates verified by exact cosine (id_a < id_b, sim ≥ threshold).
+
+    `num_planes` planes split into `bands` bands; a pair is a candidate
+    iff it collides in ≥1 band. Candidate mass ~ Σ_band Σ_bucket n_b² —
+    bucketed, never all-pairs (the fix for cosine_neardup_pairs'
+    O(n²) join). Recall per pair = 1-(1-(1-θ/π)^ppb)^bands, tunable:
+    more planes/band → fewer candidates, lower recall. Verification is
+    exact, so precision is 1.0 vs the threshold."""
+    ppb = num_planes // bands
+    assert ppb * bands == num_planes, "num_planes must divide evenly into bands"
+    buckets = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    lsh_bucket(F.col(vec_col), dim, ppb, plane_offset=b * ppb).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")), "inner")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 

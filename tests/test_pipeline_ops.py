@@ -103,6 +103,30 @@ def test_lsh_topk_bucket_recall(spark):
     assert neighbors == {1, 2, 3, 4}  # only the same-direction cluster
 
 
+def test_lsh_neardup_matches_exact_on_candidates(spark):
+    # LSH near-dup = subset of the exact all-pairs result (precision 1.0
+    # vs threshold), and recall ≥ 50% on clustered data; plan has no
+    # cartesian product (the scale fix for cosine_neardup_pairs)
+    from grasper_spark.functions.similarity import (
+        cosine_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    rows = [(i, [1.0 + 0.02 * i] + [0.1 * (i % 3)] * 63) for i in range(8)]
+    rows += [(100 + i, [-1.0 - 0.02 * i] + [-0.1 * (i % 3)] * 63) for i in range(8)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r.id_a, r.id_b): r.sim
+             for r in cosine_neardup_pairs(vecs, threshold=0.9).collect()}
+    approx = {(r.id_a, r.id_b): r.sim
+              for r in lsh_neardup_pairs(vecs, threshold=0.9, dim=64).collect()}
+    assert set(approx) <= set(exact)
+    assert len(approx) >= 0.5 * len(exact) > 0
+    for k, v in approx.items():
+        assert v == exact[k]
+    plan = lsh_neardup_pairs(vecs, threshold=0.9, dim=64)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_lang_id_stopword_votes(spark):
     from grasper_spark.functions.text import lang_id
 
