@@ -21,14 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     # graph engine (reference Q-template shapes, paper Table 4)
-    "g_v_count",
-    "g_e_count",
+    "g_v_e_count",
     "g_q3_max",
     "g_q4_dedup_count",
     "g_where_neq",
     "g_aggregate_without",
     "g_and",
-    "g_not",
+    "g_filter_counts",
     "g_union",
     "g_order_limit",
     "g_groupcount_rel",

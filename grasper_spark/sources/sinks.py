@@ -78,6 +78,52 @@ def read_bucketed(spark, table_prefix: str, name: str = "graph") -> BucketedProp
     )
 
 
+_BUCKET_SPECS = [("_v", "v", "vid"), ("_e_src", "e_src", "src"), ("_e_dst", "e_dst", "dst")]
+
+
+def write_bucketed_external(
+    graph: PropertyGraph, table_prefix: str, base_dir: str, buckets: int = 16
+) -> None:
+    """Persist V + both E orientations as EXTERNAL bucketed tables under
+    `base_dir` — the deployment shape: data outlives any one session and
+    re-attaches via :func:`attach_bucketed_external`."""
+    spark = graph.spark
+    for suffix, sub, key in _BUCKET_SPECS:
+        table = f"{table_prefix}{suffix}"
+        path = os.path.join(base_dir, sub)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        df = graph.vertices if key == "vid" else graph.edges
+        (
+            df.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .saveAsTable(table)
+        )
+
+
+def attach_bucketed_external(
+    spark, table_prefix: str, base_dir: str, buckets: int = 16, name: str = "graph"
+) -> BucketedPropertyGraph:
+    """Register existing bucketed parquet dirs in THIS session's catalog
+    (in-memory catalogs don't survive session restarts) and return the
+    bucketed graph. Traversal joins on vid/src/dst then skip the build-
+    side Exchange entirely (zero-exchange when both sides are bucketed)."""
+    for suffix, sub, key in _BUCKET_SPECS:
+        table = f"{table_prefix}{suffix}"
+        path = os.path.join(base_dir, sub)
+        if spark.catalog.tableExists(table):
+            continue
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    return read_bucketed(spark, table_prefix, name=name)
+
+
 def write_grasper_text(graph: PropertyGraph, out_dir: str) -> None:
     """Write the reference's native text format (inverse of
     sources/grasper_text.py) — proves data-model round-trip parity.
