@@ -95,11 +95,6 @@ def run_emu(
     latencies: list[float] = []
     per_template: dict[int, int] = {i: 0 for i in range(len(templates))}
 
-    def one(q: str) -> float:
-        t0 = time.perf_counter()
-        g.query(q).collect()
-        return (time.perf_counter() - t0) * 1000
-
     def render(i: int) -> str:
         # template quoting mirrors the reference examples: "$RAND" is
         # already quoted for strings; bare $RAND takes the value verbatim
@@ -110,14 +105,31 @@ def run_emu(
         sub = str(val) if isinstance(val, (int, float)) else f'"{val}"'
         return _RAND.sub(sub, tq)
 
+    # bounded in-flight futures (semaphore = `parallel`), mirroring the
+    # reference's bounded client: the seconds check applies to actual
+    # progress, and latencies measure query execution, not queue wait
+    import threading
+
+    slots = threading.Semaphore(max(1, parallel))
+
+    def one_bounded(q: str) -> float:
+        try:
+            t0 = time.perf_counter()
+            g.query(q).collect()
+            return (time.perf_counter() - t0) * 1000
+        finally:
+            slots.release()
+
     start = time.perf_counter()
     with ThreadPoolExecutor(max_workers=max(1, parallel)) as ex:
         futures = []
         fired = 0
         while fired < max_queries and (time.perf_counter() - start) < seconds:
+            if not slots.acquire(timeout=max(0.01, seconds - (time.perf_counter() - start))):
+                continue  # all slots busy past the deadline — recheck
             i = rng.choices(range(len(templates)), weights=weights)[0]
             per_template[i] += 1
-            futures.append(ex.submit(one, render(i)))
+            futures.append(ex.submit(one_bounded, render(i)))
             fired += 1
         for f in futures:
             latencies.append(f.result())

@@ -181,6 +181,12 @@ def minhash_lsh_pairs(
     return _verify_jaccard(df, cand, text_col, id_col, shingle_n, threshold)
 
 
+# last call's persisted shingle relation — unpersisted on the next call
+# so repeated invocations (bench best-of-2, curation passes) don't
+# accumulate executor storage; at most one relation stays cached.
+_SH_PERSISTED: list[DataFrame] = []
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.5, max_shingle_df: int = 10000,
@@ -188,7 +194,13 @@ def ngram_jaccard_pairs(
     """Exact Jaccard near-dup pairs via inverted-index join (no cross
     join; `max_shingle_df` drops degenerate hot shingles to bound skew)."""
     sh = _exploded_shingles(df, text_col, id_col, shingle_n)
-    sh.persist()  # reused 3× below (both join sides + sizes)
+    # persist the raw shingle relation: the hot-shingle aggregate reads
+    # it once, and the anti-joined consumers below (both join sides +
+    # sizes) re-traverse it without recomputing the window shingling
+    sh.persist()
+    while _SH_PERSISTED:
+        _SH_PERSISTED.pop().unpersist()
+    _SH_PERSISTED.append(sh)
     hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
         F.col("df_cnt") > max_shingle_df
     ).select("sh")

@@ -508,10 +508,14 @@ class GremlinCompiler:
 
     def _where_side_effect(self, s: Stream, pred: Pred) -> Stream:
         # membership vs aggregate('x') store — semi/anti join
-        # (/root/reference/expert/where_expert.hpp:61-81,158-198)
+        # (/root/reference/expert/where_expert.hpp:61-81,158-198).
+        # No broadcast hint: a forced hint is honored until it OOMs, and
+        # an aggregate('x') over a large stream would kill executors at
+        # scale. AQE broadcasts small stores from runtime stats anyway
+        # and falls back to a shuffle join for large ones.
         df = s.df.withColumn("_wv", s.val())
         for name in pred.args:
-            se = F.broadcast(self.side_effects[name].select(F.col("seval").alias("_wv")).distinct())
+            se = self.side_effects[name].select(F.col("seval").alias("_wv")).distinct()
             how = "left_semi" if pred.op == "within" else "left_anti"
             df = df.join(se, "_wv", how)
         return replace(s, df=df.drop("_wv"))
@@ -719,10 +723,24 @@ class GremlinCompiler:
 
     # ---------- branches ----------
 
+    _NUM_DTYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+
     def _align_union(self, streams: list[Stream]) -> Stream:
         kinds = {st.kind for st in streams}
         assert len(kinds) == 1, f"union branches must share output type: {kinds}"
         kind = kinds.pop()
+        if kind == "S":
+            # io_type parity: the reference parser rejects ill-typed branch
+            # merges at plan time (core/parser.cpp:161-215); numeric widths
+            # may mix (Spark coerces), numeric-vs-string may not.
+            classes = {
+                "num" if st.dtype.startswith(self._NUM_DTYPES) else st.dtype
+                for st in streams
+                if st.dtype is not None
+            }
+            assert len(classes) <= 1, (
+                f"union branches must share scalar dtype, got {classes}"
+            )
         shared_hist = set.intersection(*[set(st.history) for st in streams])
         hist = {lb: streams[0].history[lb] for lb in shared_hist}
         core = streams[0].core_cols() if kind != "E" else [ESRC, EDST, ELAB] + [
@@ -764,11 +782,22 @@ class GremlinCompiler:
         Tid columns STACK for nested labelled branches (e.g. the
         where(not(…))→and([not(…)]) rewrite): each nesting level gets
         its own _tidK keyed to its own input traversers; the inner
-        level's hash covers the outer tids via the history columns."""
+        level's hash covers the outer tids via the history columns.
+
+        The tid is a STRUCT of two independently-salted 64-bit hashes —
+        128 effective bits, so the birthday bound sits at ~2^64 distinct
+        traversers (a single 64-bit hash becomes collision-prone past
+        ~10^9, reachable in a large labelled branch at cluster scale)."""
         k = sum(1 for c in s.df.columns if c.startswith(TID))
         tcol = f"{TID}{k}"
         cols = [s.val(), *[F.col(c) for c in s.hist_cols()]]
-        df = s.df.withColumn(tcol, F.xxhash64(*cols))
+        df = s.df.withColumn(
+            tcol,
+            F.struct(
+                F.xxhash64(*cols).alias("h1"),
+                F.xxhash64(F.lit(1), *cols).alias("h2"),
+            ),
+        )
         s2 = replace(s, df=df, history=dict(s.history), group_cols=list(s.group_cols))
         s2.history[tcol] = tcol
         s2.group_cols = s2.group_cols + [tcol]

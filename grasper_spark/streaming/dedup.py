@@ -21,9 +21,15 @@ def dedup_stream(
     ts_col: str | None = None,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """First-seen document per normalized-content fingerprint."""
+    """First-seen document per normalized-content fingerprint.
+
+    With `ts_col`, dedup is on the fingerprint ALONE within the
+    watermark horizon (dropDuplicatesWithinWatermark) — duplicates with
+    different event times still collapse, and state is evicted past the
+    horizon. Without `ts_col`: global fingerprint dedup, unbounded
+    state (bounded backfills only)."""
     out = docs.withColumn("fingerprint", fingerprint(F.col(text_col)))
     if ts_col is not None:
         out = out.withWatermark(ts_col, watermark)
-        return out.dropDuplicates(["fingerprint", ts_col])
+        return out.dropDuplicatesWithinWatermark(["fingerprint"])
     return out.dropDuplicates(["fingerprint"])

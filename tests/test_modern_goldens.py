@@ -363,6 +363,20 @@ def test_ill_typed_chain_raises_compile_error(g):
         g.V().select("nosuchlabel").df()
 
 
+def test_union_branch_dtype_mismatch_raises_compile_error(g):
+    import pytest
+
+    from grasper_spark.plans.api import A
+    from grasper_spark.plans.compiler import CompileError
+
+    # numeric vs string scalar branches — plan-time rejection (io_type
+    # parity) instead of a deep Spark unionByName analysis error
+    with pytest.raises(CompileError, match="dtype"):
+        g.V().union(A.values("age"), A.values("name")).df()
+    # numeric widths may mix (Spark coerces int/double)
+    g.V().union(A.values("age"), A.values("age")).df()
+
+
 def test_path_extension(g):
     # parity-plus: path() records each traverser location
     got = vals(g.V().has("name", "marko").out("knows").path())

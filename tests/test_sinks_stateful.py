@@ -117,3 +117,36 @@ def test_streaming_dedup(spark, tmp_path):
     assert len(rows) == 2  # docs 1+2 share a normalized fingerprint
     assert {r.doc_id for r in rows} & {1, 2}  # one representative survived
     assert any(r.doc_id == 3 for r in rows)
+
+
+def test_streaming_dedup_with_watermark_collapses_across_ts(spark, tmp_path):
+    # same content at DIFFERENT event times must still collapse to one
+    # survivor (fingerprint-only dedup within the watermark horizon)
+    import datetime
+
+    from grasper_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "docs_stream_ts")
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [
+            (1, "hello world", t0),
+            (2, "hello  WORLD", t0 + datetime.timedelta(minutes=5)),
+            (3, "different", t0 + datetime.timedelta(minutes=10)),
+        ],
+        "doc_id long, text string, ts timestamp",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    q = (
+        dedup_stream(stream, ts_col="ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_ts_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from dedup_ts_out").collect()
+    assert len(rows) == 2
+    assert {r.doc_id for r in rows} & {1, 2}
+    assert any(r.doc_id == 3 for r in rows)
