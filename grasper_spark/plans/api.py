@@ -41,13 +41,22 @@ def _steps_of(x: Any) -> tuple[Step, ...]:
 
 
 class Traversal:
-    def __init__(self, graph: Optional[PropertyGraph], steps: tuple[Step, ...] = (), seed: int = 42):
+    def __init__(
+        self,
+        graph: Optional[PropertyGraph],
+        steps: tuple[Step, ...] = (),
+        seed: int = 42,
+        ctx: Optional["G"] = None,
+    ):
         self._graph = graph
         self._steps = steps
         self._seed = seed
+        self._ctx = ctx  # owning G handle: index store + runtime config
 
     def _add(self, name: str, *args: Any) -> "Traversal":
-        return Traversal(self._graph, self._steps + (Step(name, args),), self._seed)
+        return Traversal(
+            self._graph, self._steps + (Step(name, args),), self._seed, self._ctx
+        )
 
     # -- filters
     def has(self, key: str, pred: Any = None) -> "Traversal":
@@ -199,7 +208,12 @@ class Traversal:
     # -- terminals
     def _compile(self) -> tuple[GremlinCompiler, Stream]:
         assert self._graph is not None, "anonymous traversal cannot execute"
-        c = GremlinCompiler(self._graph, seed=self._seed)
+        c = GremlinCompiler(
+            self._graph,
+            seed=self._seed,
+            index_store=self._ctx._index_store if self._ctx is not None else None,
+            config=self._ctx._config if self._ctx is not None else None,
+        )
         return c, c.compile(list(self._steps))
 
     def df(self) -> DataFrame:
@@ -233,24 +247,38 @@ A = _Anon()
 class G:
     """Graph handle: fluent start (V/E) + string queries + commands."""
 
+    #: SetConfig keys with wired behavior; the rest of the reference's
+    #: keys (core_bind, expert_division, stealing — thread/NUMA knobs,
+    #: /root/reference/expert/config_expert.hpp:38-69) are N/A under
+    #: Spark's scheduler and accepted as inert.
+    WIRED_CONFIG = ("caching", "indexing", "seed")
+
     def __init__(self, graph: PropertyGraph, seed: int = 42, cache_plans: bool = True):
         self.graph = graph
         self._seed = seed
         self._config: dict[str, Any] = {}
-        self._indexes: dict[tuple[str, str], bool] = {}
+        from grasper_spark.plans.index_store import IndexStore
+
+        self._index_store = IndexStore()
         # compiled-plan cache: repeated query strings (console, emu
         # templates with repeated parameters) skip parse+compile+analyze
         self._cache_plans = cache_plans
         self._plan_cache: dict[str, DataFrame] = {}
 
     def V(self) -> Traversal:
-        return Traversal(self.graph, (Step("V"),), self._seed)
+        return Traversal(self.graph, (Step("V"),), self._seed, ctx=self)
 
     def E(self) -> Traversal:
-        return Traversal(self.graph, (Step("E"),), self._seed)
+        return Traversal(self.graph, (Step("E"),), self._seed, ctx=self)
 
     def traversal(self, steps: list[Step]) -> Traversal:
-        return Traversal(self.graph, tuple(steps), self._seed)
+        return Traversal(self.graph, tuple(steps), self._seed, ctx=self)
+
+    def _caching_on(self) -> bool:
+        return (
+            self._cache_plans
+            and str(self._config.get("caching", "true")).lower() != "false"
+        )
 
     def query(self, query: str) -> DataFrame:
         """Execute a Gremlin query string / BuildIndex / SetConfig command
@@ -260,28 +288,36 @@ class G:
             return self._build_index(q)
         if q.startswith("SetConfig"):
             return self._set_config(q)
-        if self._cache_plans and q in self._plan_cache:
+        if self._caching_on() and q in self._plan_cache:
             return self._plan_cache[q]
         df = self.traversal(parse_query(q)).df()
-        if self._cache_plans and len(self._plan_cache) < 4096:
+        if self._caching_on() and len(self._plan_cache) < 4096:
             self._plan_cache[q] = df
         return df
 
     def _build_index(self, q: str) -> DataFrame:
-        # BuildIndex(V,'key') — the reference builds value→posting-list maps
-        # (/root/reference/expert/index_expert.hpp:83-144). Parquet predicate
-        # pushdown + cached V/E already cover the scan-conversion win
-        # (SURVEY.md §4.1), so this registers + caches the side, and reports.
+        # BuildIndex(V,'key') — value→posting-list maps with a
+        # selectivity-gated scan conversion at compile time
+        # (/root/reference/expert/index_expert.hpp:83-144; gate
+        # /root/reference/core/index_store.hpp:17). Disabled indexing
+        # (SetConfig('indexing','false')) rejects the build like the
+        # reference's SetIndexMap returning false.
+        spark = self.graph.spark
         inner = q[q.index("(") + 1 : q.rindex(")")]
         target, key = [x.strip().strip("'\"") for x in inner.split(",")]
-        self._indexes[(target, key)] = True
-        df = self.graph.vertices if target == "V" else self.graph.edges
-        df.cache()
-        spark = self.graph.spark
+        if str(self._config.get("indexing", "true")).lower() == "false":
+            return spark.createDataFrame([("Index is disabled",)], ["val"])
+        self._index_store.build(self.graph, target, key)
+        self._plan_cache.clear()  # cached plans predate the index
         return spark.createDataFrame([("Index is enabled",)], ["val"])
 
     def _set_config(self, q: str) -> DataFrame:
         inner = q[q.index("(") + 1 : q.rindex(")")]
         k, v = [x.strip().strip("'\"") for x in inner.split(",")]
         self._config[k] = v
+        if k == "seed":
+            self._seed = int(v)
+        # cached plans bake in the previous config (index conversion,
+        # coin seed) — invalidate on every change
+        self._plan_cache.clear()
         return self.graph.spark.createDataFrame([("Config modified",)], ["val"])

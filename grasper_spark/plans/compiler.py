@@ -117,9 +117,18 @@ def _fmt_value(col: Column, dtype: str) -> Column:
 class GremlinCompiler:
     """Compile a Step list against a PropertyGraph into a DataFrame plan."""
 
-    def __init__(self, graph: PropertyGraph, seed: int = 42):
+    def __init__(
+        self,
+        graph: PropertyGraph,
+        seed: int = 42,
+        index_store: Optional[Any] = None,
+        config: Optional[dict] = None,
+    ):
         self.g = graph
         self.seed = seed
+        self.index_store = index_store
+        self.config = config or {}
+        self.index_hits = 0  # scans converted to index lookups (observable)
         self.side_effects: dict[str, DataFrame] = {}
         self._v_renamed: Optional[DataFrame] = None
         self._e_renamed: Optional[DataFrame] = None
@@ -154,7 +163,12 @@ class GremlinCompiler:
             # path(), SURVEY.md §2.7)
             self._path_mode = True
             self._path_n = 0
+        steps = list(steps)
         s = start
+        # no conversion in path mode: stripping V()+has() would drop the
+        # initial location from the recorded path (observable output)
+        if start is None and not getattr(self, "_path_mode", False):
+            steps, s = self._try_index_scan(steps)
         for step in steps:
             s = self._apply(s, step)
             if (
@@ -164,6 +178,48 @@ class GremlinCompiler:
             ):
                 s = self._record_path(s)
         return s
+
+    def _try_index_scan(
+        self, steps: list[Step]
+    ) -> tuple[list[Step], Optional[Stream]]:
+        """Index-scan conversion (/root/reference/core/parser.cpp:991-1081):
+        a `has(key, pred)` / `hasLabel(...)` in the leading filter run
+        after `V()`/`E()` becomes a posting-list lookup when its match
+        count clears the selectivity gate (count < ratio·total,
+        /root/reference/core/index_store.hpp:17); among several eligible
+        filters the most selective converts (min_count logic) and the
+        rest stay as filters over the looked-up stream."""
+        if (
+            self.index_store is None
+            or str(self.config.get("indexing", "true")).lower() == "false"
+            or not steps
+            or steps[0].name not in ("V", "E")
+        ):
+            return steps, None
+        element = steps[0].name
+        best: Optional[tuple[int, int, str, Optional[Pred]]] = None
+        for i, st in enumerate(steps[1:], start=1):
+            if st.name == "has" and len(st.args) >= 1:
+                key = st.args[0]
+                pred = st.args[1] if len(st.args) > 1 else None
+            elif st.name == "hasLabel":
+                key, pred = "label", P.within(*st.args)
+            else:
+                break  # only the leading consecutive filter run converts
+            if isinstance(pred, Pred) and pred.op in ("within", "without") and not all(
+                isinstance(a, (int, float, str)) for a in pred.args
+            ):
+                continue  # history-label membership — not an index probe
+            count = self.index_store.eligible(element, key, pred)
+            if count is not None and (best is None or count < best[0]):
+                best = (count, i, key, pred)
+        if best is None:
+            return steps, None
+        _, i, key, pred = best
+        self.index_hits += 1
+        df = self.index_store.lookup(element, key, pred)
+        stream = Stream(df=df, kind=element, props=False)
+        return steps[1:i] + steps[i + 1:], stream
 
     def _record_path(self, s: Stream) -> Stream:
         col = f"_pp{self._path_n}"

@@ -348,6 +348,70 @@ def test_set_config_command(g):
     assert g.query("SetConfig('caching', 'true')").collect()[0][0] == "Config modified"
 
 
+def test_build_index_converts_point_lookup(modern):
+    from grasper_spark import G
+
+    gi = G(modern)
+    assert gi.query("BuildIndex(V, 'name')").collect()[0][0] == "Index is enabled"
+    # point has() right after V(): 1/6 elements match < ratio 0.2 → the
+    # scan converts to a posting-list lookup (parser.cpp:991-1081)
+    t = gi.V().has("name", "marko").out("knows").values("age")
+    c, stream = t._compile()
+    assert c.index_hits == 1
+    df = c.result_df(stream)
+    assert sorted(r[0] for r in df.collect()) == [27, 32]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # reads the cached posting relation
+    # non-selective predicate (6/6 match ≥ ratio 0.2) keeps the full scan
+    c2, _ = gi.V().has("name", P.neq("zzz")).count()._compile()
+    assert c2.index_hits == 0
+    # filters NOT in the leading run don't convert
+    c3, s3 = gi.V().out("knows").has("name", "vadas")._compile()
+    assert c3.index_hits == 0
+    assert sorted(r[0] for r in c3.result_df(s3).collect()) == [2]
+    # path mode never converts (the initial location must be recorded)
+    c4, s4 = gi.V().has("name", "marko").out("knows").path()._compile()
+    assert c4.index_hits == 0
+    assert sorted(r[0] for r in c4.result_df(s4).collect()) == ["[1, 2]", "[1, 4]"]
+
+
+def test_build_index_respects_indexing_config(modern):
+    from grasper_spark import G
+
+    gi = G(modern)
+    gi.query("SetConfig('indexing', 'false')")
+    assert gi.query("BuildIndex(V, 'name')").collect()[0][0] == "Index is disabled"
+    gi.query("SetConfig('indexing', 'true')")
+    assert gi.query("BuildIndex(V, 'name')").collect()[0][0] == "Index is enabled"
+    c, _ = gi.V().has("name", "marko").count()._compile()
+    assert c.index_hits == 1
+    # disabling indexing after the build observably stops conversion
+    gi.query("SetConfig('indexing', 'false')")
+    c2, s2 = gi.V().has("name", "marko").count()._compile()
+    assert c2.index_hits == 0
+    assert [r[0] for r in c2.result_df(s2).collect()] == [1]
+
+
+def test_set_config_caching_observable(modern):
+    from grasper_spark import G
+
+    gi = G(modern)
+    q = "g.V().count()"
+    assert gi.query(q) is gi.query(q)  # plan cache hit
+    gi.query("SetConfig('caching', 'false')")
+    assert gi.query(q) is not gi.query(q)  # observably disabled
+    gi.query("SetConfig('caching', 'true')")
+    assert gi.query(q) is gi.query(q)
+
+
+def test_set_config_seed_rewires_coin(modern):
+    from grasper_spark import G
+
+    gi = G(modern)
+    gi.query("SetConfig('seed', '7')")
+    assert gi.V()._seed == 7
+
+
 def test_ill_typed_chain_raises_compile_error(g):
     import pytest
 
