@@ -163,7 +163,7 @@ class GremlinCompiler:
             # path(), SURVEY.md §2.7)
             self._path_mode = True
             self._path_n = 0
-        steps = list(steps)
+        steps = self._fuse_dedup_count(list(steps))
         s = start
         # no conversion in path mode: stripping V()+has() would drop the
         # initial location from the recorded path (observable output)
@@ -178,6 +178,28 @@ class GremlinCompiler:
             ):
                 s = self._record_path(s)
         return s
+
+    @staticmethod
+    def _fuse_dedup_count(steps: list[Step]) -> list[Step]:
+        """Peephole: dedup().count() ≡ count-distinct. The dedup survivor
+        row is unobservable under count(), so the deterministic-survivor
+        window (wide shuffle + per-partition sort) is wasted work —
+        fuse into select(keys).distinct().count(), which gets map-side
+        partial aggregation and shuffles only the key columns."""
+        out: list[Step] = []
+        i = 0
+        while i < len(steps):
+            if (
+                steps[i].name == "dedup"
+                and i + 1 < len(steps)
+                and steps[i + 1].name == "count"
+            ):
+                out.append(Step("dedupCount", steps[i].args))
+                i += 2
+            else:
+                out.append(steps[i])
+                i += 1
+        return out
 
     def _try_index_scan(
         self, steps: list[Step]
@@ -712,14 +734,7 @@ class GremlinCompiler:
         # The reference keeps an arbitrary arrival-order survivor; we keep
         # the content-hash-minimal row instead — same multiset semantics,
         # but DETERMINISTIC across runs, partitionings, and cluster sizes.
-        if labels:
-            keys = [*s.group_cols, *[s.history[lb] for lb in labels]]
-        elif s.kind == "E":
-            keys = [*s.group_cols, ESRC, EDST]
-        elif s.kind == "V":
-            keys = [*s.group_cols, VCOL]
-        else:
-            keys = [*s.group_cols, VAL]
+        keys = self._dedup_keys(s, labels)
         others = [c for c in s.df.columns if c not in keys]
         if not others:
             return replace(s, df=s.df.dropDuplicates(keys))
@@ -730,6 +745,21 @@ class GremlinCompiler:
             .drop("_dd")
         )
         return replace(s, df=df)
+
+    def _dedup_keys(self, s: Stream, labels: tuple[str, ...]) -> list[str]:
+        if labels:
+            return [*s.group_cols, *[s.history[lb] for lb in labels]]
+        if s.kind == "E":
+            return [*s.group_cols, ESRC, EDST]
+        if s.kind == "V":
+            return [*s.group_cols, VCOL]
+        return [*s.group_cols, VAL]
+
+    def _step_dedupCount(self, s: Stream, *labels: str) -> Stream:
+        # fused dedup().count() — see _fuse_dedup_count
+        keys = self._dedup_keys(s, labels)
+        dedup = replace(s, df=s.df.select(*keys).distinct())
+        return self._step_count(dedup)
 
     def _step_order(self, s: Stream, key: Optional[str] = None, asc: bool = True) -> Stream:
         # global sort; keyed order drops elements missing the key
