@@ -774,29 +774,127 @@ class GremlinCompiler:
         df = s.df.filter(col.isNotNull()).withColumn(oc, col)
         return replace(s, df=df, sort=[(oc, asc)])
 
+    #: hash buckets for the unordered two-phase slice; bounds the offset
+    #: relation (one row per bucket) that gets broadcast back.
+    _SLICE_BUCKETS = 256
+
     def _slice(self, s: Stream, start: int, end: int) -> Stream:
         """range(a,b) inclusive positional slice; b=-1 → to end
         (/root/reference/expert/barrier_expert.hpp:870-958). Slices follow
-        the current sort if any, else an arbitrary-but-stable order
-        (reference slices arrival order — nondeterministic too)."""
+        the current sort if any, else a deterministic arbitrary order (the
+        reference slices arrival order — nondeterministic too).
+
+        No path puts a single-partition window over the full stream:
+
+        - grouped slice (inside a labelled branch): window partitioned by
+          the branch tid — parallel across groups.
+        - ordered, bounded end: orderBy().limit(end+1) executes as
+          TakeOrderedAndProject (per-partition top-k, no full sort); the
+          residual skip windows over <= end+1 rows, which is
+          driver-bounded — that head would be collected anyway.
+        - ordered skip(n) to the end: two-phase boundary cut, see
+          _ordered_skip.
+        - unordered with start>0: hash-bucket two-phase, see
+          _hashed_slice.
+        """
+        if start == 0 and end < 0:
+            return s  # skip(0) / range(0,-1): identity
+        if s.group_cols:
+            order = (
+                [F.col(c).asc() if a else F.col(c).desc() for c, a in s.sort]
+                if s.sort
+                else [F.monotonically_increasing_id().asc()]
+            )
+            w = Window.partitionBy(*s.group_cols).orderBy(*order)
+            rn = F.row_number().over(w) - 1
+            df = s.df.withColumn("_rn", rn)
+            cond = (F.col("_rn") >= start) if end < 0 else (
+                (F.col("_rn") >= start) & (F.col("_rn") <= end)
+            )
+            return replace(s, df=df.filter(cond).drop("_rn"))
         if s.sort:
-            order = [F.col(c).asc() if a else F.col(c).desc() for c, a in s.sort]
-        else:
-            order = [F.monotonically_increasing_id().asc()]
-        if not s.group_cols and start == 0 and end >= 0:
-            # limit(n): unsorted → plain limit; sorted → orderBy+limit, which
-            # Spark executes as TakeOrderedAndProject (no global window).
-            df = s.df.orderBy(*order) if s.sort else s.df
-            return replace(s, df=df.limit(end + 1))
-        w = Window.partitionBy(*s.group_cols).orderBy(*order) if s.group_cols else (
-            Window.orderBy(*order)
+            col, asc = s.sort[0]  # _step_order emits exactly one sort key
+            key = F.col(col).asc() if asc else F.col(col).desc()
+            if end >= 0:
+                head = s.df.orderBy(key).limit(end + 1)
+                if start == 0:
+                    return replace(s, df=head)
+                w = Window.orderBy(key)  # over <= end+1 rows only: bounded
+                df = (
+                    head.withColumn("_rn", F.row_number().over(w) - 1)
+                    .filter(F.col("_rn") >= start)
+                    .drop("_rn")
+                )
+                return replace(s, df=df)
+            return self._ordered_skip(s, start)
+        if start == 0:
+            return replace(s, df=s.df.limit(end + 1))
+        return self._hashed_slice(s, start, end)
+
+    def _ordered_skip(self, s: Stream, n: int) -> Stream:
+        """order().skip(n): drop the first n rows of the sort order without
+        a global window. Phase 1 (tiny): TakeOrdered(n) gives the boundary
+        sort value `_bk` (the n-th value) and `_bties` = how many of the
+        first n rows tie with it — both deterministic regardless of which
+        tied rows the top-k picked. Phase 2 (parallel): keep rows strictly
+        past the boundary with a broadcast filter; among rows AT the
+        boundary value keep all but `_bties`, resolved by a window
+        partitioned on the sort key — only boundary ties land in one
+        partition, so the hotspot is bounded by the duplicate count of a
+        single value. Which tied rows survive is arbitrary (hash-ordered,
+        deterministic); the reference's arrival-order slice is arbitrary
+        there too. Assumes a non-null sort key (keyed order() drops
+        missing keys before sorting)."""
+        col, asc = s.sort[0]
+        k = F.col(col)
+        head = s.df.orderBy(k.asc() if asc else k.desc()).limit(n).select(col)
+        bk = head.agg((F.max(col) if asc else F.min(col)).alias("_bk"))
+        bstats = (
+            head.crossJoin(F.broadcast(bk))
+            .groupBy("_bk")
+            .agg(F.sum(F.when(k == F.col("_bk"), 1).otherwise(0)).alias("_bties"))
         )
-        rn = F.row_number().over(w) - 1
-        df = s.df.withColumn("_rn", rn)
+        joined = s.df.crossJoin(F.broadcast(bstats))
+        past = joined.filter(k > F.col("_bk") if asc else k < F.col("_bk"))
+        ties = joined.filter(k == F.col("_bk"))
+        wt = Window.partitionBy(col).orderBy(
+            F.xxhash64(*[F.col(c) for c in s.df.columns])
+        )
+        keep = (
+            ties.withColumn("_rn", F.row_number().over(wt))
+            .filter(F.col("_rn") > F.col("_bties"))
+            .drop("_rn")
+        )
+        return replace(s, df=past.unionByName(keep).drop("_bk", "_bties"))
+
+    def _hashed_slice(self, s: Stream, start: int, end: int) -> Stream:
+        """Unordered skip/range with start>0: a positional slice over a
+        deterministic arbitrary order, two-phase. Rows hash into
+        _SLICE_BUCKETS buckets; per-bucket counts roll up to cumulative
+        offsets (<= _SLICE_BUCKETS rows — the only global window runs over
+        that tiny relation) and broadcast back; row_numbers are computed
+        per bucket in parallel, so the global position of a row is
+        bucket_offset + rank_within_bucket. Deterministic for fixed input
+        (content-hashed), needs no persist: the offset side only depends
+        on bucket sizes."""
+        nb = self._SLICE_BUCKETS
+        h = F.xxhash64(*[F.col(c) for c in s.df.columns])
+        df = s.df.withColumn("_sh", h).withColumn(
+            "_sb", F.pmod(F.col("_sh"), F.lit(nb))
+        )
+        counts = df.groupBy("_sb").agg(F.count(F.lit(1)).alias("_sc"))
+        woff = Window.orderBy("_sb").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            "_sb", F.coalesce(F.sum("_sc").over(woff), F.lit(0)).alias("_soff")
+        )
+        w = Window.partitionBy("_sb").orderBy("_sh")
+        df = df.join(F.broadcast(offsets), "_sb").withColumn(
+            "_rn", F.row_number().over(w) - 1 + F.col("_soff")
+        )
         cond = (F.col("_rn") >= start) if end < 0 else (
             (F.col("_rn") >= start) & (F.col("_rn") <= end)
         )
-        return replace(s, df=df.filter(cond).drop("_rn"))
+        return replace(s, df=df.filter(cond).drop("_sb", "_sh", "_soff", "_rn"))
 
     def _step_range(self, s: Stream, a: int, b: int) -> Stream:
         return self._slice(s, a, b)

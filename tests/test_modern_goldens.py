@@ -177,6 +177,36 @@ def test_skip_after_order(g):
     assert g.V().values("age").order().skip(2).to_list() == [32, 35]
 
 
+def test_skip_after_order_desc(g):
+    assert g.V().values("age").order(direction=Order.decr).skip(2).to_list() == [29, 27]
+
+
+def test_skip_with_boundary_ties(g):
+    # all four created-edges point at 'java' software: the skip boundary
+    # value ties with every row — exactly n must be dropped
+    assert g.V().out("created").values("lang").order().skip(3).to_list() == ["java"]
+    assert g.V().out("created").values("lang").order().skip(4).to_list() == []
+
+
+def test_skip_past_end(g):
+    assert g.V().values("age").order().skip(9).to_list() == []
+
+
+def test_bare_skip_and_range(g):
+    # no declared order: positional slice over a deterministic
+    # arbitrary order (reference slices arrival order)
+    assert g.V().skip(2).df().count() == 4
+    assert g.V().range_(1, 3).df().count() == 3
+    a = sorted(r[0] for r in g.V().range_(1, 3).df().collect())
+    b = sorted(r[0] for r in g.V().range_(1, 3).df().collect())
+    assert a == b  # deterministic across runs
+    # positions partition the stream: [1,3] and skip(4) are disjoint,
+    # and together with position 0 cover all 6 vertices
+    mid = set(r[0] for r in g.V().range_(1, 3).df().collect())
+    tail = set(r[0] for r in g.V().skip(4).df().collect())
+    assert not mid & tail and len(mid | tail) == 5
+
+
 def test_as_where_neq(g):
     # marko's created targets' creators, excluding marko himself
     assert vals(

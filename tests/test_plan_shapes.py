@@ -67,3 +67,31 @@ def test_no_python_udfs_in_graph_plans(tg):
     )
     plan = _plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bare_skip_no_global_window(tg):
+    # unordered skip: the full-stream window must be hash-partitioned by
+    # the slice bucket; the only SinglePartition exchange is the
+    # <=256-row per-bucket offsets rollup (compiler._hashed_slice)
+    df = tg.V().hasLabel("customer").skip(5).df()
+    plan = _plan(df)
+    assert re.search(r"Exchange hashpartitioning\(_sb", plan)
+    singles = plan.count("Exchange SinglePartition")
+    assert singles <= 1, f"expected only the offsets rollup, got {singles}"
+
+
+def test_ordered_skip_two_phase(tg):
+    # order().skip(n): boundary from TakeOrdered(n); tie resolution in a
+    # window partitioned on the sort key — never a global row_number
+    df = tg.V().hasLabel("customer").values("acctbal").order().skip(5).df()
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ordered_range_is_takeordered(tg):
+    # range(a,b) after order(): per-partition top-k, residual window only
+    # over the <= b+1 retained rows
+    df = tg.V().hasLabel("customer").values("acctbal").order().range_(3, 7).df()
+    plan = _plan(df)
+    assert "TakeOrderedAndProject(limit=8" in plan
