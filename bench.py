@@ -43,6 +43,55 @@ HEADLINE = [
 ]
 
 
+#: queries re-timed at SCALE_FACTOR× the corpus to demonstrate observed
+#: (not just argued) sub-quadratic scaling of the pipeline operators
+SCALE_QUERIES = ["doc_minhash_sig", "doc_neardup_jaccard", "doc_curation"]
+SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALING", "10"))
+
+
+def _ensure_scaled(spark, sf_dir: str, factor: int) -> str:
+    """Deterministically synthesize a factor× documents corpus from
+    sf_dir, cached under .bench_data/. Each replica word-salts its text
+    so replicas are textually disjoint: shingle document-frequency keeps
+    its shape while the corpus grows — the honest linear workload.
+    (factor× EXACT copies would instead multiply every shingle's df by
+    factor and square the inverted-index pair mass — that measures the
+    duplication structure, not the engine.) Replica 0 is the original."""
+    from pyspark.sql import functions as F
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_data",
+        f"scale{factor}x_{tag}",
+    )
+    marker = os.path.join(out, "_GEN_OK")
+    if os.path.exists(marker):
+        return out
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = spark.range(factor).withColumnRenamed("id", "_rep")
+    salted = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat(w, F.lit("x"), F.col("_rep").cast("string")),
+        ),
+        " ",
+    )
+    scaled = (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") * factor + F.col("_rep"))
+        .withColumn(
+            "text", F.when(F.col("_rep") == 0, F.col("text")).otherwise(salted)
+        )
+        .withColumn("n_chars", F.length("text"))
+        .drop("_rep")
+    )
+    scaled.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -80,17 +129,38 @@ def main() -> None:
         total += times[name]
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
+    result = {
+        "metric": "headline_query_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }
+
+    if SCALE_FACTOR > 1:
+        # observed-scaling section: time the pipeline operators on a
+        # SCALE_FACTOR× corpus; ratio ≈ factor ⇒ linear, ratio ≈ factor²
+        # ⇒ quadratic. Not part of the headline (different data scale).
+        scaled_dir = _ensure_scaled(spark, sf_dir, SCALE_FACTOR)
+        scaling: dict[str, dict] = {}
+        for name in SCALE_QUERIES:
+            tb = times.get(name)
+            if tb is None:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                tb = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            n = qs[name](spark, scaled_dir).count()
+            ts = round(time.perf_counter() - t0, 3)
+            scaling[name] = {
+                "base_s": tb,
+                "scaled_s": ts,
+                "ratio": round(ts / tb, 2) if tb else None,
             }
-        )
-    )
+            print(f"# scale{SCALE_FACTOR}x {name}: {ts}s ({n} rows)", file=sys.stderr)
+        result["scaling"] = {"factor": SCALE_FACTOR, "queries": scaling}
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
