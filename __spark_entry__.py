@@ -267,6 +267,16 @@ def _q_g_repeat(spark, sf):
     )
 
 
+def _q_g_project(spark, sf):
+    # project().by() modulators: supplier name + distinct supplied-part
+    # count; the per-traverser count rides the branch tid groupBy
+    return (
+        _graph(spark, sf).V().hasLabel("supplier")
+        .project("sname", "nparts").by("name").by(A.out("supplies").count())
+        .df()
+    )
+
+
 def _q_g_properties(spark, sf):
     return _graph(spark, sf).V().hasLabel("region").properties("name").df()
 
@@ -547,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_select_history": _q_g_select_history,
         "g_key": _q_g_key,
         "g_repeat": _q_g_repeat,
+        "g_project": _q_g_project,
         "g_properties": _q_g_properties,
         "g_label_step": _q_g_label_step,
         "g_dedup_history": _q_g_dedup_history,
@@ -998,6 +1009,11 @@ SELECT 'acctbal' FROM supplier
 SELECT r_name AS val FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
+""",
+        "g_project": """
+SELECT s_name AS sname, COUNT(DISTINCT l_partkey)::BIGINT AS nparts
+FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+GROUP BY s_name
 """,
         "g_properties": "SELECT '{name:' || r_name || '}' AS val FROM region",
         "g_label_step": """

@@ -134,6 +134,29 @@ class Traversal:
     def select(self, *labels: str) -> "Traversal":
         return self._add("select", *labels)
 
+    def project(self, *keys: str) -> "Traversal":
+        """project(k1..kn): one relational row per traverser; column kX
+        is filled by the X-th following by() modulator (missing by()
+        defaults to the traverser's current value)."""
+        if not keys or len(set(keys)) != len(keys):
+            raise ValueError(f"project() needs distinct keys, got {keys}")
+        return self._add("project", tuple(keys), ())
+
+    def by(self, arg: Any = None, direction: Optional[Order] = None) -> "Traversal":
+        """TinkerPop-style modulator: binds to the preceding
+        project/group/groupCount/order step."""
+        from grasper_spark.plans.parser import BY_HOSTS, fold_by
+
+        if not self._steps or self._steps[-1].name not in BY_HOSTS:
+            raise ValueError("by() must follow project/group/groupCount/order")
+        args: list[Any] = []
+        if arg is not None:
+            args.append(_steps_of(arg) if isinstance(arg, Traversal) else arg)
+        if direction is not None:
+            args.append(("ORDER", direction.value))
+        folded = fold_by(self._steps[-1], tuple(args))
+        return Traversal(self._graph, self._steps[:-1] + (folded,), self._seed, self._ctx)
+
     def path(self) -> "Traversal":
         return self._add("path")
 

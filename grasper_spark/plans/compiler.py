@@ -565,6 +565,52 @@ class GremlinCompiler:
         df = s.df.select(*s.hist_cols(), *s.sort_cols(), val.alias(VAL))
         return self._traversal_result(s, df, "S", keep_sort=True, dtype="string")
 
+    def _step_project(self, s: Stream, keys: tuple, branches: tuple) -> Stream:
+        """project(k1..kn).by(b1)…: one relational row per traverser with
+        column kX computed by branch bX against that traverser (extension
+        — the reference has no project(); TinkerPop semantics,
+        SURVEY.md §2.7).
+
+        - by('p') reads property p of the current element (rides the
+          lazily joined vertex columns — no extra shuffle).
+        - by(sub-traversal) is computed per traverser via the same
+          content-hash tid as and/or/not; per-tid aggregations ride
+          group_cols, so by(out().count()) is one groupBy + one join.
+          Multi-valued branches keep the MINIMUM value — a deterministic
+          stand-in for Gremlin's arbitrary "first".
+        - a traverser missing any branch value drops (inner join) —
+          by()'s fast-nothing behavior.
+        - a missing trailing by() defaults to the traverser's current
+          value.
+        """
+        if len(branches) > len(keys):
+            raise CompileError("project: more by() modulators than keys")
+        branches = tuple(branches) + (None,) * (len(keys) - len(branches))
+        tagged, tcol = self._tagged(s)
+        spine = tagged
+        cols: list[tuple[str, str]] = []
+        for k, b in zip(keys, branches):
+            pc = f"_pj_{k}"
+            if b is None:
+                spine = replace(spine, df=spine.df.withColumn(pc, spine.val()))
+            elif isinstance(b, str):
+                spine, col, _dt = self._prop_col(spine, b)
+                spine = replace(
+                    spine, df=spine.df.filter(col.isNotNull()).withColumn(pc, col)
+                )
+            else:
+                res = self.compile(list(b), start=tagged)
+                if res.kind == "G":
+                    raise CompileError(
+                        f"project: by-branch for {k!r} must be element- or scalar-valued"
+                    )
+                sub = res.df.groupBy(tcol).agg(F.min(res.val()).alias(pc))
+                spine = replace(spine, df=spine.df.join(sub, tcol, "inner"))
+            cols.append((pc, k))
+        gcols = [c for c in s.group_cols]
+        out = spine.df.select(*gcols, *[F.col(pc).alias(k) for pc, k in cols])
+        return Stream(df=out, kind="G", group_cols=gcols)
+
     # ---------- where ----------
 
     def _step_where(self, s: Stream, *args: Any) -> Stream:

@@ -27,7 +27,7 @@ STEP_NAMES = {
     "inV", "bothV", "values", "label", "key", "properties", "as", "select",
     "aggregate", "cap", "count", "sum", "max", "min", "mean", "group",
     "groupCount", "dedup", "order", "range", "limit", "skip", "union", "path",
-    "repeat", "and", "or", "not", "optional", "choose",
+    "repeat", "and", "or", "not", "optional", "choose", "project", "by",
 }
 
 # steps whose string args are python-reserved in the fluent API
@@ -132,13 +132,71 @@ def _parse_step(tok: str) -> Step:
         return Step("and", (raw_args[0],))
     if name == "has" and len(raw_args) == 2 and not isinstance(raw_args[1], Pred):
         return Step("has", (raw_args[0], P.eq(raw_args[1])))
+    if name == "project":
+        if not raw_args or not all(isinstance(a, str) for a in raw_args):
+            raise ParseError("project() takes one or more string keys")
+        if len(set(raw_args)) != len(raw_args):
+            raise ParseError(f"project() keys must be distinct: {raw_args}")
+        return Step("project", (tuple(raw_args), ()))
     return Step(name, tuple(raw_args))
+
+
+#: steps that accept trailing by() modulators
+BY_HOSTS = ("project", "group", "groupCount", "order")
+
+
+def fold_by(prev: Step, args: tuple) -> Step:
+    """Fold a by() modulator into its host step (TinkerPop-style: by()
+    binds to the preceding project/group/groupCount/order). Shared by
+    the string parser and the fluent API."""
+    if prev.name == "project":
+        keys, branches = prev.args
+        if len(branches) >= len(keys):
+            raise ParseError(f"project({keys}): more by() modulators than keys")
+        if not args:  # bare by(): identity — the traverser's current value
+            return Step("project", (keys, branches + (None,)))
+        if len(args) != 1 or not isinstance(args[0], (str, tuple)):
+            raise ParseError("project().by() takes a property key or a sub-traversal")
+        return Step("project", (keys, branches + (args[0],)))
+    if prev.name == "order":
+        key, asc = prev.args if prev.args else (None, True)
+        for a in args:
+            if isinstance(a, tuple) and len(a) == 2 and a[0] == "ORDER":
+                asc = a[1]
+            elif isinstance(a, str):
+                key = a
+            else:
+                raise ParseError(f"order().by() takes a key and/or incr|decr, got {a!r}")
+        return Step("order", (key, asc))
+    if prev.name in ("group", "groupCount"):
+        if len(args) != 1 or not isinstance(args[0], str):
+            raise ParseError(f"{prev.name}().by() takes one property key")
+        nslots = 2 if prev.name == "group" else 1
+        slots = list(prev.args[:nslots]) + [None] * (nslots - len(prev.args[:nslots]))
+        rest = tuple(prev.args[nslots:])  # trailing relational flag, if any
+        for i in range(nslots):
+            if slots[i] is None:
+                slots[i] = args[0]
+                return Step(prev.name, tuple(slots) + rest)
+        raise ParseError(f"{prev.name}(): too many by() modulators")
+    raise ParseError(f"by() cannot follow {prev.name}()")
 
 
 def parse_steps(chain: str) -> list[Step]:
     """Parse a dotted step chain like `out('knows').values('age')`."""
     toks = _split_top(chain.strip(), ".")
-    return [_parse_step(t) for t in toks if t]
+    steps: list[Step] = []
+    for t in toks:
+        if not t:
+            continue
+        st = _parse_step(t)
+        if st.name == "by":
+            if not steps or steps[-1].name not in BY_HOSTS:
+                raise ParseError("by() must follow project/group/groupCount/order")
+            steps[-1] = fold_by(steps[-1], st.args)
+        else:
+            steps.append(st)
+    return steps
 
 
 def parse_query(query: str) -> list[Step]:

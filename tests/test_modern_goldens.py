@@ -545,3 +545,66 @@ def test_select_multi_double_format(g):
         .select("w", "w")
     )
     assert got == ["[w:0.500000, w:0.500000]"]
+
+
+# ---------- project().by() modulators (TinkerPop extension) ----------
+
+
+def test_project_props_and_subtraversal(g):
+    df = (
+        g.V().hasLabel("person").project("name", "deg")
+        .by("name").by(A.out().count()).df()
+    )
+    rows = sorted((r["name"], r["deg"]) for r in df.collect())
+    # vadas has no out edges -> fast-nothing drops the traverser
+    assert rows == [("josh", 2), ("marko", 3), ("peter", 1)]
+
+
+def test_project_default_by_is_current_value(g):
+    df = g.V().has("name", "marko").project("vid", "n").by().by("name").df()
+    assert [(r["vid"], r["n"]) for r in df.collect()] == [(1, "marko")]
+
+
+def test_project_string_query(g):
+    df = g.query(
+        "g.V().hasLabel('person').project('n','age').by('name').by(values('age'))"
+    )
+    rows = sorted((r["n"], r["age"]) for r in df.collect())
+    assert rows == [("josh", 32), ("marko", 29), ("peter", 35), ("vadas", 27)]
+
+
+def test_project_vertex_branch_takes_min(g):
+    # element-valued branch: deterministic minimum vid stands in for
+    # Gremlin's arbitrary 'first'
+    df = (
+        g.V().has("name", "marko").project("me", "minknow")
+        .by("name").by(A.out("knows")).df()
+    )
+    assert [(r["me"], r["minknow"]) for r in df.collect()] == [("marko", 2)]
+
+
+def test_group_by_modulators(g):
+    assert g.query("g.V().group().by('lang').by('name')").collect()[0][0] == (
+        "java:[lop, ripple]"
+    )
+    got = sorted(r[0] for r in g.query("g.V().groupCount().by('lang')").collect())
+    assert got == ["java:2"]
+
+
+def test_order_by_modulator(g):
+    got = [r[0] for r in g.query(
+        "g.V().order().by('age', decr).values('name')"
+    ).collect()]
+    assert got == ["peter", "josh", "marko", "vadas"]
+
+
+def test_by_modulator_errors(g):
+    import pytest
+    from grasper_spark.plans.parser import ParseError
+
+    with pytest.raises(ParseError):
+        g.query("g.V().by('x')")
+    with pytest.raises(ParseError):
+        g.V().project("a").by("x").by("y")
+    with pytest.raises(ValueError):
+        g.V().project("a", "a")
