@@ -315,6 +315,56 @@ def _q_doc_token_count(spark, sf):
     )
 
 
+def _q_doc_gopher_quality(spark, sf):
+    # Gopher-style repetition gates (dup-line + top-bigram fractions)
+    from grasper_spark.functions.text import gopher_quality
+
+    out = gopher_quality(_docs(spark, sf))
+    return out.select(
+        "doc_id", "dup_line_frac", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "top_bigram_frac", "pass",
+    )
+
+
+def _pii_augment(text, doc_id):
+    # deterministic PII injection (the synthetic corpus has none):
+    # identical concat arithmetic on both engines, so the redaction is
+    # exercised non-vacuously
+    return F.concat(
+        text,
+        F.lit(" contact user"), doc_id.cast("string"),
+        F.lit("@example.com ip 10.0."), (doc_id % 256).cast("string"),
+        F.lit("."), (doc_id % 100).cast("string"),
+        F.lit(" tel +1 555 000 "), (1000 + doc_id % 9000).cast("string"),
+    )
+
+
+def _q_doc_pii_redact(spark, sf):
+    from grasper_spark.functions.text import redact_pii
+
+    docs = _docs(spark, sf).select(
+        "doc_id", _pii_augment(F.col("text"), F.col("doc_id")).alias("text")
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id", "clean_text",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+    )
+
+
+def _q_doc_chunks(spark, sf):
+    # 64-token chunks every 48 tokens (overlap 16) — training packing
+    from grasper_spark.functions.text import chunk_documents
+
+    out = chunk_documents(_docs(spark, sf), window=64, stride=48)
+    return out.select(
+        "doc_id", F.col("chunk_id").cast("int").alias("chunk_id"), "chunk",
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+    )
+
+
 def _q_doc_text_stats(spark, sf):
     from grasper_spark.functions.text import punct_ratio, quality_score, stopword_ratio
 
@@ -588,6 +638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_pivot": _q_events_pivot,
         "orders_rollup": _q_orders_rollup,
+        "doc_gopher_quality": _q_doc_gopher_quality,
+        "doc_pii_redact": _q_doc_pii_redact,
+        "doc_chunks": _q_doc_chunks,
     }
 
 
@@ -1039,6 +1092,67 @@ SELECT ((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
 """,
         # ---- pipeline ----
         "doc_token_count": f"SELECT doc_id, {_NTOK}::BIGINT AS n_tokens FROM documents",
+        "doc_gopher_quality": rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), ln -> length(trim(ln)) > 0) AS lines,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk,
+         {_NTOK} AS n_tokens
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+  FROM base, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2
+),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(c) AS mc FROM bc GROUP BY 1)
+SELECT base.doc_id,
+  CASE WHEN len(lines) = 0 THEN 0.0
+       ELSE round(1.0 - len(list_distinct(lines)) / len(lines), 6) END AS dup_line_frac,
+  n_tokens::BIGINT AS n_tokens,
+  CASE WHEN n_tokens < 2 THEN 0.0
+       ELSE round(coalesce(mc, 0) / (n_tokens - 1), 6) END AS top_bigram_frac,
+  (dup_line_frac <= 0.30 AND top_bigram_frac <= 0.20
+   AND n_tokens BETWEEN 3 AND 100000) AS pass
+FROM base LEFT JOIN mx USING (doc_id)
+""",
+        "doc_pii_redact": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com ip 10.0.'
+              || (doc_id % 256) || '.' || (doc_id % 100)
+              || ' tel +1 555 000 ' || (1000 + doc_id % 9000) AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+    '\+[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean_text,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INTEGER AS n_email,
+  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::INTEGER AS n_ipv4,
+  len(regexp_extract_all(text, '\+[0-9][0-9()\- ]{6,}[0-9]'))::INTEGER AS n_phone
+FROM aug
+""",
+        "doc_chunks": r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, tk, i
+  FROM base, unnest(generate_series(0, greatest(CAST(ceil(n / 48.0) AS INTEGER) - 1, 0))) AS u(i)
+  WHERE n > 0
+)
+SELECT doc_id, i::INTEGER AS chunk_id,
+       array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk,
+       len(tk[i*48+1 : i*48+64])::INTEGER AS n_chunk_tokens
+FROM s
+WHERE length(array_to_string(tk[i*48+1 : i*48+64], ' ')) > 0
+""",
         "doc_text_stats": f"""
 SELECT doc_id,
   {_PUNCT_RATIO} AS punct_ratio,

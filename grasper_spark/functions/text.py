@@ -134,3 +134,159 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# ---------- Gopher-style repetition signals ----------
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of non-blank lines that are duplicates of another line —
+    the Gopher 'duplicate line fraction' repetition rule (Rae et al.
+    2021, arXiv:2112.11446 §A1.1). Pure array expressions, scan speed."""
+    lines = F.filter(
+        F.split(text, "\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+    return F.when(F.size(lines) == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 6)
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals: duplicate-line fraction and
+    top-bigram fraction (share of adjacent-token pairs taken by the most
+    frequent bigram — Gopher §A1.1's 'top 2-gram' rule).
+
+    Scale shape: the bigram mode needs a per-(doc, bigram) count —
+    posexplode + lead stays in whole-stage codegen (same pattern as the
+    MinHash shingler, functions/dedup.py), then two partial-aggregated
+    groupBys keyed by doc_id. No UDFs, no all-pairs work; shuffle volume
+    is O(total tokens)."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        dup_line_fraction(t).alias("dup_line_frac"),
+        token_count(t).alias("n_tokens"),
+        tokens(F.lower(t)).alias("_tk"),
+    )
+    ex = base.select(id_col, F.posexplode("_tk").alias("_pos", "_tok"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    bigrams = (
+        ex.withColumn("_nxt", F.lead("_tok").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(id_col, F.concat_ws(" ", "_tok", "_nxt").alias("_bg"))
+    )
+    top = (
+        bigrams.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col).agg(F.max("_c").alias("_mx"))
+    )
+    out = (
+        base.drop("_tk")
+        .join(top, id_col, "left")
+        .withColumn(
+            "top_bigram_frac",
+            F.when(
+                F.col("n_tokens") < 2, F.lit(0.0)
+            ).otherwise(
+                F.round(F.coalesce(F.col("_mx"), F.lit(0)) / (F.col("n_tokens") - 1), 6)
+            ),
+        )
+        .drop("_mx")
+    )
+    return out
+
+
+#: Gopher-ish acceptance thresholds (document-level repetition gates)
+GOPHER_MAX_DUP_LINE = 0.30
+GOPHER_MAX_TOP_BIGRAM = 0.20
+GOPHER_MIN_TOKENS = 3
+GOPHER_MAX_TOKENS = 100_000
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """repetition_stats + a boolean pass gate on the Gopher thresholds."""
+    stats = repetition_stats(df, text_col, id_col)
+    return stats.withColumn(
+        "pass",
+        (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE)
+        & (F.col("top_bigram_frac") <= GOPHER_MAX_TOP_BIGRAM)
+        & F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS),
+    )
+
+
+# ---------- PII redaction ----------
+
+# RE2-compatible patterns (no lookaround/backrefs) so the Spark (Java
+# regex) and DuckDB (RE2) engines produce identical matches.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+[0-9][0-9()\- ]{6,}[0-9]"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Replace emails / IPv4s / international-format phones with typed
+    placeholders; emit per-kind match counts. Pure regexp expressions —
+    scan speed, trivially parallel, no shuffle."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS
+    ]
+    clean = t
+    for kind, pat in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
+    return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
+
+
+# ---------- chunking ----------
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into `window`-token chunks every `stride`
+    tokens (overlap = window - stride) — the standard training-data
+    packing shape. One row per (doc, chunk ordinal).
+
+    Scale shape: chunk starts are a per-row sequence() + transform over
+    the token array (whole-stage codegen), posexploded — no shuffle at
+    all; output size is rows x ceil(tokens/stride)."""
+    assert 0 < stride <= window, "need 0 < stride <= window"
+    t = F.col(text_col)
+
+    # let-bind the token array via a single-element transform so the
+    # tokenizer runs once per row — Spark does no CSE into HOF lambdas
+    # (same pattern as rolling_fingerprints above)
+    def _chunks(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.sequence(
+            F.lit(0), F.greatest(F.ceil(n / F.lit(stride)).cast("int") - 1, F.lit(0))
+        )
+        return F.transform(
+            starts, lambda i: F.array_join(F.slice(toks, i * stride + 1, window), " ")
+        )
+
+    chunks = F.element_at(F.transform(F.array(tokens(t)), _chunks), 1)
+    out = df.select(
+        F.col(id_col),
+        token_count(t).alias("_n"),
+        F.posexplode(chunks).alias("chunk_id", "chunk"),
+    )
+    return (
+        out.filter((F.col("_n") > 0) & (F.length("chunk") > 0))
+        .withColumn("n_chunk_tokens", F.size(tokens(F.col("chunk"))))
+        .drop("_n")
+    )

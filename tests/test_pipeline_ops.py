@@ -298,3 +298,64 @@ def test_as_of_join_semantics(spark):
     assert got[1] == 100.0   # latest right at t<=10 is t=5
     assert got[2] == 250.0   # inclusive: right at t=25 counts
     assert got[3] is None    # no right row at or before t=10 for k=2
+
+
+# ---------- Gopher repetition / PII / chunking ----------
+
+
+@pytest.fixture(scope="module")
+def rep_docs(spark):
+    rows = [
+        (1, "a b a b a b a b"),  # top bigram 'a b': 4 of 7
+        (2, "x\ny\nx\nz\n\n"),  # duplicate line 'x'
+        (3, "mail bob@x.co or 10.0.0.1 now +1 (555) 123-4567 ok"),
+        (4, " ".join(f"w{i}" for i in range(150))),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_gopher_repetition_stats(rep_docs):
+    from grasper_spark.functions.text import gopher_quality
+
+    gq = {r["doc_id"]: r.asDict() for r in gopher_quality(rep_docs).collect()}
+    assert gq[1]["top_bigram_frac"] == round(4 / 7, 6)
+    assert gq[1]["pass"] is False  # repetition gate
+    assert gq[2]["dup_line_frac"] == 0.25  # 1 of 4 non-blank lines dup
+    assert gq[5]["dup_line_frac"] == 0.0 and gq[5]["top_bigram_frac"] == 0.0
+    assert gq[5]["pass"] is False  # under min tokens
+    assert gq[4]["pass"] is True
+
+
+def test_redact_pii(rep_docs):
+    from grasper_spark.functions.text import redact_pii
+
+    pii = {r["doc_id"]: r.asDict() for r in redact_pii(rep_docs).collect()}
+    assert pii[3]["n_email"] == 1 and pii[3]["n_ipv4"] == 1 and pii[3]["n_phone"] == 1
+    assert pii[3]["clean_text"] == "mail <EMAIL> or <IPV4> now +1 (555) 123-4567 ok".replace(
+        "+1 (555) 123-4567", "<PHONE>"
+    )
+    assert pii[1]["n_email"] == 0 and "<" not in pii[1]["clean_text"]
+
+
+def test_chunk_documents(rep_docs):
+    from grasper_spark.functions.text import chunk_documents
+
+    ch = chunk_documents(rep_docs, window=64, stride=48).collect()
+    by4 = sorted((r["chunk_id"], r["n_chunk_tokens"]) for r in ch if r["doc_id"] == 4)
+    # 150 tokens -> starts 0,48,96,144
+    assert by4 == [(0, 64), (1, 64), (2, 54), (3, 6)]
+    # overlap: chunk1 starts at token 48 (w48), chunk0 ends at w63
+    c = {r["chunk_id"]: r["chunk"] for r in ch if r["doc_id"] == 4}
+    assert c[1].split()[0] == "w48" and c[0].split()[-1] == "w63"
+    assert not [r for r in ch if r["doc_id"] == 5]
+
+
+def test_chunk_documents_no_shuffle(rep_docs):
+    # chunking must be a pure per-row explode: no exchange in the plan
+    from grasper_spark.functions.text import chunk_documents
+
+    plan = (
+        chunk_documents(rep_docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
