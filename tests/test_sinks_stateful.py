@@ -150,3 +150,58 @@ def test_streaming_dedup_with_watermark_collapses_across_ts(spark, tmp_path):
     assert len(rows) == 2
     assert {r.doc_id for r in rows} & {1, 2}
     assert any(r.doc_id == 3 for r in rows)
+
+
+def test_streaming_edge_ingestion(spark, tmp_path):
+    # edge batches land as files; the log absorbs them append-only and a
+    # traversal over the log sees each consistent prefix
+    from grasper_spark.graph import PropertyGraph
+    from grasper_spark.plans.api import G
+    from grasper_spark.streaming.graph_updates import (
+        append_edges_stream,
+        degree_updates,
+        read_edges_stream,
+    )
+
+    src = str(tmp_path / "incoming")
+    log = str(tmp_path / "edge_log")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame([(1, 2, "knows"), (1, 3, "knows")], ["src", "dst", "label"])
+    b1.write.mode("append").parquet(src)
+
+    q = append_edges_stream(read_edges_stream(spark, src), log, ckpt)
+    q.processAllAvailable()
+    assert spark.read.parquet(log).count() == 2
+
+    # second batch arrives mid-stream
+    b2 = spark.createDataFrame([(2, 3, "knows"), (4, 1, "likes")], ["src", "dst", "label"])
+    b2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    edges = spark.read.parquet(log)
+    assert edges.count() == 4
+    v = spark.createDataFrame([(i, "person") for i in (1, 2, 3, 4)], ["vid", "label"])
+    g = G(PropertyGraph(vertices=v, edges=edges))
+    assert sorted(g.V().out("knows").dedup().df().toPandas()["vid"]) == [2, 3]
+
+    # streaming degree agg (update mode) converges to the batch twin
+    dq = (
+        degree_updates(read_edges_stream(spark, src))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("deg_out")
+        .start()
+    )
+    dq.processAllAvailable()
+    dq.stop()
+    # memory sink in update mode appends every update; keep the last per vid
+    got = {
+        r["vid"]: (r["out_deg"], r["in_deg"])
+        for r in spark.sql("select * from deg_out").collect()
+    }
+    want = {
+        r["vid"]: (r["out_deg"], r["in_deg"])
+        for r in degree_updates(edges).collect()
+    }
+    assert got == want
