@@ -12,6 +12,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from grasper_spark import G, P, get_spark  # noqa: E402
+from grasper_spark.plans.api import A  # noqa: E402
 from grasper_spark.sources import load_tpch_graph  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,6 +79,31 @@ def main() -> None:
             "Side-effect membership compiles to a broadcast anti-join against the "
             "aggregate store — the Spark analogue of Grasper's replicated side-effect "
             "table (core/message.cpp:270-289).",
+        ),
+        (
+            "Bare skip: two-phase hashed slice",
+            'g.V().hasLabel("customer").skip(100)',
+            g.V().hasLabel("customer").skip(100).df(),
+            "No single-partition window over the stream: rows hash into 256 buckets, "
+            "per-bucket counts roll up to broadcast offsets (the only SinglePartition "
+            "exchange runs over ≤256 rows), row_numbers are per-bucket in parallel.",
+        ),
+        (
+            "Ordered skip: boundary cut",
+            'g.V().hasLabel("customer").values("acctbal").order().skip(100)',
+            g.V().hasLabel("customer").values("acctbal").order().skip(100).df(),
+            "TakeOrderedAndProject(100) finds the boundary value + tie count (tiny, "
+            "broadcast); the stream keeps rows past the boundary with a broadcast "
+            "filter and resolves boundary ties in a window partitioned on the sort key.",
+        ),
+        (
+            "project().by() per-traverser branch",
+            'g.V().hasLabel("supplier").project("sname","nparts").by("name").by(out("supplies").count())',
+            g.V().hasLabel("supplier").project("sname", "nparts").by("name")
+            .by(A.out("supplies").count()).df(),
+            "The by-branch aggregates per traverser on the content-hash tid "
+            "(one partial-aggregated groupBy) and joins back — AQE picks broadcast "
+            "for the small side; the property by() rides the pruned vertex scan.",
         ),
     ]
 
