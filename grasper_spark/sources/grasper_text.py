@@ -40,7 +40,30 @@ from pyspark.sql import types as T
 
 from grasper_spark.graph import PropertyGraph
 
-_TYPE_CODES = {1: T.IntegerType(), 2: T.DoubleType(), 3: T.StringType(), 4: T.StringType()}
+_TYPE_CODES = {
+    1: T.IntegerType(),
+    2: T.DoubleType(),
+    3: T.StringType(),
+    4: T.StringType(),
+    # uint64 (utils/tool.hpp:174 checktype returns 5 for ints past 2^32).
+    # Spark has no unsigned 64-bit type; LongType covers values < 2^63,
+    # which is every value the reference's stoull round-trips into queries.
+    5: T.LongType(),
+}
+
+
+def _decode_type(code: int) -> T.DataType:
+    """Map a reference type code to a Spark type.
+
+    Scalar codes 1-5 map directly; collection codes are ``16 | t``
+    (utils/tool.hpp:246-266 vec2value_t): tab-joined elements of scalar
+    type t, modeled as ``array<t>``.
+    """
+    if code in _TYPE_CODES:
+        return _TYPE_CODES[code]
+    if code & 16 and (code & ~16) in _TYPE_CODES:
+        return T.ArrayType(_TYPE_CODES[code & ~16])
+    raise ValueError(f"unknown Grasper property type code: {code}")
 
 
 def _read_dict(path: str) -> dict[int, str]:
@@ -65,7 +88,7 @@ def _read_prop_index(path: str) -> dict[int, tuple[str, T.DataType]]:
             if not line:
                 continue
             key, pid, code = line.split("\t")
-            out[int(pid)] = (key, _TYPE_CODES[int(code)])
+            out[int(pid)] = (key, _decode_type(int(code)))
     return out
 
 
@@ -80,6 +103,19 @@ def _props_to_columns(
     """
     body = F.regexp_replace(F.col(props_col), r"^\[|\]$", "")
     for pid, (key, dtype) in sorted(prop_index.items()):
+        if isinstance(dtype, T.ArrayType):
+            # Collection (type 16|t, utils/tool.hpp:246-266): elements are
+            # tab-joined inside the value (tabs never separate scalars, so
+            # grab the whole up-to-comma run), then split + cast per element.
+            raw = F.regexp_extract(body, rf"(?:^|,){pid}:([^,]*)", 1)
+            raw = F.when(raw == "", None).otherwise(raw)
+            elem = dtype.elementType.simpleString()
+            arr = F.transform(
+                F.split(raw, "\t"),
+                lambda e: F.regexp_replace(e, "^[\"']|[\"']$", "").cast(elem),
+            )
+            df = df.withColumn(key, arr)
+            continue
         # value of this pid: after `pid:` up to next `,` or end
         pat = rf"(?:^|,){pid}:((?:\"[^\"]*\")|(?:'[^']*')|[^,]*)"
         raw = F.regexp_extract(body, pat, 1)
@@ -103,7 +139,9 @@ def load_grasper_text(spark: SparkSession, data_dir: str) -> PropertyGraph:
 
     vp = (
         spark.read.text(os.path.join(data_dir, "vtx_property"))
-        .select(F.split("value", "\t").alias("f"))
+        # limit=3: collection property values embed tabs (value_t's element
+        # separator, utils/tool.hpp:258) — keep them inside the props field.
+        .select(F.split("value", "\t", 3).alias("f"))
         .select(
             F.col("f")[0].cast("long").alias("vid"),
             F.col("f")[1].cast("int").alias("label_id"),
@@ -124,7 +162,7 @@ def load_grasper_text(spark: SparkSession, data_dir: str) -> PropertyGraph:
 
     ep = (
         spark.read.text(os.path.join(data_dir, "edge_property"))
-        .select(F.split("value", "\t").alias("f"))
+        .select(F.split("value", "\t", 4).alias("f"))
         .select(
             F.col("f")[0].cast("long").alias("src"),
             F.col("f")[1].cast("long").alias("dst"),
