@@ -1039,24 +1039,34 @@ class GremlinCompiler:
         # (/root/reference/expert/labelled_branch_expert.hpp:184-289)
         tagged, tcol = self._tagged(s)
         tid_sets = [
-            self.compile(list(b), start=tagged).df.select(tcol).distinct()
+            self.compile(list(b), start=tagged).df.select(tcol)
             for b in branches
         ]
-        if mode == "and":
-            passing = tid_sets[0]
-            for t in tid_sets[1:]:
-                passing = passing.join(t, tcol, "inner")
+        # One shuffle for the whole branch set: union the branch outputs
+        # (cheap, no exchange) and reduce once, instead of a distinct per
+        # branch plus a join per intersection. Partial (map-side)
+        # aggregation absorbs high-fanout branches before the exchange.
+        unioned = tid_sets[0]
+        for i, t in enumerate(tid_sets[1:], start=1):
+            unioned = unioned.unionByName(t)
+        if mode == "and" and len(tid_sets) > 1:
+            # tid passes iff every branch produced >=1 result: tag rows
+            # with their branch ordinal and count distinct ordinals.
+            tagged_union = tid_sets[0].withColumn("_br", F.lit(0))
+            for i, t in enumerate(tid_sets[1:], start=1):
+                tagged_union = tagged_union.unionByName(t.withColumn("_br", F.lit(i)))
+            passing = (
+                tagged_union.groupBy(tcol)
+                .agg(F.countDistinct("_br").alias("_nb"))
+                .filter(F.col("_nb") == len(tid_sets))
+                .select(tcol)
+            )
             how = "left_semi"
-        elif mode == "or":
-            passing = tid_sets[0]
-            for t in tid_sets[1:]:
-                passing = passing.unionByName(t)
-            passing = passing.distinct()
+        elif mode in ("and", "or"):
+            passing = unioned.distinct()
             how = "left_semi"
         else:  # not
-            passing = tid_sets[0]
-            for t in tid_sets[1:]:
-                passing = passing.unionByName(t)
+            passing = unioned.distinct()
             how = "left_anti"
         df = tagged.df.join(passing, tcol, how).drop(tcol)
         hist = {k: v for k, v in s.history.items() if v != tcol}
