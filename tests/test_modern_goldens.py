@@ -608,3 +608,23 @@ def test_by_modulator_errors(g):
         g.V().project("a").by("x").by("y")
     with pytest.raises(ValueError):
         g.V().project("a", "a")
+
+
+def test_union_branch_barriers(g):
+    # group/groupCount/cap are per-branch barriers inside union():
+    # each branch runs its own aggregation before the merge
+    # (branch-grouped barrier, barrier_expert.hpp applied per sub-plan)
+    assert vals(
+        g.V().hasLabel("person").union(A.groupCount("age"), A.groupCount("name"))
+    ) == sorted(["27:1", "29:1", "32:1", "35:1"] + [
+        "josh:1", "marko:1", "peter:1", "vadas:1"
+    ])
+    # scalar barriers (count/max/min) per branch
+    assert vals(
+        g.V().union(A.out("knows").count(), A.out("created").count())
+    ) == [2, 4]
+    # cap over a side-effect store collected before the union
+    assert vals(
+        g.V().hasLabel("person").values("age").aggregate("x")
+        .union(A.cap("x"), A.cap("x"))
+    ) == ["x:[27, 29, 32, 35]", "x:[27, 29, 32, 35]"]
