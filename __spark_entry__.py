@@ -513,6 +513,29 @@ def _q_doc_split(spark, sf):
     return hash_split(_docs(spark, sf)).select("doc_id", "split")
 
 
+def _q_doc_contamination(spark, sf):
+    # benchmark decontamination: every 17th doc plays the held-out
+    # eval set; report training docs sharing any 3-gram with it
+    from grasper_spark.functions.contamination import contamination_report
+
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return contamination_report(train, bench, n=3)
+
+
+def _q_doc_topk_ngrams(spark, sf):
+    from grasper_spark.functions.text import topk_ngrams
+
+    return topk_ngrams(_docs(spark, sf), n=2, k=50)
+
+
+def _q_doc_export_shards(spark, sf):
+    from grasper_spark.functions.sampling import export_shards
+
+    return export_shards(_docs(spark, sf), num_shards=8).select("doc_id", "shard", "pos")
+
+
 def _q_algo_triangles(spark, sf):
     from grasper_spark.algos import triangle_count
 
@@ -641,6 +664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_quality": _q_doc_gopher_quality,
         "doc_pii_redact": _q_doc_pii_redact,
         "doc_chunks": _q_doc_chunks,
+        "doc_contamination": _q_doc_contamination,
+        "doc_topk_ngrams": _q_doc_topk_ngrams,
+        "doc_export_shards": _q_doc_export_shards,
     }
 
 
@@ -1152,6 +1178,41 @@ SELECT doc_id, i::INTEGER AS chunk_id,
        len(tk[i*48+1 : i*48+64])::INTEGER AS n_chunk_tokens
 FROM s
 WHERE length(array_to_string(tk[i*48+1 : i*48+64], ' ')) > 0
+""",
+        "doc_contamination": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0
+)
+SELECT sh.doc_id, count(*)::BIGINT AS bench_ngrams
+FROM sh JOIN bench USING (s)
+WHERE sh.doc_id % 17 <> 0
+GROUP BY sh.doc_id
+""",
+        "doc_topk_ngrams": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS t FROM documents
+), sh AS (
+  SELECT array_to_string(t[i:i+1], ' ') AS s
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+)
+SELECT s AS ngram, count(*)::BIGINT AS cnt
+FROM sh GROUP BY s
+ORDER BY cnt DESC, ngram
+LIMIT 50
+""",
+        "doc_export_shards": """
+WITH h AS (
+  SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+  FROM documents
+)
+SELECT doc_id, (hv % 8)::INTEGER AS shard,
+       (row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id))::INTEGER AS pos
+FROM h
 """,
         "doc_text_stats": f"""
 SELECT doc_id,

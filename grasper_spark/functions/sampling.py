@@ -41,3 +41,28 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum sampling (e.g. language-balanced subsets)."""
     return df.sampleBy(stratum_col, fractions, seed=seed)
+
+
+def export_shards(
+    df: DataFrame, id_col: str = "doc_id", num_shards: int = 8
+) -> DataFrame:
+    """Deterministic training-data ordering: assign every row a shard
+    and a position within it, stable across runs, engines, and cluster
+    sizes (md5-derived, reproducible in DuckDB).
+
+    This is the global-shuffle step before writing training shards: a
+    downstream writer does partitionBy(shard) + sort by pos. Positions
+    are a per-shard window — pick num_shards well above the executor
+    count at scale (e.g. 10k) so each window partition stays bounded;
+    there is no global single-partition ordering anywhere."""
+    from pyspark.sql import Window
+
+    h = _md5_int(F.col(id_col).cast("string"))
+    shard = F.pmod(h, F.lit(num_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_h")
+    )

@@ -290,3 +290,27 @@ def chunk_documents(
         .withColumn("n_chunk_tokens", F.size(tokens(F.col("chunk"))))
         .drop("_n")
     )
+
+
+def topk_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-level vocabulary: the k most frequent token n-grams with
+    occurrence counts (every occurrence counts, not per-doc distinct).
+
+    Scale shape: shingles stream through the codegen'd posexplode+lead
+    path, then ONE partial-aggregated groupBy on the n-gram and a
+    TakeOrdered(k) — no global sort materialization. Ties break on the
+    n-gram string so the k-th row is deterministic across engines."""
+    from grasper_spark.functions.dedup import _exploded_shingles
+
+    counts = (
+        _exploded_shingles(df, text_col, id_col, n, distinct=False)
+        .groupBy(F.col("sh").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.orderBy(F.col("cnt").desc(), F.col("ngram")).limit(k)

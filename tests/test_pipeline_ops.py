@@ -359,3 +359,57 @@ def test_chunk_documents_no_shuffle(rep_docs):
         chunk_documents(rep_docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_contamination_report_and_decontaminate(spark):
+    from grasper_spark.functions.contamination import (
+        contamination_report,
+        decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark and parquet"),
+            (3, "we evaluate on the secret benchmark question here today"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark question appears verbatim")],
+        ["doc_id", "text"],
+    )
+    rep = {
+        r["doc_id"]: r["bench_ngrams"]
+        for r in contamination_report(train, bench, n=3).collect()
+    }
+    # doc 3 shares "the secret benchmark" + "secret benchmark question"
+    assert rep == {3: 2}
+    clean = decontaminate(train, bench, n=3)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+
+
+def test_topk_ngrams_counts_and_tiebreak(docs):
+    from grasper_spark.functions.text import topk_ngrams
+
+    top = topk_ngrams(docs, n=2, k=3).collect()
+    # "the lazy" and "lazy dog" occur in docs 1,2,3; quick brown in 1,2,3 too
+    assert top[0]["cnt"] == 3
+    # deterministic tie-break: count desc then ngram asc
+    got = [(r["ngram"], r["cnt"]) for r in top]
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+
+
+def test_export_shards_deterministic_and_contiguous(docs):
+    from grasper_spark.functions.sampling import export_shards
+
+    a = sorted(map(tuple, export_shards(docs, num_shards=2).select(
+        "doc_id", "shard", "pos").collect()))
+    b = sorted(map(tuple, export_shards(docs, num_shards=2).select(
+        "doc_id", "shard", "pos").collect()))
+    assert a == b  # stable across runs
+    by_shard = {}
+    for _, shard, pos in a:
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # contiguous 1..n
