@@ -160,6 +160,21 @@ def main() -> None:
             print(f"# scale{SCALE_FACTOR}x {name}: {ts}s ({n} rows)", file=sys.stderr)
         result["scaling"] = {"factor": SCALE_FACTOR, "queries": scaling}
 
+    # emu throughput section: the reference's headline metric is
+    # multi-client queries/sec (BASELINE.md, paper Table 4); run the
+    # bundled template mix for a few seconds of steady state
+    try:
+        from grasper_spark.emu import run_emu
+
+        with open(os.path.join(os.path.dirname(__file__), "configs", "emu_tpch.txt")) as fh:
+            cfg = fh.read()
+        emu = run_emu(g, cfg, max_queries=150)
+        result["emu"] = emu.as_dict()
+        print(f"# emu: {emu.throughput_qps} q/s p50={emu.latency_p50_ms}ms "
+              f"p95={emu.latency_p95_ms}ms", file=sys.stderr)
+    except Exception as ex:  # emu is informational — never fail the bench
+        print(f"# emu skipped: {ex}", file=sys.stderr)
+
     print(json.dumps(result))
 
 

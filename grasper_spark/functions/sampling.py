@@ -66,3 +66,34 @@ def export_shards(
         .withColumn("pos", F.row_number().over(w))
         .drop("_h")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Materialize a dataset as `num_shards` deterministic training
+    shards: shard subdirectories (partitionBy) whose files hold rows in
+    the stable `export_shards` order.
+
+    Scale shape: one shuffle (repartition on shard) + a within-partition
+    sort — no global ordering, no driver collect. Readers stream shard
+    directories independently; `pos` rides along so any reader can
+    verify or re-establish order."""
+    sharded = export_shards(df, id_col, num_shards)
+    (
+        sharded.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )
+
+
+def read_training_shards(spark, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read shards back; per-shard order is recoverable via `pos`."""
+    return spark.read.format(fmt).load(path)

@@ -413,3 +413,29 @@ def test_export_shards_deterministic_and_contiguous(docs):
         by_shard.setdefault(shard, []).append(pos)
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1))  # contiguous 1..n
+
+
+def test_training_shard_roundtrip(docs, tmp_path):
+    from pyspark.sql import SparkSession
+
+    from grasper_spark.functions.sampling import (
+        export_shards,
+        read_training_shards,
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, num_shards=2)
+    spark = SparkSession.getActiveSession()
+    back = read_training_shards(spark, out)
+    want = sorted(
+        map(tuple, export_shards(docs, num_shards=2)
+            .select("doc_id", "shard", "pos").collect())
+    )
+    got = sorted(map(tuple, back.select("doc_id", "shard", "pos").collect()))
+    assert got == want
+    # partitionBy produced one directory per shard
+    import os
+    assert sorted(d for d in os.listdir(out) if d.startswith("shard=")) == [
+        "shard=0", "shard=1"
+    ]
