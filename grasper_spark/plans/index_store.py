@@ -10,13 +10,21 @@ conversion logic /root/reference/core/parser.cpp:991-1081).
 
 Spark-native mapping (not a port): the posting list is a CACHED
 DataFrame of (value, element-core-columns) pairs — distributed, so it
-scales past driver memory where the reference's in-heap map cannot. The
-per-value count relation is a second tiny cached DF; the plan-time
-selectivity probe is a sub-100ms aggregate on it (the same work the
-reference does against count_map at parse time). A converted scan reads
-the in-memory posting relation instead of the base parquet — no scan,
-no decode, properties re-attached lazily only if a later step needs
-them.
+scales past driver memory where the reference's in-heap map cannot.
+The SELECTIVITY GATE, however, is a driver-side probe like the
+reference's in-heap count_map (O(1) per compile, no Spark job):
+
+- small value domains (<= 65536 distinct) collect the (value, count)
+  map once at build time; every predicate evaluates locally;
+- large domains keep only the HEAVY values (count >= ratio*total —
+  at most 1/ratio of them exist by construction) plus the average
+  posting size: eq/within gate exactly on the heavy set and estimate
+  the rest, while range predicates fall back to one tiny aggregate on
+  the cached count relation (the reference's map walk, distributed).
+
+A converted scan reads the in-memory posting relation instead of the
+base parquet — no scan, no decode, properties re-attached lazily only
+if a later step needs them.
 """
 
 from __future__ import annotations
@@ -36,6 +44,11 @@ _ESRC, _EDST, _ELAB, _EP = "_esrc", "_edst", "_el", "_ep_"
 
 RATIO = 0.2  # /root/reference/core/index_store.hpp:17
 
+# value domains up to this size keep their whole count map on the
+# driver (a 65k-entry dict, a few MB); larger domains keep only the
+# heavy hitters + an average estimate
+LOCAL_COUNTS_MAX = 65536
+
 
 @dataclass
 class _Index:
@@ -44,6 +57,45 @@ class _Index:
     total: int         # elements WITH the key + no-key elements
     with_key: int      # elements with a non-null value
     kind: str          # 'V' | 'E'
+    n_distinct: int
+    local_counts: dict | None   # full value→count map (small domains)
+    heavy: dict                 # value→count for count >= RATIO*total
+
+
+def _local_match_count(counts: dict, pred: Pred) -> int | None:
+    """Evaluate a predicate against the driver-side count map; None if
+    the op needs the DF fallback."""
+    op, a = pred.op, list(pred.args)
+    if op == "any":
+        return sum(counts.values())
+    if op == "none":
+        return 0  # nulls are filtered out of the index
+    try:
+        if op == "eq":
+            return counts.get(a[0], 0)
+        if op == "neq":
+            return sum(counts.values()) - counts.get(a[0], 0)
+        if op == "within":
+            return sum(counts.get(x, 0) for x in a)
+        if op == "without":
+            return sum(counts.values()) - sum(counts.get(x, 0) for x in a)
+        if op == "lt":
+            return sum(c for v, c in counts.items() if v < a[0])
+        if op == "lte":
+            return sum(c for v, c in counts.items() if v <= a[0])
+        if op == "gt":
+            return sum(c for v, c in counts.items() if v > a[0])
+        if op == "gte":
+            return sum(c for v, c in counts.items() if v >= a[0])
+        if op == "inside":
+            return sum(c for v, c in counts.items() if a[0] < v < a[1])
+        if op == "outside":
+            return sum(c for v, c in counts.items() if v < a[0] or v > a[1])
+        if op == "between":
+            return sum(c for v, c in counts.items() if a[0] <= v <= a[1])
+    except TypeError:
+        return 0  # cross-type comparison matches nothing
+    return None
 
 
 class IndexStore:
@@ -81,9 +133,20 @@ class IndexStore:
         pairs = pairs.cache()
         counts = pairs.groupBy("_ixval").agg(F.count(F.lit(1)).alias("_cnt")).cache()
         with_key = pairs.count()  # materializes both caches
-        counts.count()
+        n_distinct = counts.count()
         total = src.count()
-        self._m[(element, key)] = _Index(pairs, counts, total, with_key, kind)
+        if n_distinct <= LOCAL_COUNTS_MAX:
+            local = {r["_ixval"]: r["_cnt"] for r in counts.collect()}
+            heavy = {v: c for v, c in local.items() if c >= RATIO * total}
+        else:
+            local = None
+            heavy = {
+                r["_ixval"]: r["_cnt"]
+                for r in counts.filter(F.col("_cnt") >= RATIO * total).collect()
+            }
+        self._m[(element, key)] = _Index(
+            pairs, counts, total, with_key, kind, n_distinct, local, heavy
+        )
 
     def drop(self, element: str, key: str) -> None:
         idx = self._m.pop((element, key), None)
@@ -96,10 +159,21 @@ class IndexStore:
 
     def count_for_pred(self, element: str, key: str, pred: Pred | None) -> int:
         """Match count for the selectivity gate — the count_map probe of
-        IsIndexEnabled (/root/reference/core/index_store.hpp:23-58)."""
+        IsIndexEnabled (/root/reference/core/index_store.hpp:23-58).
+        Driver-side (no Spark job) except large-domain range predicates."""
         idx = self._m[(element, key)]
         if pred is None:
             return idx.with_key
+        if idx.local_counts is not None:
+            n = _local_match_count(idx.local_counts, pred)
+            if n is not None:
+                return n
+        elif pred.op in ("eq", "within"):
+            # large domain: exact for heavy values (the only ones that can
+            # fail the gate), average posting size otherwise
+            vals = [pred.args[0]] if pred.op == "eq" else list(pred.args)
+            avg = idx.with_key // max(idx.n_distinct, 1)
+            return sum(idx.heavy.get(v, avg) for v in vals)
         row = (
             idx.counts.filter(pred_to_condition(pred, F.col("_ixval")))
             .agg(F.coalesce(F.sum("_cnt"), F.lit(0)))
