@@ -34,6 +34,17 @@ def summarize(plan: str):
     return scans, joins, pushed, ex, wsc, py
 
 
+def _contamination_df(spark):
+    from pyspark.sql import functions as F
+
+    from grasper_spark.functions.contamination import contamination_report
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return contamination_report(train, bench, n=3)
+
+
 def main() -> None:
     spark = get_spark("plans-doc", shuffle_partitions=32)
     g = G(load_tpch_graph(spark, SF_DIR))
@@ -95,6 +106,14 @@ def main() -> None:
             "TakeOrderedAndProject(100) finds the boundary value + tie count (tiny, "
             "broadcast); the stream keeps rows past the boundary with a broadcast "
             "filter and resolves boundary ties in a window partitioned on the sort key.",
+        ),
+        (
+            "Benchmark decontamination",
+            'contamination_report(train, bench, n=3)  # every 17th doc is the benchmark',
+            _contamination_df(spark),
+            "Both sides shingle through the codegen'd posexplode+lead path; the "
+            "benchmark side reduces to distinct n-grams (broadcast when small), the "
+            "overlap count is one partial-aggregated groupBy — no all-pairs join.",
         ),
         (
             "project().by() per-traverser branch",
