@@ -47,6 +47,11 @@ def get_spark(
         # long nanos and normalize in the loader (Spark has no nanos type).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Multi-client fairness: concurrent queries (emu mode, notebook
+        # users) round-robin stages instead of FIFO-queueing behind a
+        # long scan — the analogue of the reference master's per-client
+        # scheduling (driver/master.hpp:70-115).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
