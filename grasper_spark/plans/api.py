@@ -87,6 +87,9 @@ class Traversal:
     def coin(self, p: float) -> "Traversal":
         return self._add("coin", p)
 
+    def sample(self, n: int) -> "Traversal":
+        return self._add("sample", n)
+
     # -- traversals
     def out(self, *labels: str) -> "Traversal":
         return self._add("out", *labels)

@@ -394,6 +394,21 @@ class GremlinCompiler:
     def _step_coin(self, s: Stream, p: float) -> Stream:
         return replace(s, df=s.df.sample(fraction=float(p), seed=self.seed))
 
+    def _step_sample(self, s: Stream, n: int) -> Stream:
+        """sample(n) (extension — TinkerPop semantics, not in the
+        reference's 43-step whitelist): keep n pseudorandomly chosen
+        traversers. Deterministic and engine-stable: rank by a seeded
+        xxhash64 of the stream columns and take the top n — compiles to
+        TakeOrderedAndProject (per-partition top-k, no global sort and
+        no single-partition window). Identical traversers hash equally,
+        so exact duplicates are kept or cut together at the boundary."""
+        cols = [F.col(c) for c in s.df.columns]
+        ranked = s.df.withColumn("_smp", F.xxhash64(F.lit(self.seed), *cols))
+        df = ranked.orderBy("_smp", *[F.col(c) for c in s.df.columns[:1]]).limit(
+            int(n)
+        ).drop("_smp")
+        return replace(s, df=df)
+
     # ---------- traversals ----------
 
     def _expand(self, s: Stream, elabels: tuple[str, ...], direction: str, to: str) -> Stream:

@@ -23,7 +23,7 @@ PRED_NAMES = {
 
 STEP_NAMES = {
     "V", "E", "has", "hasNot", "hasKey", "hasValue", "hasLabel", "is",
-    "where", "coin", "out", "in", "both", "outE", "inE", "bothE", "outV",
+    "where", "coin", "sample", "out", "in", "both", "outE", "inE", "bothE", "outV",
     "inV", "bothV", "values", "label", "key", "properties", "as", "select",
     "aggregate", "cap", "count", "sum", "max", "min", "mean", "group",
     "groupCount", "dedup", "order", "range", "limit", "skip", "union", "path",

@@ -628,3 +628,17 @@ def test_union_branch_barriers(g):
         g.V().hasLabel("person").values("age").aggregate("x")
         .union(A.cap("x"), A.cap("x"))
     ) == ["x:[27, 29, 32, 35]", "x:[27, 29, 32, 35]"]
+
+
+def test_sample_deterministic_subset(g):
+    # sample(n): n pseudorandom traversers, deterministic per seed,
+    # always a subset of the unsampled stream (extension step)
+    full = set(vals(g.V().values("name")))
+    s1 = vals(g.V().sample(3).values("name"))
+    s2 = vals(g.V().sample(3).values("name"))
+    assert s1 == s2 and len(s1) == 3 and set(s1) <= full
+    # string-query surface
+    s3 = sorted(r[0] for r in g.query('g.V().sample(3).values("name")').collect())
+    assert s3 == s1
+    # n >= stream size keeps everything
+    assert len(vals(g.V().sample(100))) == 6
