@@ -205,3 +205,40 @@ def test_streaming_edge_ingestion(spark, tmp_path):
         for r in degree_updates(edges).collect()
     }
     assert got == want
+
+
+def test_streaming_curation_gates_and_dedup(spark, tmp_path):
+    # streaming twin of curate(): junk dropped, duplicates collapsed,
+    # audit columns present — matches the batch gates on the same data
+    from grasper_spark.functions.text import quality_score
+    from grasper_spark.streaming.curation import curate_stream
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+        (2, "the quick  brown fox jumps over the lazy dog and runs far away home"),
+        (3, "!!! ??? ,,, ;;; ### $$$"),  # punctuation junk → low quality
+        (4, "der hund und die katze das ist der test und der hund ist gut"),  # de
+    ]
+    src = str(tmp_path / "curate_stream")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        curate_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curate_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("select * from curate_out").collect()
+    # doc 3 fails quality, doc 4 fails language, 1/2 collapse to one
+    assert len(out) == 1 and out[0].doc_id in (1, 2)
+    assert {"lang_pred", "quality", "n_tokens", "fingerprint"} <= set(
+        out[0].asDict()
+    )
+    # gates agree with the batch scorer
+    batch = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    ).collect()
+    assert {r.doc_id: r.q >= 0.3 for r in batch}[3] is False
