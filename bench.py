@@ -43,9 +43,19 @@ HEADLINE = [
 ]
 
 
-#: queries re-timed at SCALE_FACTOR× the corpus to demonstrate observed
-#: (not just argued) sub-quadratic scaling of the pipeline operators
-SCALE_QUERIES = ["doc_minhash_sig", "doc_neardup_jaccard", "doc_curation"]
+#: queries re-timed at SCALE_FACTOR× the data to demonstrate observed
+#: (not just argued) sub-quadratic scaling: pipeline operators over a
+#: salted factor× corpus, graph traversals over factor× orders/lineitem
+#: (the fact tables; dimension tables keep their cardinality, so edge
+#: growth is linear like a real workload's)
+SCALE_QUERIES = [
+    "doc_minhash_sig",
+    "doc_neardup_jaccard",
+    "doc_curation",
+    "g_and",
+    "g_aggregate_without",
+    "g_q4_dedup_count",
+]
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALING", "10"))
 
 
@@ -87,6 +97,32 @@ def _ensure_scaled(spark, sf_dir: str, factor: int) -> str:
         .drop("_rep")
     )
     scaled.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    # graph side: replicate the FACT tables (orders, lineitem) with
+    # shifted order keys — OFF_ORDER is the top vid band, so factor×
+    # keys cannot collide with another entity space; dimension tables
+    # copy through unchanged (degree grows linearly, like real data)
+    reps = spark.range(factor).withColumnRenamed("id", "_rep")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (
+        orders.crossJoin(reps)
+        .withColumn("o_orderkey", F.col("o_orderkey") * factor + F.col("_rep"))
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    (
+        lineitem.crossJoin(reps)
+        .withColumn("l_orderkey", F.col("l_orderkey") * factor + F.col("_rep"))
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+    for tbl in ("region", "nation", "customer", "supplier", "part", "events", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{tbl}.parquet"
+        )
     with open(marker, "w") as f:
         f.write("ok\n")
     return out
@@ -142,6 +178,10 @@ def main() -> None:
         # SCALE_FACTOR× corpus; ratio ≈ factor ⇒ linear, ratio ≈ factor²
         # ⇒ quadratic. Not part of the headline (different data scale).
         scaled_dir = _ensure_scaled(spark, sf_dir, SCALE_FACTOR)
+        # warm the scaled graph snapshot/cache like the base load did —
+        # otherwise the first scaled graph query pays one-time cache
+        # population and the ratio measures warmup, not the operator
+        entry._graph(spark, scaled_dir).graph.vertices.count()
         scaling: dict[str, dict] = {}
         for name in SCALE_QUERIES:
             tb = times.get(name)
@@ -149,9 +189,13 @@ def main() -> None:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).count()
                 tb = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            n = qs[name](spark, scaled_dir).count()
-            ts = round(time.perf_counter() - t0, 3)
+            ts, n = None, 0
+            for _ in range(2):  # best-of-2, matching the headline timing
+                t0 = time.perf_counter()
+                n = qs[name](spark, scaled_dir).count()
+                dt = time.perf_counter() - t0
+                ts = dt if ts is None else min(ts, dt)
+            ts = round(ts, 3)
             scaling[name] = {
                 "base_s": tb,
                 "scaled_s": ts,
