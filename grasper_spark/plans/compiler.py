@@ -737,10 +737,34 @@ class GremlinCompiler:
     def _step_mean(self, s: Stream) -> Stream:
         return self._math(s, "mean")
 
-    def _group_key(self, s: Stream, key: Optional[str]) -> tuple[Stream, Column, str]:
+    def _group_key(self, s: Stream, key) -> tuple[Stream, Column, str]:
         if key is None:
             return s, s.val(), ("long" if s.kind in ("V", "E") else s.dtype or "string")
+        if isinstance(key, tuple):
+            return self._by_branch_col(s, key)
         return self._prop_col(s, key)
+
+    def _by_branch_col(self, s: Stream, steps: tuple) -> tuple[Stream, Column, str]:
+        """Per-traverser value of a by(sub-traversal) modulator — the
+        same content-hash-tid machinery as project's traversal by():
+        one partial-aggregated groupBy on the tid + one join back.
+        Multi-valued branches keep the MINIMUM value (deterministic
+        stand-in for Gremlin's arbitrary 'first'); traversers whose
+        branch yields nothing drop (by()'s fast-nothing semantics)."""
+        tagged, tcol = self._tagged(s)
+        res = self.compile(list(steps), start=tagged)
+        if res.kind == "G":
+            raise CompileError("by(): sub-traversal must be element- or scalar-valued")
+        dt = "long" if res.kind in ("V", "E") else (res.dtype or "string")
+        bc = f"_by{next(_uid)}"
+        sub = res.df.groupBy(tcol).agg(F.min(res.val()).alias(bc))
+        df = tagged.df.join(sub, tcol, "inner").drop(tcol)
+        hist = {k: v for k, v in tagged.history.items() if v != tcol}
+        out = replace(
+            s, df=df, history=hist,
+            group_cols=[c for c in tagged.group_cols if c != tcol],
+        )
+        return out, F.col(bc), dt
 
     def _step_groupCount(self, s: Stream, key: Optional[str] = None, relational: bool = False) -> Stream:
         # group → "key:count" strings (/root/reference/expert/barrier_expert.hpp:605-730)
@@ -822,15 +846,19 @@ class GremlinCompiler:
         dedup = replace(s, df=s.df.select(*keys).distinct())
         return self._step_count(dedup)
 
-    def _step_order(self, s: Stream, key: Optional[str] = None, asc: bool = True) -> Stream:
+    def _step_order(self, s: Stream, key=None, asc: bool = True) -> Stream:
         # global sort; keyed order drops elements missing the key
-        # (/root/reference/expert/barrier_expert.hpp:745-858)
+        # (/root/reference/expert/barrier_expert.hpp:745-858);
+        # order().by(sub-traversal) sorts by the per-traverser branch value
         if key is None:
             if s.kind == "S":
                 return replace(s, sort=[(VAL, asc)])
             oc = ORD + str(next(_uid))
             return replace(s, df=s.df.withColumn(oc, s.val()), sort=[(oc, asc)])
-        s, col, _ = self._prop_col(s, key)
+        if isinstance(key, tuple):
+            s, col, _ = self._by_branch_col(s, key)
+        else:
+            s, col, _ = self._prop_col(s, key)
         oc = ORD + str(next(_uid))
         df = s.df.filter(col.isNotNull()).withColumn(oc, col)
         return replace(s, df=df, sort=[(oc, asc)])

@@ -163,14 +163,16 @@ def fold_by(prev: Step, args: tuple) -> Step:
         for a in args:
             if isinstance(a, tuple) and len(a) == 2 and a[0] == "ORDER":
                 asc = a[1]
-            elif isinstance(a, str):
-                key = a
+            elif isinstance(a, (str, tuple)):
+                key = a  # property key or sub-traversal
             else:
                 raise ParseError(f"order().by() takes a key and/or incr|decr, got {a!r}")
         return Step("order", (key, asc))
     if prev.name in ("group", "groupCount"):
-        if len(args) != 1 or not isinstance(args[0], str):
-            raise ParseError(f"{prev.name}().by() takes one property key")
+        if len(args) != 1 or not isinstance(args[0], (str, tuple)):
+            raise ParseError(
+                f"{prev.name}().by() takes one property key or sub-traversal"
+            )
         nslots = 2 if prev.name == "group" else 1
         slots = list(prev.args[:nslots]) + [None] * (nslots - len(prev.args[:nslots]))
         rest = tuple(prev.args[nslots:])  # trailing relational flag, if any

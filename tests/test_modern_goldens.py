@@ -642,3 +642,22 @@ def test_sample_deterministic_subset(g):
     assert s3 == s1
     # n >= stream size keeps everything
     assert len(vals(g.V().sample(100))) == 6
+
+
+def test_by_traversal_modulators(g):
+    # by(sub-traversal) on group/groupCount/order: per-traverser branch
+    # value via the tid machinery; traversers with an empty branch drop
+    assert vals(
+        g.V().hasLabel("person").groupCount().by(A.out("created").count())
+    ) == ["1:2", "2:1"]
+    assert vals(
+        g.V().hasLabel("person").group().by(A.out().count()).by(A.values("name"))
+    ) == ["1:[peter]", "2:[josh]", "3:[marko]"]
+    # ordered by branch value descending — vadas (0 created) drops
+    got = [
+        r[0]
+        for r in g.query(
+            'g.V().hasLabel("person").order().by(out().count(), decr).values("name")'
+        ).collect()
+    ]
+    assert got == ["marko", "josh", "peter"]
