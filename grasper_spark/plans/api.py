@@ -224,6 +224,9 @@ class Traversal:
     def not_(self, branch: "Traversal") -> "Traversal":
         return self._add("not", _steps_of(branch))
 
+    def match(self, *patterns: "Traversal") -> "Traversal":
+        return self._add("match", *[_steps_of(p) for p in patterns])
+
     def optional(self, branch: "Traversal") -> "Traversal":
         return self._add("optional", _steps_of(branch))
 

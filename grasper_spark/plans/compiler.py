@@ -999,21 +999,24 @@ class GremlinCompiler:
     _NUM_DTYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
 
     def _align_union(self, streams: list[Stream]) -> Stream:
+        # io_type parity: the reference parser rejects ill-typed branch
+        # merges at plan time (core/parser.cpp:161-215) — CompileError
+        # here, not an analysis error deep inside unionByName
         kinds = {st.kind for st in streams}
-        assert len(kinds) == 1, f"union branches must share output type: {kinds}"
+        if len(kinds) != 1:
+            raise CompileError(f"union branches must share output type: {kinds}")
         kind = kinds.pop()
         if kind == "S":
-            # io_type parity: the reference parser rejects ill-typed branch
-            # merges at plan time (core/parser.cpp:161-215); numeric widths
-            # may mix (Spark coerces), numeric-vs-string may not.
+            # numeric widths may mix (Spark coerces); numeric-vs-string may not
             classes = {
                 "num" if st.dtype.startswith(self._NUM_DTYPES) else st.dtype
                 for st in streams
                 if st.dtype is not None
             }
-            assert len(classes) <= 1, (
-                f"union branches must share scalar dtype, got {classes}"
-            )
+            if len(classes) > 1:
+                raise CompileError(
+                    f"union branches must share scalar dtype, got {sorted(classes)}"
+                )
         shared_hist = set.intersection(*[set(st.history) for st in streams])
         hist = {lb: streams[0].history[lb] for lb in shared_hist}
         core = streams[0].core_cols() if kind != "E" else [ESRC, EDST, ELAB] + [
@@ -1169,6 +1172,133 @@ class GremlinCompiler:
             df=took.unionByName(kept), kind=s.kind, dtype=s.dtype, props=False,
             history=shared_hist,
             group_cols=[c for c in s.group_cols if c != tcol],
+        )
+
+    def _reposition(self, s: Stream, label: str) -> Stream:
+        """Move the traverser back to the vertex bound at `label`
+        (TinkerPop select('x') traverser semantics, used by match())."""
+        if label not in s.history:
+            raise CompileError(f"match: unknown binding '{label}'")
+        df = s.df.select(*s.hist_cols(), F.col(s.history[label]).alias(VCOL))
+        return Stream(
+            df=df, kind="V", props=False, history=dict(s.history),
+            hist_dtype=dict(s.hist_dtype), group_cols=list(s.group_cols),
+        )
+
+    def _step_match(self, s: Stream, *patterns: Sequence[Step]) -> Stream:
+        """match(p1, p2, …): multi-pattern binding join (extension — the
+        reference has no match(); TinkerPop-style, SURVEY.md §2.7).
+
+        Each pattern is an anonymous traversal whose first step is
+        as('x') — the start binding. A pattern ending with as('y') binds
+        y to its end position if y is unbound, else becomes an equality
+        constraint against the existing binding. A pattern with no
+        trailing as() is a pure filter anchored at its start binding.
+
+        The first pattern's start label binds to the incoming traverser.
+        Remaining patterns run forward-chained where possible (start
+        label already bound — the traverser repositions there, so
+        filters push down into the pattern); a pattern whose start is
+        never bound forward (e.g. the classic co-creator
+        ``match(as('a').out('created').as('c'),
+        as('b').out('created').as('c'))``) compiles from a full vertex
+        scan instead and joins the binding relation on its shared
+        labels — a BGP equi-join Catalyst is free to reorder. A pattern
+        sharing NO label with the relation is a cartesian product and
+        raises CompileError. Multiplicity follows join semantics: one
+        row per derivation, exactly what the relational twin produces —
+        downstream dedup()/count() behave like the equivalent SQL.
+        """
+        pats = [list(p) for p in patterns]
+        if not pats:
+            raise CompileError("match: needs at least one pattern")
+        for p in pats:
+            if not p or p[0].name != "as" or len(p) < 2:
+                raise CompileError(
+                    "match: every pattern must start with as('label') "
+                    "and have at least one more step"
+                )
+        #: label → 'V' (vertex vid — can anchor a pattern) | 'S' (scalar)
+        bind_kind: dict[str, str] = {
+            lb: "V" for lb in s.history if not lb.startswith("_")
+        }
+        first = pats[0][0].args[0]
+        if first in s.history:
+            cur = self._reposition(s, first)
+        else:
+            if s.kind != "V":
+                raise CompileError("match: input stream must be vertices")
+            cur = self._step_as(s, first)
+        bind_kind[first] = "V"
+        # seed: first pattern's body runs from the incoming traverser
+        pending = [pats[0][1:]] + [list(p) for p in pats[1:]]
+        seeded = True
+        while pending:
+            if seeded:
+                body, seeded = pending.pop(0), False
+            else:
+                idx = next(
+                    (i for i, p in enumerate(pending)
+                     if bind_kind.get(p[0].args[0]) == "V"), None,
+                )
+                if idx is None:
+                    cur = self._match_floating(cur, pending.pop(0), bind_kind)
+                    continue
+                p = pending.pop(idx)
+                body = p[1:]
+                cur = self._reposition(cur, p[0].args[0])
+            constrain = None
+            if body and body[-1].name == "as":
+                end_label = body[-1].args[0]
+                if end_label in bind_kind:
+                    body, constrain = body[:-1], end_label
+            res = self.compile(body, start=cur) if body else cur
+            if constrain is not None:
+                res = replace(
+                    res,
+                    df=res.df.filter(
+                        res.val() == F.col(res.history[constrain])
+                    ),
+                )
+            for lb in res.history:
+                if not lb.startswith("_") and lb not in bind_kind:
+                    # vid-typed bindings can anchor later patterns;
+                    # scalar bindings stay select()-able only
+                    bind_kind[lb] = (
+                        "V"
+                        if res.hist_dtype.get(lb, "bigint") == "bigint"
+                        else "S"
+                    )
+            cur = res
+        return cur
+
+    def _match_floating(
+        self, cur: Stream, pat: list, bind_kind: dict[str, str]
+    ) -> Stream:
+        """A match() pattern with no forward-bound start: compile it
+        standalone from a full V() scan and equi-join its binding
+        relation with the accumulated one on the shared labels."""
+        res = self.compile([Step("V")] + pat)
+        new_labels = [lb for lb in res.history if not lb.startswith("_")]
+        shared = [lb for lb in new_labels if lb in bind_kind]
+        if not shared:
+            raise CompileError(
+                f"match: pattern starting at '{pat[0].args[0]}' shares no "
+                f"bound label with the preceding patterns (cartesian)"
+            )
+        rel = res.df.select(*[res.history[lb] for lb in new_labels])
+        on = [res.history[lb] for lb in shared]  # same _as_* names both sides
+        hist = dict(cur.history)
+        hdt = dict(cur.hist_dtype)
+        for lb in new_labels:
+            hist[lb] = res.history[lb]
+            hdt.setdefault(lb, res.hist_dtype.get(lb, "bigint"))
+            if lb not in bind_kind:
+                bind_kind[lb] = (
+                    "V" if res.hist_dtype.get(lb, "bigint") == "bigint" else "S"
+                )
+        return replace(
+            cur, df=cur.df.join(rel, on, "inner"), history=hist, hist_dtype=hdt
         )
 
     def _step_and(self, s: Stream, *branches: Sequence[Step]) -> Stream:

@@ -28,6 +28,7 @@ STEP_NAMES = {
     "aggregate", "cap", "count", "sum", "max", "min", "mean", "group",
     "groupCount", "dedup", "order", "range", "limit", "skip", "union", "path",
     "repeat", "and", "or", "not", "optional", "choose", "project", "by",
+    "match",
 }
 
 # steps whose string args are python-reserved in the fluent API
@@ -120,7 +121,7 @@ def _parse_step(tok: str) -> Step:
             else:
                 key = a
         return Step("order", (key, asc))
-    if name in ("and", "or", "union"):
+    if name in ("and", "or", "union", "match"):
         return Step(name, tuple(tuple(a) if isinstance(a, tuple) else a for a in raw_args))
     if name in ("not", "repeat", "optional"):
         return Step(name, (tuple(raw_args[0]),))

@@ -661,3 +661,74 @@ def test_by_traversal_modulators(g):
         ).collect()
     ]
     assert got == ["marko", "josh", "peter"]
+
+
+def test_match_forward_chain(g):
+    # a knows b, b older than 30 → only marko→josh
+    got = vals(
+        g.V().match(
+            A.as_("a").out("knows").as_("b"),
+            A.as_("b").has("age", P.gt(30)),
+        ).select("a", "b")
+    )
+    assert got == ["[a:1, b:4]"]
+
+
+def test_match_cocreator_floating(g):
+    # the classic BGP: a and b created the same software — pattern 2's
+    # start is never bound forward, so it joins on the shared 'c'
+    got = vals(
+        g.V().match(
+            A.as_("a").out("created").as_("c"),
+            A.as_("b").out("created").as_("c"),
+        ).where("a", P.neq("b")).select("a", "b")
+    )
+    assert got == [
+        "[a:1, b:4]", "[a:1, b:6]", "[a:4, b:1]",
+        "[a:4, b:6]", "[a:6, b:1]", "[a:6, b:4]",
+    ]
+
+
+def test_match_solver_reorder(g):
+    # pattern 2 anchors at 'c', which only pattern 3 binds — the solver
+    # defers it; software has lang=java so both (b,c) rows survive
+    got = vals(
+        g.V().match(
+            A.as_("a").out("knows").as_("b"),
+            A.as_("c").has("lang", "java"),
+            A.as_("b").out("created").as_("c"),
+        ).select("a", "b", "c")
+    )
+    assert got == ["[a:1, b:4, c:3]", "[a:1, b:4, c:5]"]
+
+
+def test_match_string_parser(g):
+    got = sorted(
+        r[0]
+        for r in g.query(
+            'g.V().match(as("a").out("knows").as("b"), '
+            'as("b").has("age", gt(30))).select("a", "b")'
+        ).collect()
+    )
+    assert got == ["[a:1, b:4]"]
+
+
+def test_match_cartesian_rejected(g):
+    from grasper_spark.plans.compiler import CompileError
+    import pytest
+
+    with pytest.raises(CompileError, match="cartesian"):
+        g.V().match(
+            A.as_("a").out("knows").as_("b"),
+            A.as_("x").out("created").as_("y"),
+        ).select("a", "x").df()
+
+
+def test_union_dtype_mismatch_is_plan_time(g):
+    # numeric-vs-string branch merge must fail at compile, not deep in
+    # Spark analysis (reference parser io_type parity)
+    from grasper_spark.plans.compiler import CompileError
+    import pytest
+
+    with pytest.raises(CompileError, match="scalar dtype"):
+        g.V().union(A.values("age"), A.values("name")).df()
