@@ -147,13 +147,13 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
+def band_buckets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via banded MinHash, verified by
-    exact shingle-Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    """(id, b, h) — one row per (doc, LSH band): h = md5 of the band's
+    minhash slice. Docs sharing (b, h) are near-dup candidates. The
+    shared kernel of minhash_lsh_pairs and the streaming near-dedup."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = [
@@ -164,13 +164,23 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select(id_col, *band_cols)
-    buckets = banded.select(
+    return banded.select(
         F.col(id_col),
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("h"))
                       for b in range(bands)])
         ).alias("bk"),
     ).select(id_col, "bk.b", "bk.h")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash, verified by
+    exact shingle-Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    buckets = band_buckets(df, text_col, id_col, num_hashes, bands, shingle_n)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.h") == F.col("b.h"))
@@ -258,6 +268,108 @@ def _verify_jaccard(
         )
     )
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def neardup_keep_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, kept) — arrival-order LSH near-dedup: a doc is kept iff
+    NO earlier doc (smaller id = earlier arrival) claimed any of its
+    band buckets. The batch twin of streaming.neardup — identical
+    semantics when docs stream in id order, and the DuckDB-oracle-able
+    definition of "first-seen wins".
+
+    Scale: one groupBy over the bucket relation (first owner per
+    bucket) + one groupBy per doc — two key-bounded shuffles, no pair
+    join at all (this is the *decision* operator; pair evidence is
+    minhash_lsh_pairs).
+    """
+    buckets = band_buckets(df, text_col, id_col, num_hashes, bands, shingle_n)
+    first = buckets.groupBy("b", "h").agg(F.min(id_col).alias("_owner"))
+    earliest = (
+        buckets.join(first, ["b", "h"], "inner")
+        .groupBy(id_col)
+        .agg(F.min("_owner").alias("_first"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(earliest, id_col, "left")
+        .select(
+            F.col(id_col),
+            (F.coalesce("_first", F.col(id_col)) == F.col(id_col)).alias("kept"),
+        )
+    )
+
+
+def dedup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    threshold: float = 0.5, max_iter: int = 10,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: (doc_id, cluster_id, is_canonical).
+
+    Connected components over the verified banded-LSH pair graph
+    (minhash_lsh_pairs — bucketed candidates, never all-pairs);
+    cluster_id = smallest doc_id in the component (the canonical doc a
+    curation pipeline keeps), singletons are their own cluster. This is
+    the operator that turns pairwise near-dup evidence into the actual
+    keep/drop decision — transitive closure matters because A~B and B~C
+    must collapse to ONE kept doc even when A~C is below threshold.
+
+    Scale: the CC loop runs only over docs appearing in ≥1 pair (a small
+    minority of a real corpus); each superstep is one join + one groupBy
+    shuffle, min-label propagation converges in O(log n) rounds; the
+    pair list is materialized once (localCheckpoint) so supersteps don't
+    recompute the LSH join.
+    """
+    pairs = (
+        minhash_lsh_pairs(
+            df, text_col, id_col, num_hashes, bands, shingle_n, threshold
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    fwd = pairs.select(F.col("id_a").alias("_s"), F.col("id_b").alias("_d"))
+    adj = fwd.unionByName(
+        pairs.select(F.col("id_b").alias("_s"), F.col("id_a").alias("_d"))
+    )
+    labels = (
+        adj.select(F.col("_s").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for i in range(max_iter):
+        msgs = (
+            labels.alias("l")
+            .join(adj.alias("a"), F.col("l.id") == F.col("a._s"), "inner")
+            .select(F.col("a._d").alias("id"), F.col("l.component").alias("component"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        if (i + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return (
+        df.select(F.col(id_col))
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias(
+                "is_canonical"
+            ),
+        )
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -1,6 +1,7 @@
 """Structured Streaming surfaces (green-field — the reference is
 batch-only, SURVEY.md §2.7)."""
 
+from grasper_spark.streaming.neardup import neardup_foreach_batch, neardup_stream
 from grasper_spark.streaming.windows import (
     read_events_stream,
     sessionize_batch,
@@ -13,4 +14,6 @@ __all__ = [
     "windowed_counts",
     "windowed_counts_batch",
     "sessionize_batch",
+    "neardup_foreach_batch",
+    "neardup_stream",
 ]

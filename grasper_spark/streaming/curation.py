@@ -6,9 +6,11 @@ watermark-bounded fingerprint state of `dedup_stream`.
 This is the ingest-time shape of a training-data pipeline: documents
 arrive continuously, junk is dropped before it is ever stored, and the
 only state held is the dedup fingerprint set inside the watermark
-horizon. Near-dup removal (MinHash-LSH) is deliberately NOT streamed —
-it is a corpus-level join, run as a periodic batch compaction over the
-curated output (`functions.curation.curate` with a threshold).
+horizon. Near-dup removal (MinHash-LSH) does not fit a single stateful
+operator (OR-across-band-buckets); it streams as micro-batch
+incremental compaction against a persistent bucket store — see
+streaming/neardup.py — or periodically in batch over the curated
+output (`functions.curation.curate` with a threshold).
 """
 
 from __future__ import annotations

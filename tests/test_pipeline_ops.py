@@ -439,3 +439,30 @@ def test_training_shard_roundtrip(docs, tmp_path):
     assert sorted(d for d in os.listdir(out) if d.startswith("shard=")) == [
         "shard=0", "shard=1"
     ]
+
+
+def test_dedup_clusters_transitive(spark):
+    from grasper_spark.functions.dedup import dedup_clusters
+
+    # chain X~Y~Z where j(X,Y)=j(Y,Z)=0.8 but j(X,Z)=0.636 < threshold:
+    # only the two adjacent pairs exist, so Z reaches X's cluster ONLY
+    # via transitive closure; unrelated + short docs stay singletons
+    X = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Y = "alpha beta gamma delta epsilon zeta eta theta iota OMEGA"
+    Z = "SIGMA beta gamma delta epsilon zeta eta theta iota OMEGA"
+    chain = spark.createDataFrame(
+        [(10, X), (11, Y), (12, Z),
+         (20, "unrelated text about distributed query engines entirely"),
+         (30, "short")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup_clusters(
+               chain, threshold=0.7, shingle_n=2, bands=16).collect()}
+    assert out[10] == (10, True)
+    assert out[11] == (10, False)
+    assert out[12] == (10, False)  # rides the chain via 11 (no 10~12 pair)
+    assert out[20] == (20, True)
+    assert out[30] == (30, True)
+    canon = [d for d, (c, k) in out.items() if k]
+    assert sorted(canon) == [10, 20, 30]

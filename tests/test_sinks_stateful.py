@@ -242,3 +242,44 @@ def test_streaming_curation_gates_and_dedup(spark, tmp_path):
         "doc_id", quality_score(F.col("text")).alias("q")
     ).collect()
     assert {r.doc_id: r.q >= 0.3 for r in batch}[3] is False
+
+
+def test_streaming_neardup_matches_batch_twin(spark, tmp_path):
+    # micro-batch LSH near-dedup against a persistent bucket store must
+    # equal the arrival-order batch twin when docs stream in id order
+    from grasper_spark.functions.dedup import neardup_keep_flags
+    from grasper_spark.streaming.neardup import neardup_stream
+
+    X = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Y = "alpha beta gamma delta epsilon zeta eta theta iota OMEGA"
+    Z = "SIGMA beta gamma delta epsilon zeta eta theta iota OMEGA"
+    batch1 = [(10, X), (11, Y)]
+    batch2 = [(12, Z), (20, "unrelated text about engines and files")]
+    kw = dict(bands=16, shingle_n=2)
+
+    src = str(tmp_path / "nd_src")
+    store = str(tmp_path / "nd_store")
+    sink = str(tmp_path / "nd_sink")
+    ckpt = str(tmp_path / "nd_ckpt")
+    spark.createDataFrame(batch1, ["doc_id", "text"]).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = neardup_stream(stream, store, sink, ckpt, **kw)
+    try:
+        q.processAllAvailable()
+        # second batch arrives later: 12 must drop via the STORE hit
+        # (its near-neighbor 11 was dropped in batch 1 but left buckets)
+        spark.createDataFrame(batch2, ["doc_id", "text"]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept_stream = sorted(
+        r.doc_id for r in spark.read.parquet(sink).select("doc_id").collect()
+    )
+    assert kept_stream == [10, 20]  # 11 in-batch dup, 12 cross-batch dup
+
+    all_docs = spark.createDataFrame(batch1 + batch2, ["doc_id", "text"])
+    twin = sorted(
+        r.doc_id for r in neardup_keep_flags(all_docs, **kw).filter("kept").collect()
+    )
+    assert twin == kept_stream
