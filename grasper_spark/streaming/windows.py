@@ -32,9 +32,17 @@ EVENT_SCHEMA = T.StructType(
 def _normalize_ts(df: DataFrame) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS); with
     spark.sql.legacy.parquet.nanosAsLong it reads as long — truncate to
-    micros (exactly what DuckDB does) and cast to timestamp."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    micros (exactly what DuckDB does) and cast to timestamp.
+
+    Micros-precision files without a UTC flag read as TIMESTAMP_NTZ
+    under Spark's parquet NTZ inference; normalize to TIMESTAMP (session
+    tz is pinned to UTC, so the cast is exact) so downstream time
+    arithmetic (unix_micros, watermarks) sees one type."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -49,9 +57,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over `{sf_dir}/events.parquet` (same contract
     as load_events — pointing at the whole sf dir would ingest every
     table under the events schema)."""
-    schema = T.StructType(
-        [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENT_SCHEMA]
-    )
+    # A file stream needs an explicit schema. Borrow it from a batch read
+    # of the same file so the ts physical type (nanos→bigint under
+    # nanosAsLong, micros→TIMESTAMP_NTZ, or plain TIMESTAMP) matches
+    # whatever the driver generated; _normalize_ts converges all three.
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source needs a DIRECTORY; glob-filter to the events
     # table so sibling tables aren't ingested under this schema
     return _normalize_ts(
