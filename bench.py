@@ -29,7 +29,7 @@ HEADLINE = [
     "g_and",
     "g_filter_counts",
     "g_union",
-    "g_order_limit",
+    "g_order_slice",
     "g_groupcount_rel",
     # training-data pipeline
     "doc_minhash_sig",
