@@ -403,8 +403,12 @@ def _q_doc_chunks(spark, sf):
     )
 
 
-def _q_doc_text_stats(spark, sf):
-    from grasper_spark.functions.text import punct_ratio, quality_score, stopword_ratio
+def _q_doc_text_lang(spark, sf):
+    # text-quality stats + language-ID in one per-doc projection (one
+    # ledger entry, four text operators — all scan-speed SQL expressions)
+    from grasper_spark.functions.text import (
+        lang_id, punct_ratio, quality_score, stopword_ratio,
+    )
 
     t = F.col("text")
     return _docs(spark, sf).select(
@@ -412,13 +416,29 @@ def _q_doc_text_stats(spark, sf):
         punct_ratio(t).alias("punct_ratio"),
         stopword_ratio(t).alias("stopword_ratio"),
         quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
     )
 
 
-def _q_doc_lang_id(spark, sf):
-    from grasper_spark.functions.text import lang_id
+def _q_doc_line_dedup(spark, sf):
+    # cross-corpus line-level dedup (C4/CCNet boilerplate strip). The
+    # synthetic corpus is single-line, so re-segment every doc into
+    # deterministic 8-token lines first — near-dup docs share whole
+    # windows, making the hot-line strip non-vacuous (~9% of lines drop
+    # at sf0.01)
+    from grasper_spark.functions.dedup import line_dedup
+    from grasper_spark.functions.text import tokens
 
-    return _docs(spark, sf).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    t = tokens(F.col("text"))
+    n = F.greatest(F.ceil(F.size(t) / F.lit(8.0)).cast("int"), F.lit(1))
+    lines_arr = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(t, (i - F.lit(1)) * F.lit(8) + F.lit(1), F.lit(8)), " "),
+    )
+    seg = _docs(spark, sf).select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("text")
+    )
+    return line_dedup(seg, max_df=2)
 
 
 def _q_doc_exact_dedup(spark, sf):
@@ -673,8 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_dedup_cap": _q_g_dedup_cap,
         "g_match": _q_g_match,
         "doc_tokens_fp": _q_doc_tokens_fp,
-        "doc_text_stats": _q_doc_text_stats,
-        "doc_lang_id": _q_doc_lang_id,
+        "doc_text_lang": _q_doc_text_lang,
+        "doc_line_dedup": _q_doc_line_dedup,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_minhash_sig": _q_doc_minhash_sig,
         "doc_simhash": _q_doc_simhash,
@@ -825,13 +845,6 @@ def _votes_cte() -> str:
         f"SELECT *, {v['en']} AS v_en, {v['de']} AS v_de, "
         f"{v['es']} AS v_es, {v['fr']} AS v_fr FROM documents"
     )
-
-
-def _lang_id_oracle() -> str:
-    return f"""
-WITH votes AS ({_votes_cte()})
-SELECT doc_id, {_LANG_CASE} AS lang_pred FROM votes
-"""
 
 
 def _curation_oracle() -> str:
@@ -1288,15 +1301,40 @@ SELECT doc_id, (hv % 8)::INTEGER AS shard,
        (row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id))::INTEGER AS pos
 FROM h
 """,
-        "doc_text_stats": f"""
+        "doc_text_lang": f"""
+WITH votes AS ({_votes_cte()})
 SELECT doc_id,
   {_PUNCT_RATIO} AS punct_ratio,
   {_SW_RATIO} AS stopword_ratio,
   round((0.5 * least({_NTOK} / 50.0, 1.0) + 0.4 * least({_SW_RATIO} * 5.0, 1.0))
-        * (1.0 - 0.3 * least({_PUNCT_RATIO} * 10.0, 1.0)), 6) AS quality
-FROM documents
+        * (1.0 - 0.3 * least({_PUNCT_RATIO} * 10.0, 1.0)), 6) AS quality,
+  {_LANG_CASE} AS lang_pred
+FROM votes
 """,
-        "doc_lang_id": _lang_id_oracle(),
+        "doc_line_dedup": rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), lines AS (
+  SELECT doc_id, i AS pos, array_to_string(t[(i-1)*8+1:i*8], ' ') AS ln
+  FROM toks,
+       unnest(generate_series(1, greatest(cast(ceil(len(t)/8.0) AS INT), 1))) AS u(i)
+), hot AS (
+  SELECT lower(trim(ln)) AS norm FROM lines WHERE length(trim(ln)) > 0
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT l.* FROM lines l LEFT JOIN hot h ON lower(trim(l.ln)) = h.norm
+  WHERE h.norm IS NULL
+), packed AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text_kept,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(p.text_kept, '') AS text,
+       t.n_lines::BIGINT AS n_lines, coalesce(p.n_kept, 0)::BIGINT AS n_kept
+FROM tot t LEFT JOIN packed p USING (doc_id)
+""",
         "doc_exact_dedup": f"""
 SELECT md5({_NORM}) AS fingerprint, min(doc_id)::BIGINT AS keep_id,
        count(*)::BIGINT AS dup_cnt

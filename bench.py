@@ -34,8 +34,8 @@ HEADLINE = [
     # training-data pipeline
     "doc_minhash_sig",
     "doc_neardup_jaccard",
-    "doc_text_stats",
-    "doc_lang_id",
+    "doc_text_lang",
+    "doc_line_dedup",
     "emb_cosine_topk",
     "events_window",
     "events_sessionize",

@@ -393,3 +393,56 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     for j in range(bits):
         sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
     return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def line_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_df: int = 2,
+) -> DataFrame:
+    """Cross-corpus LINE-level dedup (C4/CCNet-style boilerplate strip):
+    drop every line whose normalized form (lower+trim) appears in
+    >= max_df distinct documents, reassemble the surviving lines in
+    their original order. Returns (id, text, n_lines, n_kept) — text is
+    '' when every line was boilerplate.
+
+    Scale: one explode + one groupBy(norm) with countDistinct (partial
+    aggregation map-side), producing the HOT-line relation — boilerplate
+    lines are a tiny minority of distinct lines, so AQE broadcasts it
+    into the anti-join (no forced hint: a pathological corpus where most
+    lines are hot falls back to a shuffle join instead of OOMing).
+    Reassembly is one groupBy(id) with an array_sort over (pos, line) —
+    no window, no global sort. Blank lines are never counted as
+    boilerplate (kept verbatim).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+    ).withColumn("norm", F.lower(F.trim(F.col("ln"))))
+    hot = (
+        lines.filter(F.length("norm") > 0)
+        .groupBy("norm")
+        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= max_df)
+        .select("norm")
+    )
+    kept = lines.join(hot, "norm", "left_anti")
+    packed = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                lambda x: x["ln"],
+            ),
+        ).alias("_text_kept"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(packed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_text_kept", F.lit("")).alias(text_col),
+            F.col("n_lines"),
+            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

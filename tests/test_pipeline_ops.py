@@ -466,3 +466,40 @@ def test_dedup_clusters_transitive(spark):
     assert out[30] == (30, True)
     canon = [d for d, (c, k) in out.items() if k]
     assert sorted(canon) == [10, 20, 30]
+
+
+def test_line_dedup_strips_cross_doc_boilerplate(spark):
+    from grasper_spark.functions.dedup import line_dedup
+
+    # "Subscribe now" appears in 3 docs -> dropped everywhere; blank
+    # lines and unique lines survive in original order; doc 4 is all
+    # boilerplate -> empty text but still present in the output
+    docs = spark.createDataFrame(
+        [
+            (1, "unique first line\nSubscribe now\nunique last line"),
+            (2, "another body\n\nsubscribe now"),
+            (3, "SUBSCRIBE NOW  \nreal content here"),
+            (4, "Subscribe now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, max_df=2).collect()}
+    assert out[1].text == "unique first line\nunique last line"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    assert out[2].text == "another body\n"  # blank line kept verbatim
+    assert (out[2].n_lines, out[2].n_kept) == (3, 2)
+    assert out[3].text == "real content here"  # case/trim-insensitive hot match
+    assert out[4].text == ""
+    assert (out[4].n_lines, out[4].n_kept) == (1, 0)
+
+
+def test_line_dedup_below_threshold_keeps_everything(spark):
+    from grasper_spark.functions.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "shared line\nown line"), (2, "different body")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, max_df=2).collect()}
+    assert out[1].text == "shared line\nown line"
+    assert out[2].n_kept == 1
