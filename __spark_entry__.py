@@ -545,18 +545,28 @@ def _q_multimodal_features(spark, sf):
     )
 
 
-def _q_algo_bfs(spark, sf):
-    from grasper_spark.algos import bfs_distances
+def _q_algo_paths(spark, sf):
+    # BFS + connected components + weighted SSSP in one tagged union
+    # (val cast to double: hop counts and component ids are < 2^53 so
+    # the cast is exact). SSSP sources at part vid 20000001 with edge
+    # weight coalesce(quantity, 1.0) — order↔part hops cost the summed
+    # lineitem quantity, so weighted paths genuinely diverge from BFS.
+    from grasper_spark.algos import bfs_distances, connected_components, sssp
 
     g = _graph(spark, sf).graph
     regions = g.vertices.filter(F.col("label") == "region").select("vid")
-    return bfs_distances(g, regions, direction="in", max_hops=4)
-
-
-def _q_algo_cc(spark, sf):
-    from grasper_spark.algos import connected_components
-
-    return connected_components(_graph(spark, sf).graph, max_iter=8)
+    a = bfs_distances(g, regions, direction="in", max_hops=4).select(
+        F.lit("bfs").alias("algo"), "vid", F.col("dist").cast("double").alias("val")
+    )
+    b = connected_components(g, max_iter=8).select(
+        F.lit("cc").alias("algo"), "vid", F.col("component").cast("double").alias("val")
+    )
+    part1 = g.vertices.filter(F.col("vid") == 20000001).select("vid")
+    c = sssp(
+        g, part1, rounds=4, direction="both",
+        weight=F.coalesce(F.col("quantity"), F.lit(1.0)),
+    ).select(F.lit("sssp").alias("algo"), "vid", F.col("dist").alias("val"))
+    return a.unionByName(b).unionByName(c)
 
 
 def _q_algo_pagerank(spark, sf):
@@ -573,6 +583,14 @@ def _q_doc_split(spark, sf):
     from grasper_spark.functions.sampling import hash_split
 
     return hash_split(_docs(spark, sf)).select("doc_id", "split")
+
+
+def _q_doc_quota_sample(spark, sf):
+    # deterministic language-balanced quota sampling: 50 docs per lang,
+    # picked by md5(id) rank — no RNG, any engine reproduces the sample
+    from grasper_spark.functions.sampling import quota_sample
+
+    return quota_sample(_docs(spark, sf), "lang", 50).select("doc_id", "lang")
 
 
 def _q_doc_contamination(spark, sf):
@@ -709,8 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "multimodal_features": _q_multimodal_features,
-        "algo_bfs": _q_algo_bfs,
-        "algo_cc": _q_algo_cc,
+        "algo_paths": _q_algo_paths,
+        "doc_quota_sample": _q_doc_quota_sample,
         "algo_pagerank": _q_algo_pagerank,
         "algo_triangles": _q_algo_triangles,
         "events_user_stats": _q_events_user_stats,
@@ -1012,6 +1030,38 @@ SELECT d.doc_id,
        (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
+
+
+def _sssp_oracle(rounds: int = 4, source_vid: int = 20000001) -> str:
+    """Unrolled Bellman-Ford mirroring algos.sssp exactly: undirected FK
+    edge set with w = coalesce(summed lineitem quantity, 1.0), relax
+    `rounds` times with d_{i}(v) = min(d_{i-1}(v), min(d_{i-1}(u)+w)).
+    All weights are integer-valued doubles, so no float tolerance is
+    needed."""
+    parts = [f"""WITH fwd AS (
+  SELECT (n_nationkey + 10)::BIGINT AS src, n_regionkey::BIGINT AS dst, 1.0::DOUBLE AS w FROM nation
+  UNION ALL SELECT (c_custkey + 100)::BIGINT, (c_nationkey + 10)::BIGINT, 1.0 FROM customer
+  UNION ALL SELECT (s_suppkey + 10000000)::BIGINT, (s_nationkey + 10)::BIGINT, 1.0 FROM supplier
+  UNION ALL SELECT (o_custkey + 100)::BIGINT, (o_orderkey + 40000000)::BIGINT, 1.0 FROM orders
+  UNION ALL SELECT (l_orderkey + 40000000)::BIGINT, (l_partkey + 20000000)::BIGINT, sum(l_quantity)
+            FROM lineitem GROUP BY 1, 2
+  UNION ALL SELECT DISTINCT (l_suppkey + 10000000)::BIGINT, (l_partkey + 20000000)::BIGINT, 1.0 FROM lineitem
+), st AS (
+  SELECT src, dst, w FROM fwd UNION ALL SELECT dst, src, w FROM fwd
+), sp0 AS (
+  SELECT {source_vid}::BIGINT AS vid, 0.0::DOUBLE AS dist
+)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""", sp{i} AS (
+  SELECT vid, min(dist) AS dist FROM (
+    SELECT vid, dist FROM sp{p}
+    UNION ALL
+    SELECT e.dst, r.dist + e.w FROM sp{p} r JOIN st e ON e.src = r.vid
+  ) u GROUP BY vid
+)""")
+    parts.append(f"\nSELECT vid, dist FROM sp{rounds}")
+    return "".join(parts)
 
 
 def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
@@ -1355,6 +1405,14 @@ SELECT doc_id,
        ELSE 'train' END AS split
 FROM b
 """,
+        "doc_quota_sample": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+) t WHERE rn <= 50
+""",
         "emb_cosine_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
 scored AS (
@@ -1426,30 +1484,37 @@ FROM b
 """,
         # BFS over the FK graph from regions, direction 'in': the layered
         # star schema makes the exact distances closed-form
-        "algo_bfs": """
-SELECT r_regionkey::BIGINT AS vid, 0 AS dist FROM region
-UNION ALL SELECT (n_nationkey + 10)::BIGINT, 1 FROM nation
-UNION ALL SELECT (c_custkey + 100)::BIGINT, 2 FROM customer
-UNION ALL SELECT (s_suppkey + 10000000)::BIGINT, 2 FROM supplier
-""",
-        # the FK graph is one component rooted at region vid 0 (nation→
-        # region, customer/supplier→nation, order→customer FKs are total);
-        # the only possible isolates are parts never referenced by any
-        # lineitem, which keep their own vid as component
-        "algo_cc": """
-SELECT vid, 0::BIGINT AS component FROM (
-  SELECT r_regionkey::BIGINT AS vid FROM region
-  UNION ALL SELECT (n_nationkey + 10)::BIGINT FROM nation
-  UNION ALL SELECT (c_custkey + 100)::BIGINT FROM customer
-  UNION ALL SELECT (s_suppkey + 10000000)::BIGINT FROM supplier
-  UNION ALL SELECT (o_orderkey + 40000000)::BIGINT FROM orders
-  UNION ALL SELECT (p_partkey + 20000000)::BIGINT FROM part
-            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
-) t
+        # bfs/cc parts are closed-form (the FK graph is one component
+        # rooted at region vids; nation→region, customer/supplier→
+        # nation, order→customer FKs are total; the only isolates are
+        # parts never referenced by lineitem, which keep their own vid);
+        # the sssp part unrolls the same 4 Bellman-Ford rounds the Spark
+        # op runs (all weights are integer-valued doubles — exact)
+        "algo_paths": f"""
+SELECT 'bfs' AS algo, vid, dist::DOUBLE AS val FROM (
+  SELECT r_regionkey::BIGINT AS vid, 0 AS dist FROM region
+  UNION ALL SELECT (n_nationkey + 10)::BIGINT, 1 FROM nation
+  UNION ALL SELECT (c_custkey + 100)::BIGINT, 2 FROM customer
+  UNION ALL SELECT (s_suppkey + 10000000)::BIGINT, 2 FROM supplier
+) b
 UNION ALL
-SELECT (p_partkey + 20000000)::BIGINT AS vid,
-       (p_partkey + 20000000)::BIGINT AS component
-FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+SELECT 'cc', vid, component::DOUBLE FROM (
+  SELECT vid, 0::BIGINT AS component FROM (
+    SELECT r_regionkey::BIGINT AS vid FROM region
+    UNION ALL SELECT (n_nationkey + 10)::BIGINT FROM nation
+    UNION ALL SELECT (c_custkey + 100)::BIGINT FROM customer
+    UNION ALL SELECT (s_suppkey + 10000000)::BIGINT FROM supplier
+    UNION ALL SELECT (o_orderkey + 40000000)::BIGINT FROM orders
+    UNION ALL SELECT (p_partkey + 20000000)::BIGINT FROM part
+              WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+  ) t
+  UNION ALL
+  SELECT (p_partkey + 20000000)::BIGINT AS vid,
+         (p_partkey + 20000000)::BIGINT AS component
+  FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+) c
+UNION ALL
+SELECT 'sssp', vid, dist FROM ({_sssp_oracle(rounds=4)}) s
 """,
         # canonical a<b undirected edge set from the FK projection, then
         # the same 3-way triangle join the Spark op performs

@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from grasper_spark.graph import PropertyGraph
@@ -184,3 +184,55 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def sssp(
+    graph: PropertyGraph,
+    sources: DataFrame,
+    rounds: int = 4,
+    direction: str = "both",
+    weight: Column | None = None,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths, Bellman-Ford style:
+    (vid, dist) where dist is the minimum total weight over paths of at
+    most `rounds` edges from any source (exact once rounds reaches the
+    weighted-shortest-path hop bound). `weight` is a Column evaluated
+    per edge row (default 1.0/hop — unweighted).
+
+    Scale: no priority queue — each round is one frontier×edges
+    equi-join plus one min-groupBy (partial aggregation map-side), the
+    data-parallel trade a cluster wants over Dijkstra's sequential
+    queue; lineage truncates every `checkpoint_every` rounds. Results
+    are deterministic: each candidate distance is a fixed-order sum
+    along its path and min() is order-insensitive.
+    """
+    e = graph.edges
+    w = (weight if weight is not None else F.lit(1.0)).cast("double")
+    fwd = e.select(F.col("src").alias("_s"), F.col("dst").alias("_d"), w.alias("_w"))
+    if direction == "out":
+        adj = fwd
+    elif direction == "in":
+        adj = e.select(
+            F.col("dst").alias("_s"), F.col("src").alias("_d"), w.alias("_w")
+        )
+    else:
+        adj = fwd.unionByName(
+            e.select(F.col("dst").alias("_s"), F.col("src").alias("_d"), w.alias("_w"))
+        )
+    dists = sources.select("vid").distinct().withColumn("dist", F.lit(0.0))
+    for i in range(1, rounds + 1):
+        relaxed = (
+            dists.alias("r")
+            .join(adj.alias("a"), F.col("r.vid") == F.col("a._s"), "inner")
+            .select(
+                F.col("a._d").alias("vid"),
+                (F.col("r.dist") + F.col("a._w")).alias("dist"),
+            )
+        )
+        dists = (
+            dists.unionByName(relaxed).groupBy("vid").agg(F.min("dist").alias("dist"))
+        )
+        if i % checkpoint_every == 0:
+            dists = dists.localCheckpoint(eager=True)
+    return dists

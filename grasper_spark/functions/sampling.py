@@ -97,3 +97,29 @@ def write_training_shards(
 def read_training_shards(spark, path: str, fmt: str = "parquet") -> DataFrame:
     """Read shards back; per-shard order is recoverable via `pos`."""
     return spark.read.format(fmt).load(path)
+
+
+def quota_sample(
+    df: DataFrame, group_col: str, n_per_group: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-group quota sampling (language/source balancing
+    for training-data mixes): keep the `n_per_group` rows with the
+    smallest md5-derived rank within each group. No RNG — the sample is
+    reproducible across runs, engines, and partitionings (md5 of the id,
+    ties broken by id), so a rebalanced corpus can be re-derived
+    bit-identically anywhere.
+
+    Scale: one hash-partitioned window per group — groups are the
+    parallelism unit and per-group state is O(n_per_group) with rank
+    early-stop. A single giant group is the pathological case; cap it
+    upstream or sample in two phases (per-partition top-n, then global).
+    """
+    from pyspark.sql import Window
+
+    r = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(r, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )

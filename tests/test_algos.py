@@ -70,3 +70,34 @@ def test_triangle_count_constructed(spark):
     edges = [(a, b, "e") for a in range(1, 5) for b in range(a + 1, 5)]
     e = spark.createDataFrame(edges, "src long, dst long, label string")
     assert triangle_count(PropertyGraph(v, e)).collect()[0]["n_triangles"] == 4
+
+
+def test_sssp_weighted_out(modern, spark):
+    from grasper_spark.algos import sssp
+
+    src = spark.createDataFrame([(1,)], ["vid"])
+    got = {r.vid: r.dist for r in
+           sssp(modern, src, rounds=3, direction="out",
+                weight=F.col("weight")).collect()}
+    # direct 1->3 (0.4) beats 1->4->3 (1.0+0.4); 5 only via 4
+    assert got == {1: 0.0, 2: 0.5, 3: 0.4, 4: 1.0, 5: 2.0}
+
+
+def test_sssp_unweighted_matches_bfs(modern, spark):
+    from grasper_spark.algos import sssp
+
+    src = spark.createDataFrame([(5,)], ["vid"])
+    d_bfs = {r.vid: float(r.dist)
+             for r in bfs_distances(modern, src, direction="both").collect()}
+    d_sssp = {r.vid: r.dist
+              for r in sssp(modern, src, rounds=6, direction="both").collect()}
+    assert d_sssp == d_bfs
+
+
+def test_sssp_bounded_rounds(modern, spark):
+    from grasper_spark.algos import sssp
+
+    src = spark.createDataFrame([(5,)], ["vid"])
+    got = {r.vid: r.dist
+           for r in sssp(modern, src, rounds=1, direction="both").collect()}
+    assert got == {5: 0.0, 4: 1.0}  # one relaxation round: direct edges only

@@ -503,3 +503,23 @@ def test_line_dedup_below_threshold_keeps_everything(spark):
     out = {r.doc_id: r for r in line_dedup(docs, max_df=2).collect()}
     assert out[1].text == "shared line\nown line"
     assert out[2].n_kept == 1
+
+
+def test_quota_sample_deterministic_and_balanced(spark):
+    from grasper_spark.functions.sampling import quota_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(60)],
+        ["doc_id", "lang"],
+    )
+    a = {(r.doc_id, r.lang) for r in quota_sample(docs, "lang", 10).collect()}
+    b = {(r.doc_id, r.lang) for r in
+         quota_sample(docs.repartition(7), "lang", 10).collect()}
+    assert a == b  # partitioning-independent (md5 rank, not RNG)
+    by_lang = {}
+    for d, l in a:
+        by_lang.setdefault(l, set()).add(d)
+    assert len(by_lang["en"]) == 10 and len(by_lang["de"]) == 10
+    # quota larger than the group keeps the whole group
+    full = quota_sample(docs, "lang", 1000).count()
+    assert full == 60
