@@ -330,9 +330,9 @@ def _q_g_match(spark, sf):
     # compiles from a full scan and equi-joins on the shared 'p'
     # binding — the floating-pattern path.
     return (
-        _graph(spark, sf).V().match(
+        _graph(spark, sf).V().hasLabel("supplier").match(
             A.as_("a").has("name", "Supplier#000000001").out("supplies").as_("p"),
-            A.as_("b").out("supplies").as_("p"),
+            A.as_("b").hasLabel("supplier").out("supplies").as_("p"),
         ).where("b", P.neq("a")).dedup("a", "b").select("a", "b").df()
     )
 

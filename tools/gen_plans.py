@@ -45,6 +45,20 @@ def _contamination_df(spark):
     return contamination_report(train, bench, n=3)
 
 
+def _line_dedup_df(spark):
+    from grasper_spark.functions.dedup import line_dedup
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    return line_dedup(docs, max_df=2)
+
+
+def _quota_df(spark):
+    from grasper_spark.functions.sampling import quota_sample
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    return quota_sample(docs, "lang", 50).select("doc_id", "lang")
+
+
 def main() -> None:
     spark = get_spark("plans-doc", shuffle_partitions=32)
     g = G(load_tpch_graph(spark, SF_DIR))
@@ -123,6 +137,34 @@ def main() -> None:
             "The by-branch aggregates per traverser on the content-hash tid "
             "(one partial-aggregated groupBy) and joins back — AQE picks broadcast "
             "for the small side; the property by() rides the pruned vertex scan.",
+        ),
+        (
+            "match() BGP: floating pattern equi-join",
+            'g.V().hasLabel("supplier").match(as("a").has("name",…).out("supplies").as("p"), as("b").hasLabel("supplier").out("supplies").as("p")).where("b",neq("a")).dedup("a","b").select("a","b")',
+            g.V().hasLabel("supplier").match(
+                A.as_("a").has("name", "Supplier#000000001").out("supplies").as_("p"),
+                A.as_("b").hasLabel("supplier").out("supplies").as_("p"),
+            ).where("b", P.neq("a")).dedup("a", "b").select("a", "b").df(),
+            "Pattern 2 compiles from its own pruned scan and equi-joins the binding "
+            "relation on the shared 'p' label — a relational BGP join Catalyst is "
+            "free to reorder; the name filter pushes into pattern 1's scan.",
+        ),
+        (
+            "Cross-corpus line dedup",
+            "line_dedup(documents, max_df=2)",
+            _line_dedup_df(spark),
+            "One explode + one partial-aggregated countDistinct builds the hot-line "
+            "relation (tiny — AQE broadcasts it into the anti-join, no forced hint); "
+            "reassembly is a single groupBy with array_sort — no window, no global "
+            "sort, no Python.",
+        ),
+        (
+            "Deterministic quota sampling",
+            'quota_sample(documents, "lang", 50).select("doc_id","lang")',
+            _quota_df(spark),
+            "One hash exchange on the group key, then a per-group window bounded by "
+            "the rank filter — groups are the parallelism unit; md5 rank keeps the "
+            "sample engine- and partitioning-independent.",
         ),
     ]
 
