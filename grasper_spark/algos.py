@@ -87,6 +87,12 @@ def connected_components(
         F.col("src").alias("_s"), F.col("dst").alias("_d")
     )
     labels = graph.vertices.select("vid").withColumn("component", F.col("vid"))
+    # convergence is checked checkpoint-to-checkpoint, not per round: a
+    # per-round isEmpty() is a whole extra job each superstep, while
+    # min-label propagation is monotone, so "no change across
+    # checkpoint_every rounds" ⇔ converged — and both sides of that
+    # comparison are already-materialized checkpoints (cheap join).
+    last_ck = None
     for i in range(max_iter):
         # each vertex adopts min(own, neighbors') component label
         msgs = (
@@ -94,21 +100,22 @@ def connected_components(
             .join(adj.alias("a"), F.col("l.vid") == F.col("a._s"), "inner")
             .select(F.col("a._d").alias("vid"), F.col("l.component").alias("component"))
         )
-        new_labels = (
+        labels = (
             labels.unionByName(msgs)
             .groupBy("vid")
             .agg(F.min("component").alias("component"))
         )
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vid")
-            .filter(F.col("n.component") != F.col("o.component"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
-            break
+            labels = labels.localCheckpoint(eager=True)
+            if last_ck is not None:
+                changed = (
+                    labels.alias("n")
+                    .join(last_ck.alias("o"), "vid")
+                    .filter(F.col("n.component") != F.col("o.component"))
+                )
+                if changed.isEmpty():
+                    break
+            last_ck = labels
     return labels
 
 
