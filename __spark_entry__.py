@@ -521,16 +521,37 @@ def _q_doc_neardup_clusters(spark, sf):
     return dedup_clusters(_docs(spark, sf), threshold=0.2)
 
 
-def _q_events_window(spark, sf):
-    from grasper_spark.streaming.windows import windowed_counts_batch
+def _q_events_agg(spark, sf):
+    # tumbling-window counts + per-user sessionization, tagged and
+    # unioned into (op, k1, k2, n, v) — one ledger entry, both batch
+    # twins of the streaming operators (streaming forms are asserted
+    # equal in tests)
+    from grasper_spark.streaming.windows import sessionize_batch, windowed_counts_batch
 
-    return windowed_counts_batch(spark, sf)
+    a = windowed_counts_batch(spark, sf).select(
+        F.lit("window").alias("op"),
+        F.col("window_start").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("cnt").alias("n"),
+        F.col("sum_value").alias("v"),
+    )
+    b = sessionize_batch(spark, sf).select(
+        F.lit("session").alias("op"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n_sessions").alias("n"),
+        F.col("max_session_events").cast("double").alias("v"),
+    )
+    return a.unionByName(b)
 
 
-def _q_events_sessionize(spark, sf):
-    from grasper_spark.streaming.windows import sessionize_batch
+def _q_events_interval_join(spark, sf):
+    # stream-stream interval join's batch twin (clicks × purchases per
+    # user within 30 min); the streaming form with watermark-bounded
+    # state is asserted equal in tests
+    from grasper_spark.streaming.joins import interval_join_batch
 
-    return sessionize_batch(spark, sf)
+    return interval_join_batch(spark, sf)
 
 
 def _q_multimodal_features(spark, sf):
@@ -724,8 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": _q_emb_lsh_topk,
         "doc_minhash_lsh_pairs": _q_doc_minhash_lsh_pairs,
         "doc_neardup_clusters": _q_doc_neardup_clusters,
-        "events_window": _q_events_window,
-        "events_sessionize": _q_events_sessionize,
+        "events_agg": _q_events_agg,
+        "events_interval_join": _q_events_interval_join,
         "multimodal_features": _q_multimodal_features,
         "algo_paths": _q_algo_paths,
         "doc_quota_sample": _q_doc_quota_sample,
@@ -1438,31 +1459,44 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
         "doc_minhash_lsh_pairs": _minhash_lsh_oracle(),
         "doc_neardup_clusters": _neardup_clusters_oracle(),
         "algo_pagerank": _pagerank_oracle(),
-        "events_window": """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-       event_type, count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
-FROM events GROUP BY 1, 2
+        "events_agg": """
+SELECT 'window' AS op,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS k1,
+       event_type AS k2, count(*)::BIGINT AS n, round(sum(value), 4) AS v
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'session', user_id::VARCHAR, '', n_sessions, max_session_events::DOUBLE
+FROM (
+  WITH gaps AS (
+    SELECT user_id, event_id, ts,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+  ), flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_session
+    FROM gaps
+  ), sids AS (
+    SELECT user_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+  ), per_session AS (
+    SELECT user_id, session_id, count(*) AS n_events FROM sids GROUP BY 1, 2
+  )
+  SELECT user_id, count(*)::BIGINT AS n_sessions,
+         max(n_events)::BIGINT AS max_session_events
+  FROM per_session GROUP BY 1
+) s
 """,
-        "events_sessionize": """
-WITH gaps AS (
-  SELECT user_id, event_id, ts,
-         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
-  FROM events
-), flagged AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_session
-  FROM gaps
-), sids AS (
-  SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM flagged
-), per_session AS (
-  SELECT user_id, session_id, count(*) AS n_events FROM sids GROUP BY 1, 2
-)
-SELECT user_id, count(*)::BIGINT AS n_sessions,
-       max(n_events)::BIGINT AS max_session_events
-FROM per_session GROUP BY 1
+        "events_interval_join": """
+SELECT c.event_id AS click_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       round(p.value, 4) AS purchase_value
+FROM events c
+JOIN events p ON p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """,
         # byte-based (UTF-8 blob), not codepoint-based: matches the Spark
         # path's encode+uint8 view for non-ASCII text too

@@ -37,8 +37,8 @@ HEADLINE = [
     "doc_text_lang",
     "doc_line_dedup",
     "emb_cosine_topk",
-    "events_window",
-    "events_sessionize",
+    "events_agg",
+    "events_interval_join",
     "multimodal_features",
 ]
 

@@ -523,3 +523,21 @@ def test_quota_sample_deterministic_and_balanced(spark):
     # quota larger than the group keeps the whole group
     full = quota_sample(docs, "lang", 1000).count()
     assert full == 60
+
+
+def test_streaming_interval_join_equals_batch(spark):
+    from grasper_spark.streaming.joins import interval_join_batch, interval_join_stream
+
+    sf = "/root/testdata/sf0.001"
+    q = (
+        interval_join_stream(spark, sf)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.sql("select * from ij_test").collect())
+    want = sorted(tuple(r) for r in interval_join_batch(spark, sf).collect())
+    assert got == want and len(got) > 0
