@@ -212,6 +212,12 @@ class Traversal:
     def union(self, *branches: "Traversal") -> "Traversal":
         return self._add("union", *[_steps_of(b) for b in branches])
 
+    def coalesce(self, *branches: "Traversal") -> "Traversal":
+        return self._add("coalesce", *[_steps_of(b) for b in branches])
+
+    def tail(self, n: int) -> "Traversal":
+        return self._add("tail", n)
+
     def repeat(self, branch: "Traversal", times: int = 1) -> "Traversal":
         return self._add("repeat", _steps_of(branch), times)
 

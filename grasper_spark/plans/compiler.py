@@ -994,6 +994,38 @@ class GremlinCompiler:
     def _step_skip(self, s: Stream, n: int) -> Stream:
         return self._slice(s, n, -1)
 
+    def _step_tail(self, s: Stream, n: int) -> Stream:
+        """tail(n): the last n traversers of the current order (extension
+        — TinkerPop semantics, not in the reference). Sorted stream:
+        reverse top-k — executes as TakeOrderedAndProject (per-partition
+        top-k, no global sort); the recorded sort is kept so final
+        emission order is still ascending-by-the-order-key. Grouped
+        (inside a labelled branch): per-group window from the end. Bare
+        stream: deterministic hash-order tail — the reference's
+        arrival-order slice is equally arbitrary, hash order is at least
+        stable across runs (same contract as sample(n))."""
+        if n <= 0:
+            raise CompileError("tail: n must be positive")
+        if s.group_cols:
+            order = (
+                [F.col(c).desc() if a else F.col(c).asc() for c, a in s.sort]
+                if s.sort
+                else [F.monotonically_increasing_id().desc()]
+            )
+            w = Window.partitionBy(*s.group_cols).orderBy(*order)
+            df = (
+                s.df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= n)
+                .drop("_rn")
+            )
+            return replace(s, df=df)
+        if s.sort:
+            col, asc = s.sort[0]
+            rev = F.col(col).desc() if asc else F.col(col).asc()
+            return replace(s, df=s.df.orderBy(rev).limit(n))
+        h = F.xxhash64(*[F.col(c) for c in s.df.columns])
+        return replace(s, df=s.df.orderBy(h.desc()).limit(n))
+
     # ---------- branches ----------
 
     _NUM_DTYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
@@ -1172,6 +1204,38 @@ class GremlinCompiler:
             df=took.unionByName(kept), kind=s.kind, dtype=s.dtype, props=False,
             history=shared_hist,
             group_cols=[c for c in s.group_cols if c != tcol],
+        )
+
+    def _step_coalesce(self, s: Stream, *branches: Sequence[Step]) -> Stream:
+        """coalesce(q1, q2, …): per traverser, the results of the FIRST
+        branch that yields anything (extension — TinkerPop semantics;
+        optional(q) ≡ coalesce(q, identity)). Branch k compiles from the
+        traversers left unclaimed by branches 1..k-1 (anti-join on the
+        content-hash tid), so later branches never recompute earlier
+        matches; outputs must align in kind/dtype like union's."""
+        if not branches:
+            raise CompileError("coalesce: needs at least one branch")
+        tagged, tcol = self._tagged(s)
+        remaining = tagged
+        outs = []
+        for br in branches:
+            res = self.compile(list(br), start=remaining)
+            outs.append(res)
+            matched = res.df.select(tcol).distinct()
+            remaining = replace(
+                remaining,
+                df=remaining.df.join(matched, tcol, "left_anti"),
+                history=dict(remaining.history),
+                group_cols=list(remaining.group_cols),
+            )
+        merged = self._align_union(outs)
+        return Stream(
+            df=merged.df.drop(tcol),
+            kind=merged.kind,
+            dtype=merged.dtype,
+            props=False,
+            history={k: v for k, v in merged.history.items() if k != tcol},
+            group_cols=[c for c in merged.group_cols if c != tcol],
         )
 
     def _reposition(self, s: Stream, label: str) -> Stream:

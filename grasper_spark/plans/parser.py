@@ -28,7 +28,7 @@ STEP_NAMES = {
     "aggregate", "cap", "count", "sum", "max", "min", "mean", "group",
     "groupCount", "dedup", "order", "range", "limit", "skip", "union", "path",
     "repeat", "and", "or", "not", "optional", "choose", "project", "by",
-    "match",
+    "match", "coalesce", "tail",
 }
 
 # steps whose string args are python-reserved in the fluent API
@@ -121,7 +121,7 @@ def _parse_step(tok: str) -> Step:
             else:
                 key = a
         return Step("order", (key, asc))
-    if name in ("and", "or", "union", "match"):
+    if name in ("and", "or", "union", "match", "coalesce"):
         return Step(name, tuple(tuple(a) if isinstance(a, tuple) else a for a in raw_args))
     if name in ("not", "repeat", "optional"):
         return Step(name, (tuple(raw_args[0]),))

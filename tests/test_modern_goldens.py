@@ -732,3 +732,51 @@ def test_union_dtype_mismatch_is_plan_time(g):
 
     with pytest.raises(CompileError, match="scalar dtype"):
         g.V().union(A.values("age"), A.values("name")).df()
+
+
+def test_coalesce_first_nonempty_branch(g):
+    # creators emit their creations' names; vadas(2) created nothing ->
+    # the identity-ish fallback branch fires for him alone
+    got = vals(
+        g.V().hasLabel("person").coalesce(
+            A.out("created").values("name"),
+            A.values("name"),
+        )
+    )
+    assert got == ["lop", "lop", "lop", "ripple", "vadas"]
+
+
+def test_coalesce_three_branches_and_parser(g):
+    got = sorted(
+        r[0] for r in g.query(
+            'g.V().has("name","vadas").coalesce(out("created").values("name"), '
+            'out("knows").values("name"), values("name"))'
+        ).collect()
+    )
+    assert got == ["vadas"]  # vadas: no created, no knows -> own name
+
+
+def test_coalesce_kind_mismatch_rejected(g):
+    import pytest
+    from grasper_spark.plans.compiler import CompileError
+
+    with pytest.raises(CompileError):
+        g.V().coalesce(A.out("created"), A.values("age")).df()
+
+
+def test_tail_after_order(g):
+    got = [r[0] for r in
+           g.V().hasLabel("person").values("age").order().tail(2).df().collect()]
+    assert got == [32, 35]  # last two of 27,29,32,35 — ascending emission
+
+
+def test_tail_after_order_desc_and_parser(g):
+    got = [r[0] for r in
+           g.query('g.V().values("age").order(decr).tail(3)').collect()]
+    assert got == [32, 29, 27]  # last 3 of 35,32,29,27 in decr emission
+
+
+def test_tail_bare_is_deterministic_subset(g):
+    a = sorted(r[0] for r in g.V().hasLabel("person").tail(2).df().collect())
+    b = sorted(r[0] for r in g.V().hasLabel("person").tail(2).df().collect())
+    assert a == b and len(a) == 2
