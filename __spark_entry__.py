@@ -637,10 +637,23 @@ def _q_doc_export_shards(spark, sf):
     return export_shards(_docs(spark, sf), num_shards=8).select("doc_id", "shard", "pos")
 
 
-def _q_algo_triangles(spark, sf):
-    from grasper_spark.algos import triangle_count
+def _q_algo_structure(spark, sf):
+    # triangle count + 2-core decomposition in one tagged union. k-core
+    # peeling is monotone, so Spark's early-converged loop equals the
+    # oracle's fixed-round unroll (2-core converges in 4 rounds here;
+    # the oracle unrolls 6).
+    from grasper_spark.algos import k_core, triangle_count
 
-    return triangle_count(_graph(spark, sf).graph)
+    g = _graph(spark, sf).graph
+    a = triangle_count(g).select(
+        F.lit("triangles").alias("metric"),
+        F.lit(None).cast("long").alias("vid"),
+        F.col("n_triangles").alias("val"),
+    )
+    b = k_core(g, k=2).select(
+        F.lit("kcore").alias("metric"), "vid", F.col("degree").alias("val")
+    )
+    return a.unionByName(b)
 
 
 def _q_events_asof(spark, sf):
@@ -751,7 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "algo_paths": _q_algo_paths,
         "doc_quota_sample": _q_doc_quota_sample,
         "algo_pagerank": _q_algo_pagerank,
-        "algo_triangles": _q_algo_triangles,
+        "algo_structure": _q_algo_structure,
         "events_user_stats": _q_events_user_stats,
         "events_asof": _q_events_asof,
         "events_pivot": _q_events_pivot,
@@ -1082,6 +1095,38 @@ def _sssp_oracle(rounds: int = 4, source_vid: int = 20000001) -> str:
   ) u GROUP BY vid
 )""")
     parts.append(f"\nSELECT vid, dist FROM sp{rounds}")
+    return "".join(parts)
+
+
+def _kcore_oracle(rounds: int = 6, k: int = 2) -> str:
+    """Fixed-round k-core peeling unroll mirroring algos.k_core (the
+    peel is monotone: once converged, extra rounds are identities, so
+    Spark's early break and this unroll agree). Every CTE is
+    MATERIALIZED — each round references the previous one three times,
+    and inlined CTEs would re-expand the chain exponentially (observed:
+    'too many open files' past ~7 inlined rounds)."""
+    parts = [f"""WITH kfw AS MATERIALIZED (
+  SELECT (n_nationkey + 10)::BIGINT AS src, n_regionkey::BIGINT AS dst FROM nation
+  UNION ALL SELECT (c_custkey + 100)::BIGINT, (c_nationkey + 10)::BIGINT FROM customer
+  UNION ALL SELECT (s_suppkey + 10000000)::BIGINT, (s_nationkey + 10)::BIGINT FROM supplier
+  UNION ALL SELECT (o_custkey + 100)::BIGINT, (o_orderkey + 40000000)::BIGINT FROM orders
+  UNION ALL SELECT DISTINCT (l_orderkey + 40000000)::BIGINT, (l_partkey + 20000000)::BIGINT FROM lineitem
+  UNION ALL SELECT DISTINCT (l_suppkey + 10000000)::BIGINT, (l_partkey + 20000000)::BIGINT FROM lineitem
+), ke0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (SELECT src, dst FROM kfw UNION ALL SELECT dst, src FROM kfw)
+)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""", kd{i} AS MATERIALIZED (
+  SELECT src FROM ke{p} GROUP BY src HAVING count(*) >= {k}
+), ke{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM ke{p} e
+  JOIN kd{i} a ON e.src = a.src JOIN kd{i} b ON e.dst = b.src
+)""")
+    parts.append(
+        f"\nSELECT src AS vid, count(*)::BIGINT AS degree FROM ke{rounds} "
+        f"GROUP BY src HAVING count(*) >= {k}"
+    )
     return "".join(parts)
 
 
@@ -1550,10 +1595,12 @@ SELECT 'cc', vid, component::DOUBLE FROM (
 UNION ALL
 SELECT 'sssp', vid, dist FROM ({_sssp_oracle(rounds=4)}) s
 """,
-        # canonical a<b undirected edge set from the FK projection, then
-        # the same 3-way triangle join the Spark op performs
-        "algo_triangles": """
-WITH E AS (
+        # triangles: canonical a<b undirected edge set from the FK
+        # projection, then the same 3-way join the Spark op performs;
+        # kcore: fixed-round peeling unroll (MATERIALIZED CTEs — chained
+        # self-references would otherwise inline exponentially)
+        "algo_structure": f"""
+WITH E AS MATERIALIZED (
   SELECT least(n_nationkey + 10, n_regionkey)::BIGINT AS a,
          greatest(n_nationkey + 10, n_regionkey)::BIGINT AS b FROM nation
   UNION SELECT least(c_custkey + 100, c_nationkey + 10), greatest(c_custkey + 100, c_nationkey + 10) FROM customer
@@ -1562,9 +1609,11 @@ WITH E AS (
   UNION SELECT DISTINCT least(l_orderkey + 40000000, l_partkey + 20000000), greatest(l_orderkey + 40000000, l_partkey + 20000000) FROM lineitem
   UNION SELECT DISTINCT least(l_suppkey + 10000000, l_partkey + 20000000), greatest(l_suppkey + 10000000, l_partkey + 20000000) FROM lineitem
 )
-SELECT count(*)::BIGINT AS n_triangles
+SELECT 'triangles' AS metric, NULL::BIGINT AS vid, count(*)::BIGINT AS val
 FROM E ab JOIN E bc ON ab.b = bc.a
           JOIN E ac ON ac.a = ab.a AND ac.b = bc.b
+UNION ALL
+SELECT 'kcore', vid, degree FROM ({_kcore_oracle(rounds=6, k=2)}) kc
 """,
         "events_asof": """
 WITH clicks AS (

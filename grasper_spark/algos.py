@@ -243,3 +243,43 @@ def sssp(
         if i % checkpoint_every == 0:
             dists = dists.localCheckpoint(eager=True)
     return dists
+
+
+def k_core(
+    graph: PropertyGraph, k: int = 2, max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """The k-core: iteratively peel vertices whose undirected degree is
+    < k until none remain; returns (vid, degree) of survivors with their
+    within-core degree. Peeling is monotone — once converged, extra
+    rounds are no-ops, so an early break and a fixed-round unroll (the
+    oracle) agree.
+
+    Scale: each round is one degree groupBy (partial agg) + two
+    semi-joins to drop edges touching peeled vertices; the edge set only
+    shrinks. Convergence = surviving-vertex count stable (a count() per
+    round on the already-aggregated degree relation — cheap, and the
+    relation is checkpointed every few rounds to truncate lineage)."""
+    adj = _undirected(graph.edges).distinct().select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    )
+    prev_n = None
+    deg = None
+    for i in range(max_iter):
+        deg = adj.groupBy("_s").agg(F.count(F.lit(1)).alias("degree")).filter(
+            F.col("degree") >= k
+        )
+        if (i + 1) % checkpoint_every == 0:
+            deg = deg.localCheckpoint(eager=True)
+        n = deg.count()
+        if n == prev_n or n == 0:
+            break
+        prev_n = n
+        keep = deg.select("_s")
+        adj = (
+            adj.join(keep, "_s", "left_semi")
+            .join(keep.withColumnRenamed("_s", "_d"), "_d", "left_semi")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            adj = adj.localCheckpoint(eager=True)
+    return deg.select(F.col("_s").alias("vid"), "degree")

@@ -101,3 +101,24 @@ def test_sssp_bounded_rounds(modern, spark):
     got = {r.vid: r.dist
            for r in sssp(modern, src, rounds=1, direction="both").collect()}
     assert got == {5: 0.0, 4: 1.0}  # one relaxation round: direct edges only
+
+
+def test_k_core_peels_tails(spark):
+    from grasper_spark import PropertyGraph
+    from grasper_spark.algos import k_core
+
+    # triangle 1-2-3 with pendant chain 3-4-5: the 2-core is exactly the
+    # triangle (4 and 5 peel; 3 keeps degree 2 after the peel)
+    v = spark.createDataFrame([(i, "x") for i in range(1, 6)], "vid long, label string")
+    e = spark.createDataFrame(
+        [(1, 2, "e"), (2, 3, "e"), (1, 3, "e"), (3, 4, "e"), (4, 5, "e")],
+        "src long, dst long, label string",
+    )
+    got = {r.vid: r.degree for r in k_core(PropertyGraph(v, e), k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_empty_when_k_too_high(modern, spark):
+    from grasper_spark.algos import k_core
+
+    assert k_core(modern, k=4).count() == 0
