@@ -249,3 +249,28 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def group_centroids(
+    emb: DataFrame, group_col: str, vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-group embedding centroid: (group, centroid array<double>, n).
+    The semantic-drift / topic-summary primitive — e.g. per-language or
+    per-source centroids to monitor a corpus, or seed centroids for IVF.
+
+    Scale: ONE partial-aggregated groupBy — the vector unpacks to `dim`
+    sum columns (JVM-side, codegen'd; no explode, no UDF) and repacks to
+    an array afterwards, so the shuffle carries one row per group, not
+    per element. Cross-row float sums are order-nondeterministic at the
+    ulp level; centroids are rounded to 6 dp like every other similarity
+    value."""
+    sums = emb.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col(vec_col)[i].cast("double")).alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    )
+    centroid = F.array(*[F.round(F.col(f"_s{i}") / F.col("n"), 6) for i in range(dim)])
+    return sums.select(F.col(group_col), centroid.alias("centroid"), "n")

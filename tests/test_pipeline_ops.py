@@ -541,3 +541,35 @@ def test_streaming_interval_join_equals_batch(spark):
     got = sorted(tuple(r) for r in spark.sql("select * from ij_test").collect())
     want = sorted(tuple(r) for r in interval_join_batch(spark, sf).collect())
     assert got == want and len(got) > 0
+
+
+def test_group_centroids_matches_duckdb(spark):
+    import duckdb
+
+    from grasper_spark.functions.similarity import group_centroids
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").withColumn(
+        "grp", F.col("vec_id") % 4
+    )
+    got = {
+        r.grp: (r.n, list(r.centroid))
+        for r in group_centroids(emb, "grp").collect()
+    }
+    con = duckdb.connect()
+    want_rows = con.execute(f"""
+        WITH e AS (SELECT vec_id % 4 AS grp, embedding
+                   FROM read_parquet('{sf}/embeddings.parquet')),
+        ex AS (SELECT grp, i, embedding[i] AS v FROM e,
+               unnest(generate_series(1, len(embedding))) AS u(i)),
+        m AS (SELECT grp, i, round(sum(v::DOUBLE) / count(*), 6) AS c
+              FROM ex GROUP BY 1, 2)
+        SELECT grp, array_agg(c ORDER BY i) AS centroid,
+               (SELECT count(*) FROM e e2 WHERE e2.grp = m.grp) AS n
+        FROM m GROUP BY grp
+    """).fetchall()
+    want = {g: (n, list(c)) for g, c, n in want_rows}
+    assert set(got) == set(want)
+    for g in got:
+        assert got[g][0] == want[g][0]
+        assert got[g][1] == pytest.approx(want[g][1], abs=2e-6)
