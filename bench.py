@@ -50,6 +50,7 @@ HEADLINE = [
 #: growth is linear like a real workload's)
 SCALE_QUERIES = [
     "doc_minhash_sig",
+    "doc_line_dedup",
     "doc_neardup_jaccard",
     "doc_curation",
     "g_and",

@@ -80,3 +80,44 @@ def test_not_out_equals_sinks(mk, g):
     got = sorted(r[0] for r in mk(vids, edges).V().not_(A.out()).df().collect())
     want = sorted(v for v in vids if not any(a == v for a, _, _ in edges))
     assert got == want
+
+
+@given(g=graph_strategy())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_coalesce_covers_every_traverser_once(mk, g):
+    # coalesce(out(), identity-ish) must produce, per input vertex,
+    # either its out-neighbors (if any) or the vertex itself — so the
+    # result multiset equals out-neighbors of non-sinks + sinks
+    from collections import Counter
+
+    from grasper_spark.plans.api import A
+
+    vids, edges = g
+    t = mk(vids, edges).V().coalesce(A.out(), A.both().in_().out())
+    # branch 2 is never reached for vertices with out-edges; for sinks it
+    # yields both().in().out() — compute the same in python
+    adj_out = {v: [b for a, b, _ in edges if a == v] for v in vids}
+    adj_in = {v: [a for a, b, _ in edges if b == v] for v in vids}
+    adj_both = {v: adj_out[v] + adj_in[v] for v in vids}
+    want = Counter()
+    for v in vids:
+        if adj_out[v]:
+            want.update(adj_out[v])
+        else:
+            for w in adj_both[v]:
+                for x in adj_in[w]:
+                    want.update(adj_out[x])
+    got = Counter(r[0] for r in t.df().collect())
+    assert got == want
+
+
+@given(g=graph_strategy(), n=st.integers(min_value=1, max_value=5))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_tail_is_suffix_of_order(mk, g, n):
+    vids, edges = g
+    t = mk(vids, edges).V().tail(n)
+    got = sorted(r[0] for r in t.df().collect())
+    assert len(got) == min(n, len(vids))
+    assert set(got) <= set(vids)
