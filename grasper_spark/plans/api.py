@@ -197,7 +197,7 @@ class Traversal:
         return self._add("dedup", *labels)
 
     def order(self, key: Optional[str] = None, direction: Order = Order.incr) -> "Traversal":
-        return self._add("order", key, direction.value)
+        return self._add("order", (key, direction.value))
 
     def range_(self, a: int, b: int) -> "Traversal":
         return self._add("range", a, b)

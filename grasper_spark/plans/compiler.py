@@ -846,22 +846,32 @@ class GremlinCompiler:
         dedup = replace(s, df=s.df.select(*keys).distinct())
         return self._step_count(dedup)
 
-    def _step_order(self, s: Stream, key=None, asc: bool = True) -> Stream:
+    def _step_order(self, s: Stream, *specs) -> Stream:
         # global sort; keyed order drops elements missing the key
         # (/root/reference/expert/barrier_expert.hpp:745-858);
-        # order().by(sub-traversal) sorts by the per-traverser branch value
-        if key is None:
-            if s.kind == "S":
-                return replace(s, sort=[(VAL, asc)])
+        # order().by(sub-traversal) sorts by the per-traverser branch
+        # value; chained by() modulators append secondary sort keys
+        # (extension — the reference sorts on one key)
+        if not specs:
+            specs = ((None, True),)
+        sort: list[tuple[str, bool]] = []
+        for key, asc in specs:
+            if key is None:
+                if s.kind == "S":
+                    sort.append((VAL, asc))
+                    continue
+                oc = ORD + str(next(_uid))
+                s = replace(s, df=s.df.withColumn(oc, s.val()))
+                sort.append((oc, asc))
+                continue
+            if isinstance(key, tuple):
+                s, col, _ = self._by_branch_col(s, key)
+            else:
+                s, col, _ = self._prop_col(s, key)
             oc = ORD + str(next(_uid))
-            return replace(s, df=s.df.withColumn(oc, s.val()), sort=[(oc, asc)])
-        if isinstance(key, tuple):
-            s, col, _ = self._by_branch_col(s, key)
-        else:
-            s, col, _ = self._prop_col(s, key)
-        oc = ORD + str(next(_uid))
-        df = s.df.filter(col.isNotNull()).withColumn(oc, col)
-        return replace(s, df=df, sort=[(oc, asc)])
+            s = replace(s, df=s.df.filter(col.isNotNull()).withColumn(oc, col))
+            sort.append((oc, asc))
+        return replace(s, sort=sort)
 
     #: hash buckets for the unordered two-phase slice; bounds the offset
     #: relation (one row per bucket) that gets broadcast back.
@@ -902,13 +912,12 @@ class GremlinCompiler:
             )
             return replace(s, df=df.filter(cond).drop("_rn"))
         if s.sort:
-            col, asc = s.sort[0]  # _step_order emits exactly one sort key
-            key = F.col(col).asc() if asc else F.col(col).desc()
+            keys = [F.col(c).asc() if a else F.col(c).desc() for c, a in s.sort]
             if end >= 0:
-                head = s.df.orderBy(key).limit(end + 1)
+                head = s.df.orderBy(*keys).limit(end + 1)
                 if start == 0:
                     return replace(s, df=head)
-                w = Window.orderBy(key)  # over <= end+1 rows only: bounded
+                w = Window.orderBy(*keys)  # over <= end+1 rows only: bounded
                 df = (
                     head.withColumn("_rn", F.row_number().over(w) - 1)
                     .filter(F.col("_rn") >= start)
@@ -933,10 +942,17 @@ class GremlinCompiler:
         single value. Which tied rows survive is arbitrary (hash-ordered,
         deterministic); the reference's arrival-order slice is arbitrary
         there too. Assumes a non-null sort key (keyed order() drops
-        missing keys before sorting)."""
+        missing keys before sorting).
+
+        Multi-key order: the boundary cut stays on the FIRST key (rows
+        strictly past it are correct under lexicographic order); among
+        first-key boundary ties, the tie window orders by the REMAINING
+        sort keys (then hash) so the dropped rows are exactly the first
+        `_bties` under the composite order."""
         col, asc = s.sort[0]
+        full = [F.col(c).asc() if a else F.col(c).desc() for c, a in s.sort]
         k = F.col(col)
-        head = s.df.orderBy(k.asc() if asc else k.desc()).limit(n).select(col)
+        head = s.df.orderBy(*full).limit(n).select(col)
         bk = head.agg((F.max(col) if asc else F.min(col)).alias("_bk"))
         bstats = (
             head.crossJoin(F.broadcast(bk))
@@ -946,8 +962,9 @@ class GremlinCompiler:
         joined = s.df.crossJoin(F.broadcast(bstats))
         past = joined.filter(k > F.col("_bk") if asc else k < F.col("_bk"))
         ties = joined.filter(k == F.col("_bk"))
+        rest = [F.col(c).asc() if a else F.col(c).desc() for c, a in s.sort[1:]]
         wt = Window.partitionBy(col).orderBy(
-            F.xxhash64(*[F.col(c) for c in s.df.columns])
+            *rest, F.xxhash64(*[F.col(c) for c in s.df.columns])
         )
         keep = (
             ties.withColumn("_rn", F.row_number().over(wt))
@@ -1020,9 +1037,8 @@ class GremlinCompiler:
             )
             return replace(s, df=df)
         if s.sort:
-            col, asc = s.sort[0]
-            rev = F.col(col).desc() if asc else F.col(col).asc()
-            return replace(s, df=s.df.orderBy(rev).limit(n))
+            rev = [F.col(c).desc() if a else F.col(c).asc() for c, a in s.sort]
+            return replace(s, df=s.df.orderBy(*rev).limit(n))
         h = F.xxhash64(*[F.col(c) for c in s.df.columns])
         return replace(s, df=s.df.orderBy(h.desc()).limit(n))
 

@@ -120,7 +120,7 @@ def _parse_step(tok: str) -> Step:
                 asc = a[1]
             else:
                 key = a
-        return Step("order", (key, asc))
+        return Step("order", ((key, asc),))
     if name in ("and", "or", "union", "match", "coalesce"):
         return Step(name, tuple(tuple(a) if isinstance(a, tuple) else a for a in raw_args))
     if name in ("not", "repeat", "optional"):
@@ -160,15 +160,25 @@ def fold_by(prev: Step, args: tuple) -> Step:
             raise ParseError("project().by() takes a property key or a sub-traversal")
         return Step("project", (keys, branches + (args[0],)))
     if prev.name == "order":
-        key, asc = prev.args if prev.args else (None, True)
+        # each by() contributes one comparator; the bare order()'s
+        # identity comparator is replaced by the first by(), further
+        # by() calls append secondary sort keys (extension — the
+        # reference sorts on one key)
+        specs = list(prev.args)
+        key, asc, asc_given = None, True, False
         for a in args:
             if isinstance(a, tuple) and len(a) == 2 and a[0] == "ORDER":
-                asc = a[1]
+                asc, asc_given = a[1], True
             elif isinstance(a, (str, tuple)):
                 key = a  # property key or sub-traversal
             else:
                 raise ParseError(f"order().by() takes a key and/or incr|decr, got {a!r}")
-        return Step("order", (key, asc))
+        if len(specs) == 1 and specs[0][0] is None:
+            base_asc = specs[0][1]
+            specs = [(key, asc if asc_given else base_asc)]
+        else:
+            specs.append((key, asc))
+        return Step("order", tuple(specs))
     if prev.name in ("group", "groupCount"):
         if len(args) != 1 or not isinstance(args[0], (str, tuple)):
             raise ParseError(

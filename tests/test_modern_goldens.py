@@ -780,3 +780,41 @@ def test_tail_bare_is_deterministic_subset(g):
     a = sorted(r[0] for r in g.V().hasLabel("person").tail(2).df().collect())
     b = sorted(r[0] for r in g.V().hasLabel("person").tail(2).df().collect())
     assert a == b and len(a) == 2
+
+
+def test_order_multi_key_by_chain(g):
+    # primary: created-count desc; secondary: name asc breaks the tie
+    # between marko/peter/vadas-ish groups deterministically
+    got = [r[0] for r in
+           g.V().hasLabel("person")
+           .order().by(A.out("created").count(), Order.decr).by("name")
+           .values("name").df().collect()]
+    # vadas created nothing -> by(sub-traversal) drops him (fast-nothing)
+    assert got == ["josh", "marko", "peter"]
+
+
+def test_order_multi_key_string_parser(g):
+    got = [r[0] for r in g.query(
+        'g.V().hasLabel("person").order().by(out("created").count(), decr)'
+        '.by("name", decr).values("name")'
+    ).collect()]
+    assert got == ["josh", "peter", "marko"]
+
+
+def test_order_multi_key_skip_boundary(g):
+    # skip past the composite boundary: josh(2 created) first, then
+    # marko/peter (1 each, name asc) — skip(2) drops josh+marko; the
+    # boundary tie (count=1) resolves by the secondary name key
+    got = [r[0] for r in
+           g.V().hasLabel("person")
+           .order().by(A.out("created").count(), Order.decr).by("name")
+           .values("name").skip(2).df().collect()]
+    assert got == ["peter"]
+
+
+def test_order_multi_key_tail(g):
+    got = [r[0] for r in
+           g.V().hasLabel("person")
+           .order().by(A.out("created").count(), Order.decr).by("name")
+           .values("name").tail(2).df().collect()]
+    assert got == ["marko", "peter"]
