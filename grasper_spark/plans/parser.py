@@ -19,6 +19,7 @@ from grasper_spark.plans.predicates import P, Pred
 PRED_NAMES = {
     "eq", "neq", "lt", "lte", "gt", "gte",
     "inside", "outside", "between", "within", "without",
+    "containing", "notContaining", "startingWith", "endingWith",
 }
 
 STEP_NAMES = {

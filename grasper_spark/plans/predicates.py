@@ -81,6 +81,25 @@ class P:
     def without(*vals: Any) -> Pred:
         return Pred("without", tuple(vals))
 
+    # ---- TextP-style string predicates (extension; TinkerPop TextP —
+    # the reference predicate kernel is numeric/equality only) ----
+
+    @staticmethod
+    def containing(sub: str) -> Pred:
+        return Pred("containing", (sub,))
+
+    @staticmethod
+    def notContaining(sub: str) -> Pred:
+        return Pred("notContaining", (sub,))
+
+    @staticmethod
+    def startingWith(prefix: str) -> Pred:
+        return Pred("startingWith", (prefix,))
+
+    @staticmethod
+    def endingWith(suffix: str) -> Pred:
+        return Pred("endingWith", (suffix,))
+
     # has(key) with no value: "any value present"
     ANY = Pred("any", ())
 
@@ -129,4 +148,12 @@ def pred_to_condition(pred: Pred, col: Column, other: Sequence[Column] | None = 
         for x in a:
             cond = cond & (col != x)
         return cond
+    if op == "containing":
+        return col.contains(a[0])
+    if op == "notContaining":
+        return col.isNotNull() & ~col.contains(a[0])
+    if op == "startingWith":
+        return col.startswith(a[0])
+    if op == "endingWith":
+        return col.endswith(a[0])
     raise ValueError(f"unknown predicate op: {op}")

@@ -818,3 +818,21 @@ def test_order_multi_key_tail(g):
            .order().by(A.out("created").count(), Order.decr).by("name")
            .values("name").tail(2).df().collect()]
     assert got == ["marko", "peter"]
+
+
+def test_textp_predicates(g):
+    assert vals(g.V().has("name", P.containing("ark")).values("name")) == ["marko"]
+    assert vals(g.V().hasLabel("software").has("name", P.startingWith("lo"))
+                .values("name")) == ["lop"]
+    assert vals(g.V().has("name", P.endingWith("pple")).values("name")) == ["ripple"]
+    assert vals(g.V().hasLabel("person").has("name", P.notContaining("a"))
+                .values("name")) == ["josh", "peter"]
+
+
+def test_textp_string_parser(g):
+    got = sorted(r[0] for r in g.query(
+        'g.V().has("name", containing("o")).values("name")').collect())
+    assert got == ["josh", "lop", "marko"]
+    got = sorted(r[0] for r in g.query(
+        'g.V().has("name", startingWith("v")).values("name")').collect())
+    assert got == ["vadas"]
