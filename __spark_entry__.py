@@ -600,18 +600,27 @@ def _q_algo_pagerank(spark, sf):
     )
 
 
-def _q_doc_split(spark, sf):
-    from grasper_spark.functions.sampling import hash_split
+def _q_doc_sampling(spark, sf):
+    # deterministic train/val/test hash-split + language-balanced quota
+    # sampling (md5 rank, 50/lang), tagged and unioned — two sampling
+    # operators, one ledger entry, zero RNG anywhere
+    from grasper_spark.functions.sampling import hash_split, quota_sample
 
-    return hash_split(_docs(spark, sf)).select("doc_id", "split")
+    a = hash_split(_docs(spark, sf)).select(
+        F.lit("split").alias("op"), "doc_id", F.col("split").alias("val")
+    )
+    b = quota_sample(_docs(spark, sf), "lang", 50).select(
+        F.lit("quota").alias("op"), "doc_id", F.col("lang").alias("val")
+    )
+    return a.unionByName(b)
 
 
-def _q_doc_quota_sample(spark, sf):
-    # deterministic language-balanced quota sampling: 50 docs per lang,
-    # picked by md5(id) rank — no RNG, any engine reproduces the sample
-    from grasper_spark.functions.sampling import quota_sample
+def _q_doc_unigram_lm(spark, sf):
+    # perplexity-proxy quality scoring: mean log-prob under the corpus's
+    # own unigram LM (CCNet-style gibberish/boilerplate filter)
+    from grasper_spark.functions.text import unigram_lm_score
 
-    return quota_sample(_docs(spark, sf), "lang", 50).select("doc_id", "lang")
+    return unigram_lm_score(_docs(spark, sf))
 
 
 def _q_doc_contamination(spark, sf):
@@ -752,7 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _q_doc_simhash,
         "doc_neardup_jaccard": _q_doc_neardup_jaccard,
         "doc_curation": _q_doc_curation,
-        "doc_split": _q_doc_split,
+        "doc_sampling": _q_doc_sampling,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_neardup": _q_emb_neardup,
         "emb_lsh_topk": _q_emb_lsh_topk,
@@ -762,7 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _q_events_interval_join,
         "multimodal_features": _q_multimodal_features,
         "algo_paths": _q_algo_paths,
-        "doc_quota_sample": _q_doc_quota_sample,
+        "doc_unigram_lm": _q_doc_unigram_lm,
         "algo_pagerank": _q_algo_pagerank,
         "algo_structure": _q_algo_structure,
         "events_user_stats": _q_events_user_stats,
@@ -1460,24 +1469,36 @@ FROM documents GROUP BY 1
         "doc_simhash": _simhash_oracle(),
         "doc_neardup_jaccard": _jaccard_oracle(),
         "doc_curation": _curation_oracle(),
-        "doc_split": """
+        "doc_sampling": """
 WITH b AS (
   SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bk
   FROM documents
 )
-SELECT doc_id,
+SELECT 'split' AS op, doc_id,
   CASE WHEN bk >= 9500 THEN 'test'
        WHEN bk >= 9000 THEN 'val'
-       ELSE 'train' END AS split
+       ELSE 'train' END AS val
 FROM b
-""",
-        "doc_quota_sample": """
-SELECT doc_id, lang FROM (
+UNION ALL
+SELECT 'quota', doc_id, lang FROM (
   SELECT doc_id, lang,
          row_number() OVER (
            PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
   FROM documents
 ) t WHERE rn <= 50
+""",
+        "doc_unigram_lm": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+), vocab AS (
+  SELECT t, count(*) AS c FROM toks GROUP BY t
+), tot AS (
+  SELECT sum(c)::DOUBLE AS n FROM vocab
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(ln(c / (SELECT n FROM tot))), 4) AS lm_score
+FROM toks JOIN vocab USING (t) GROUP BY doc_id
 """,
         "emb_cosine_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),

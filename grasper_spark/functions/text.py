@@ -314,3 +314,35 @@ def topk_ngrams(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return counts.orderBy(F.col("cnt").desc(), F.col("ngram")).limit(k)
+
+
+def unigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc mean log-probability under the corpus's OWN unigram LM —
+    the cheap perplexity-proxy quality filter (CCNet-style): documents
+    far below the corpus's typical mean logprob are gibberish/outliers,
+    far above are repetitive boilerplate. p(tok) = corpus count of tok /
+    total tokens; score = mean over the doc's tokens of ln p(tok),
+    rounded to 4 dp (absorbs cross-row float-sum order). Returns
+    (id, n_tokens, lm_score) for non-empty docs.
+
+    Scale: one partial-aggregated vocab groupBy, one token→count join
+    (vocab is Zipfian — AQE broadcasts when it fits, shuffle-joins
+    otherwise; the token stream never moves twice), one per-doc mean.
+    No UDFs, no driver-side vocabulary."""
+    toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
+    )
+    vocab = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    total = vocab.agg(F.sum("_c").cast("double").alias("_n"))
+    return (
+        toks.join(vocab, "_t", "inner")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("_c") / F.col("_n"))), 4).alias("lm_score"),
+        )
+    )

@@ -573,3 +573,21 @@ def test_group_centroids_matches_duckdb(spark):
     for g in got:
         assert got[g][0] == want[g][0]
         assert got[g][1] == pytest.approx(want[g][1], abs=2e-6)
+
+
+def test_unigram_lm_score_ranks_outliers(spark):
+    from grasper_spark.functions.text import unigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat again"),
+            (3, "zxqv wvut qqzz xyzzy plugh"),  # all-rare tokens
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in unigram_lm_score(docs).collect()}
+    assert 4 not in out  # empty doc dropped
+    assert out[3].lm_score < out[1].lm_score  # gibberish scores lowest
+    assert out[1].n_tokens == 6
