@@ -113,3 +113,43 @@ def sessionize_batch(spark: SparkSession, sf_dir: str,
         F.count(F.lit(1)).alias("n_sessions"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+def session_rows(events: DataFrame, gap: str = "30 minutes",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Per-session rows via Spark's native session_window (gap-based
+    merging windows): (user_id, session_start, n_events, sum_value).
+    Works on streaming or batch inputs — the streaming form emits a
+    session once the watermark passes its close (append mode), which is
+    exactly the batch result for a static file.
+
+    Scale: one shuffle on (user_id); session state is bounded by the
+    watermark horizon. This is the native-operator twin of
+    sessionize_batch's window-function formulation — same gap semantics,
+    per-session granularity instead of the per-user rollup."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_rows_stream(spark: SparkSession, sf_dir: str,
+                        gap: str = "30 minutes") -> DataFrame:
+    return session_rows(read_events_stream(spark, sf_dir), gap)
+
+
+def session_rows_batch(spark: SparkSession, sf_dir: str,
+                       gap: str = "30 minutes") -> DataFrame:
+    return session_rows(load_events(spark, sf_dir), gap)
