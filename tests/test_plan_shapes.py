@@ -95,3 +95,46 @@ def test_ordered_range_is_takeordered(tg):
     df = tg.V().hasLabel("customer").values("acctbal").order().range_(3, 7).df()
     plan = _plan(df)
     assert "TakeOrderedAndProject(limit=8" in plan
+
+
+def test_line_dedup_no_cartesian_no_window(spark):
+    from grasper_spark.functions.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(line_dedup(docs, max_df=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan  # reassembly is array_sort, not a window
+
+
+def test_quota_sample_single_exchange(spark):
+    from grasper_spark.functions.sampling import quota_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(quota_sample(docs, "lang", 50).select("doc_id", "lang"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    # projection pruning reaches the scan despite the window
+    scan = re.search(r"FileScan parquet \[[^\]]*\]", plan).group(0)
+    assert "text" not in scan
+
+
+def test_match_floating_pattern_prunes_scans(tg):
+    from grasper_spark.plans.api import A
+
+    df = tg.V().hasLabel("supplier").match(
+        A.as_("a").has("name", "Supplier#000000001").out("supplies").as_("p"),
+        A.as_("b").hasLabel("supplier").out("supplies").as_("p"),
+    ).where("b", P.neq("a")).dedup("a", "b").select("a", "b").df()
+    scans = re.findall(r"FileScan parquet \[[^\]]*\]", _plan(df))
+    # supplier scans + lineitem-derived supplies scans only — the label
+    # filters keep the 6-way vertex union and 6-way edge union pruned
+    assert 0 < len(scans) <= 4, scans
+    assert all(("s_" in s) or ("l_" in s) for s in scans), scans
+
+
+def test_unigram_lm_no_driver_vocab_no_cartesian(spark):
+    from grasper_spark.functions.text import unigram_lm_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(unigram_lm_score(docs))
+    assert "CartesianProduct" not in plan  # the 1-row total broadcasts
