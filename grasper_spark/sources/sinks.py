@@ -208,3 +208,82 @@ def write_grasper_text(graph: PropertyGraph, out_dir: str) -> None:
                 f"{r['vid']}\t{len(ins)}\t{' '.join(map(str, ins))}\t"
                 f"{len(outs)}\t{' '.join(map(str, outs))}\n"
             )
+
+
+def zorder_code(cols, mins, maxs, bits: int = 16):
+    """Morton (Z-order) code Column: each column is min-max scaled to a
+    `bits`-bit integer and the bit patterns are interleaved, so rows
+    close in EVERY dimension get close codes. Pure JVM expression tree —
+    2·bits shift/or terms, codegen'd, no UDF."""
+    qs = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi - lo) or 1.0
+        scaled = F.least(
+            F.lit((1 << bits) - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
+                        * F.lit(float((1 << bits) - 1))).cast("long"),
+            ),
+        )
+        qs.append(scaled)
+    code = F.lit(0).cast("long")
+    nd = len(qs)
+    for b in range(bits):
+        for d, q in enumerate(qs):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            code = code + (bit.cast("long") * F.lit(1 << (b * nd + d)).cast("long"))
+    return code
+
+
+def write_zordered(
+    df, path: str, cols: list, num_files: int = 8, bits: int = 16
+) -> None:
+    """Z-order clustered parquet write: range-partition + sort by the
+    Morton code of `cols` so parquet row-group min/max statistics prune
+    on EVERY clustered dimension, not just a lexicographic prefix — the
+    multi-dimensional layout tool for 100 TB scans filtered on several
+    columns (e.g. (user_id, ts) event queries).
+
+    One driver-side min/max agg fixes the scaling (a one-time layout
+    decision, like computing range-partition bounds); the write itself
+    is repartitionByRange + sortWithinPartitions — no global sort
+    materialization."""
+    stats = df.agg(
+        *[F.min(c).alias(f"_lo{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    mins = [stats[f"_lo{i}"] for i in range(len(cols))]
+    maxs = [stats[f"_hi{i}"] for i in range(len(cols))]
+    code = zorder_code(cols, mins, maxs, bits)
+    (
+        df.withColumn("_zcode", code)
+        .repartitionByRange(num_files, "_zcode")
+        .sortWithinPartitions("_zcode")
+        .drop("_zcode")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark, path: str, out_path: str, target_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(bytes / target_mb) files — the maintenance op that keeps a
+    100 TB table's file count (and thus driver planning time + NN
+    pressure) bounded after many incremental/streaming appends.
+    Returns the number of output files."""
+    import math
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(_os.path.join(dp, fn))
+        for dp, _, fns in _os.walk(path)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    df.repartition(n).write.mode("overwrite").parquet(out_path)
+    return n

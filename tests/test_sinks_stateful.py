@@ -283,3 +283,61 @@ def test_streaming_neardup_matches_batch_twin(spark, tmp_path):
         r.doc_id for r in neardup_keep_flags(all_docs, **kw).filter("kept").collect()
     )
     assert twin == kept_stream
+
+
+def test_zorder_code_locality(spark):
+    from grasper_spark.sources.sinks import zorder_code
+
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    coded = df.withColumn(
+        "z", zorder_code(["x", "y"], [0, 0], [15, 15], bits=4)
+    ).collect()
+    z = {(r.x, r.y): r.z for r in coded}
+    assert len(set(z.values())) == 256  # bijective on the 16x16 grid
+    # interleaving: neighbors in BOTH dims stay within a bounded code
+    # distance (quadrant locality), unlike a lexicographic sort where
+    # (x, y)->(x, y+1) can jump the whole x-range
+    assert abs(z[(3, 3)] - z[(2, 2)]) < 64
+    assert z[(0, 0)] == 0 and z[(15, 15)] == 255
+
+
+def test_write_zordered_roundtrip_and_rowgroup_stats(spark, tmp_path):
+    from grasper_spark.sources.sinks import write_zordered
+
+    from grasper_spark.streaming.windows import load_events
+
+    events = load_events(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "events_z")
+    write_zordered(
+        events.withColumn("ts_us", F.unix_micros("ts")),
+        out, ["user_id", "ts_us"], num_files=4,
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    # clustered layout: a single-user filter touches a minority of files
+    import pyarrow.parquet as pq
+    import glob
+    files_with_user = 0
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.read_metadata(f)
+        lo = min(md.row_group(i).column(2).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(2).statistics.max for i in range(md.num_row_groups))
+        if lo <= 3 <= hi:
+            files_with_user += 1
+    nf = len(glob.glob(f"{out}/*.parquet"))
+    assert nf >= 3 and files_with_user < nf  # pruning is possible
+
+
+def test_compact_parquet(spark, tmp_path):
+    from grasper_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "frag")
+    spark.range(0, 10000).repartition(64).write.parquet(src)
+    out = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, out, target_mb=128)
+    assert n == 1
+    import glob
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == 10000
