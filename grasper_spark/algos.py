@@ -283,3 +283,32 @@ def k_core(
         if (i + 1) % checkpoint_every == 0:
             adj = adj.localCheckpoint(eager=True)
     return deg.select(F.col("_s").alias("vid"), "degree")
+
+
+def degree_distribution(
+    graph: PropertyGraph, direction: str = "out",
+    edge_label: str | None = None,
+) -> DataFrame:
+    """Degree histogram: (degree, n_vertices), including degree 0 —
+    the first diagnostic for skew planning (a heavy tail says which
+    joins need salting / AQE skew handling before you run them).
+
+    Scale: one partial-agg groupBy per side — never materializes a
+    per-vertex adjacency list."""
+    e = graph.edges
+    if edge_label is not None:
+        e = e.filter(F.col("label") == edge_label)
+    if direction == "out":
+        key = F.col("src")
+    elif direction == "in":
+        key = F.col("dst")
+    else:
+        e = _undirected(e)
+        key = F.col("src")
+    deg = e.groupBy(key.alias("vid")).agg(F.count(F.lit(1)).alias("degree"))
+    with_zero = (
+        graph.vertices.select("vid")
+        .join(deg, "vid", "left")
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+    )
+    return with_zero.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))

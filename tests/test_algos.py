@@ -122,3 +122,15 @@ def test_k_core_empty_when_k_too_high(modern, spark):
     from grasper_spark.algos import k_core
 
     assert k_core(modern, k=4).count() == 0
+
+
+def test_degree_distribution(modern, spark):
+    from grasper_spark.algos import degree_distribution
+
+    got = {r.degree: r.n_vertices
+           for r in degree_distribution(modern, "out").collect()}
+    # marko 3 out-edges; josh 2; peter 1; vadas/lop/ripple 0
+    assert got == {3: 1, 2: 1, 1: 1, 0: 3}
+    got_in = {r.degree: r.n_vertices
+              for r in degree_distribution(modern, "in").collect()}
+    assert got_in == {3: 1, 1: 3, 0: 2}  # lop 3 in; vadas/josh/ripple 1
