@@ -254,15 +254,35 @@ class GremlinCompiler:
         s2.history[col] = col
         return s2
 
-    def _step_path(self, s: Stream) -> Stream:
+    def _step_path(self, s: Stream, by_key: str | None = None) -> Stream:
+        """path() renders "[loc0, loc1, …]"; path().by(k) re-renders each
+        VERTEX location through property k (broadcast lookup against the
+        pruned (vid, k) relation, one join per recorded location — path
+        length is a query constant, so this is a fixed join chain, not a
+        data-dependent loop). Non-vertex locations (scalars, edges) and
+        vertices missing the property keep their raw rendering."""
         pps = sorted(
             (c for c in s.history if c.startswith("_pp")),
             key=lambda c: int(c[3:]),
         )
         if not pps:
             raise CompileError("path(): no recorded locations")
+        df = s.df
+        if by_key is not None:
+            rel = self._vertices().select(
+                F.col(VCOL).cast("string").alias("_pbk"),
+                F.col(VP + by_key).cast("string").alias("_pbv"),
+            ).filter(F.col("_pbv").isNotNull())
+            for c in pps:
+                df = (
+                    df.join(
+                        F.broadcast(rel), df[c] == rel["_pbk"], "left"
+                    )
+                    .withColumn(c, F.coalesce(F.col("_pbv"), F.col(c)))
+                    .drop("_pbk", "_pbv")
+                )
         val = F.concat(F.lit("["), F.concat_ws(", ", *[F.col(c) for c in pps]), F.lit("]"))
-        df = s.df.select(*[h for h in s.hist_cols() if not h.startswith("_pp")], val.alias(VAL))
+        df = df.select(*[h for h in s.hist_cols() if not h.startswith("_pp")], val.alias(VAL))
         hist = {k: v for k, v in s.history.items() if not k.startswith("_pp")}
         out = Stream(df=df, kind="S", dtype="string", history=hist,
                      group_cols=list(s.group_cols))

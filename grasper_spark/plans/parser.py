@@ -144,7 +144,7 @@ def _parse_step(tok: str) -> Step:
 
 
 #: steps that accept trailing by() modulators
-BY_HOSTS = ("project", "group", "groupCount", "order")
+BY_HOSTS = ("project", "group", "groupCount", "order", "path")
 
 
 def fold_by(prev: Step, args: tuple) -> Step:
@@ -193,6 +193,12 @@ def fold_by(prev: Step, args: tuple) -> Step:
                 slots[i] = args[0]
                 return Step(prev.name, tuple(slots) + rest)
         raise ParseError(f"{prev.name}(): too many by() modulators")
+    if prev.name == "path":
+        if prev.args:
+            raise ParseError("path(): at most one by() modulator")
+        if len(args) != 1 or not isinstance(args[0], str):
+            raise ParseError("path().by() takes one property key")
+        return Step("path", (args[0],))
     raise ParseError(f"by() cannot follow {prev.name}()")
 
 

@@ -836,3 +836,19 @@ def test_textp_string_parser(g):
     got = sorted(r[0] for r in g.query(
         'g.V().has("name", startingWith("v")).values("name")').collect())
     assert got == ["vadas"]
+
+
+def test_path_by_property(g):
+    got = vals(
+        g.V().has("name", "marko").out("knows").path().by("name")
+    )
+    assert got == ["[marko, josh]", "[marko, vadas]"]
+
+
+def test_path_by_string_parser_mixed_locations(g):
+    # values() locations are scalars — they keep their raw rendering;
+    # vertex hops re-render through 'name'
+    got = sorted(r[0] for r in g.query(
+        'g.V().has("name","marko").out("created").values("lang").path().by("name")'
+    ).collect())
+    assert got == ["[marko, lop, java]"]
