@@ -446,3 +446,75 @@ def line_dedup(
             F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def dedup_against(
+    corpus: DataFrame, batch: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", num_hashes: int = 16, bands: int = 4,
+    shingle_n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dedup of a NEW batch against an EXISTING corpus
+    (the "don't re-ingest what we already have" op): returns the batch
+    with `is_new` (no exact or near dup in the corpus) and, for dups,
+    the matched corpus id + jaccard. This is the batch twin of the
+    streaming LSH near-dedup's bucket-store probe.
+
+    Scale: the corpus side reduces to its (band, hash) bucket relation
+    — in production a PERSISTED table appended per ingest, so each new
+    batch probes an index instead of re-shingling history. Candidates =
+    batch buckets ⋈ corpus buckets (bucket equi-join, never all-pairs);
+    exact-Jaccard verify touches candidates only; exact dups
+    short-circuit on the content fingerprint before any shingling."""
+    from grasper_spark.functions.text import fingerprint
+
+    cfp = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    bfp = batch.select(
+        F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("_fp")
+    )
+    exact = (
+        bfp.join(cfp, "_fp", "inner")
+        .groupBy(id_col)
+        .agg(F.min("corpus_id").alias("dup_of"))
+        .withColumn("jaccard", F.lit(1.0))
+    )
+    remaining = bfp.join(cfp.select("_fp"), "_fp", "left_anti").drop("_fp")
+    cb = band_buckets(corpus, text_col, id_col, num_hashes, bands, shingle_n)
+    bb = band_buckets(remaining, text_col, id_col, num_hashes, bands, shingle_n)
+    cand = (
+        bb.alias("n").join(
+            cb.alias("o"),
+            (F.col("n.b") == F.col("o.b")) & (F.col("n.h") == F.col("o.h")),
+            "inner",
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col(f"o.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    both = batch.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    near = (
+        _verify_jaccard(both, cand, text_col, id_col, shingle_n, threshold)
+        .groupBy(F.col("id_a").alias(id_col))
+        # deterministic best-match: highest jaccard, ties to the larger
+        # corpus id (struct max — max_by would pick arbitrarily on ties)
+        .agg(F.max(F.struct("jaccard", "id_b")).alias("_m"))
+        .select(id_col, F.col("_m.id_b").alias("dup_of"),
+                F.col("_m.jaccard").alias("jaccard"))
+    )
+    dups = exact.unionByName(near)
+    return (
+        batch.select(id_col, text_col)
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNull().alias("is_new"),
+            "dup_of",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

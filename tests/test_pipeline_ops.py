@@ -638,3 +638,29 @@ def test_session_rows_agree_with_sessionize_rollup(spark):
     got = {(r.user_id, r.n_sessions, r.max_session_events)
            for r in per_session.collect()}
     assert got == rolled
+
+
+def test_dedup_against_corpus(spark):
+    from grasper_spark.functions.dedup import dedup_against
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "an entirely different document about query engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "THE QUICK  brown fox jumps over the lazy dog"),  # exact (normalized)
+            (2, "the quick brown fox leaps over the lazy dog"),   # near-dup of 100
+            (3, "completely novel text with no corpus overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           dedup_against(corpus, batch, threshold=0.3,
+                         bands=16, shingle_n=2).collect()}
+    assert out[1].is_new is False and out[1].dup_of == 100 and out[1].jaccard == 1.0
+    assert out[2].is_new is False and out[2].dup_of == 100 and 0.3 <= out[2].jaccard < 1.0
+    assert out[3].is_new is True and out[3].dup_of is None
