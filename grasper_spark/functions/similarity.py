@@ -225,11 +225,17 @@ def ivf_topk(
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     num_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+    multi_probe: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket.
+    """Approximate top-k: probe the query's LSH bucket; with
+    multi_probe, also every 1-bit-flip neighbor bucket (the standard
+    multi-probe recall/cost trade: ×(num_planes+1) probed buckets, no
+    extra corpus passes — near-misses on ONE hyperplane are the dominant
+    recall loss, and a single flip recovers them).
 
     At scale the corpus side is bucketed/partitioned once and reused;
-    recall is tunable via num_planes (fewer planes → bigger buckets)."""
+    recall is tunable via num_planes (fewer planes → bigger buckets)
+    and multi_probe."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
@@ -238,11 +244,20 @@ def lsh_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )
+    if multi_probe:
+        # a (query, neighbor) pair can match in several probed buckets
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
