@@ -153,3 +153,51 @@ def session_rows_stream(spark: SparkSession, sf_dir: str,
 def session_rows_batch(spark: SparkSession, sf_dir: str,
                        gap: str = "30 minutes") -> DataFrame:
     return session_rows(load_events(spark, sf_dir), gap)
+
+
+def resample(
+    events: DataFrame, every: str = "1 hour", agg_col: str = "value",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Regular time-series resampling WITH gap filling: one row per
+    `every` bucket between the stream's min and max ts (per group when
+    group_col is given), zero-filled where no events landed — the
+    calendar-join op every downstream charting/feature pipeline needs
+    (windowed_counts alone skips empty buckets).
+
+    Scale: the calendar is generated with sequence() from the min/max
+    aggregate (two scalars per group — a tiny relation, broadcast into
+    the left join); events aggregate FIRST (partial agg on the bucket),
+    so the join is bucket-rows × calendar, never raw events × calendar.
+    """
+    secs = {"1 hour": 3600, "1 minute": 60, "1 day": 86400}.get(every)
+    if secs is None:
+        raise ValueError(f"resample: unsupported interval {every!r}")
+    bucket = (F.floor(F.unix_timestamp("ts") / secs) * secs).cast("long")
+    keys = [group_col] if group_col else []
+    agg = (
+        events.withColumn("_bk", bucket)
+        .groupBy(*keys, "_bk")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(agg_col), 4).alias("sum_value"),
+        )
+    )
+    bounds = events.select(*keys, bucket.alias("_bk")).groupBy(*keys).agg(
+        F.min("_bk").alias("_lo"), F.max("_bk").alias("_hi")
+    )
+    calendar = bounds.select(
+        *keys, F.explode(F.sequence("_lo", "_hi", F.lit(secs))).alias("_bk")
+    )
+    out = (
+        calendar.join(agg, keys + ["_bk"], "left")
+        .select(
+            *keys,
+            F.date_format(F.timestamp_seconds("_bk"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+    return out

@@ -696,3 +696,34 @@ def test_lsh_multi_probe_recall_improves(spark):
     got_c = {(r.query_id, r.neighbor_id)
              for r in lsh_topk(vecs, q0, k=5, dim=64, multi_probe=True).collect()}
     assert exact_c <= got_c | exact_c and len(got_c & exact_c) == len(exact_c)
+
+
+def test_resample_gap_fill(spark):
+    import duckdb
+
+    from grasper_spark.streaming.windows import load_events, resample
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in resample(load_events(spark, sf), "1 day").collect()
+    )
+    # DuckDB twin: calendar from generate_series over the day-bucket span
+    want = sorted(tuple(r) for r in duckdb.sql(f"""
+        WITH e AS (
+          SELECT (epoch(ts)::BIGINT // 86400) * 86400 AS bk, value
+          FROM read_parquet('{sf}/events.parquet')
+        ), agg AS (
+          SELECT bk, count(*) AS n, round(sum(value), 4) AS s FROM e GROUP BY bk
+        ), cal AS (
+          SELECT unnest(generate_series((SELECT min(bk) FROM e),
+                                        (SELECT max(bk) FROM e), 86400)) AS bk
+        )
+        SELECT strftime(to_timestamp(cal.bk), '%Y-%m-%d %H:%M:%S'),
+               coalesce(n, 0), coalesce(s, 0.0)
+        FROM cal LEFT JOIN agg ON agg.bk = cal.bk
+    """).fetchall())
+    assert got == want and len(got) >= 28  # a month of daily buckets
+    # no gaps: consecutive buckets are exactly 86400s apart
+    import datetime
+    ts = [datetime.datetime.strptime(g[0], "%Y-%m-%d %H:%M:%S") for g in got]
+    assert all((b - a).total_seconds() == 86400 for a, b in zip(ts, ts[1:]))
