@@ -99,6 +99,77 @@ def read_training_shards(spark, path: str, fmt: str = "parquet") -> DataFrame:
     return spark.read.format(fmt).load(path)
 
 
+def write_shard_manifest(spark, path: str, id_col: str = "doc_id",
+                         fmt: str = "parquet") -> dict:
+    """Write a `_MANIFEST.json` next to the shards: per-shard row count
+    and an order-insensitive content checksum (xor/sum of xxhash64 of
+    the id+pos pair), plus totals. Readers verify a transfer or a
+    re-materialization without re-reading the producer's session —
+    the integrity half of exactly-once shard delivery (the write side
+    is idempotent: same input → byte-identical shard contents).
+
+    One aggregation job; the manifest relation is one row per shard."""
+    import json
+    import os as _os
+
+    df = read_training_shards(spark, path, fmt)
+    per = (
+        df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            # decimal(38,0) sum: ANSI mode overflows a LongType sum of
+            # 64-bit hashes; decimal is exact and order-insensitive
+            F.sum(
+                F.xxhash64(F.col(id_col).cast("string"), F.col("pos"))
+                .cast("decimal(38,0)")
+            ).alias("checksum"),
+        )
+        .collect()
+    )
+    manifest = {
+        "shards": {
+            str(r["shard"]): {"rows": r["rows"], "checksum": str(r["checksum"])}
+            for r in per
+        },
+        "total_rows": int(sum(r["rows"] for r in per)),
+        "num_shards": len(per),
+    }
+    with open(_os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_shard_manifest(spark, path: str, id_col: str = "doc_id",
+                          fmt: str = "parquet") -> bool:
+    """Recompute the manifest and compare — True iff every shard's row
+    count and checksum match (a failed/partial copy shows up as a
+    missing shard or a checksum drift)."""
+    import json
+    import os as _os
+
+    with open(_os.path.join(path, "_MANIFEST.json")) as fh:
+        want = json.load(fh)
+    df = read_training_shards(spark, path, fmt)
+    per = (
+        df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            # decimal(38,0) sum: ANSI mode overflows a LongType sum of
+            # 64-bit hashes; decimal is exact and order-insensitive
+            F.sum(
+                F.xxhash64(F.col(id_col).cast("string"), F.col("pos"))
+                .cast("decimal(38,0)")
+            ).alias("checksum"),
+        )
+        .collect()
+    )
+    now = {
+        str(r["shard"]): {"rows": r["rows"], "checksum": str(r["checksum"])}
+        for r in per
+    }
+    return now == want["shards"]
+
+
 def quota_sample(
     df: DataFrame, group_col: str, n_per_group: int, id_col: str = "doc_id"
 ) -> DataFrame:

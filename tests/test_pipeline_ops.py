@@ -727,3 +727,30 @@ def test_resample_gap_fill(spark):
     import datetime
     ts = [datetime.datetime.strptime(g[0], "%Y-%m-%d %H:%M:%S") for g in got]
     assert all((b - a).total_seconds() == 86400 for a, b in zip(ts, ts[1:]))
+
+
+def test_shard_manifest_roundtrip_and_tamper(spark, tmp_path):
+    import json
+
+    from grasper_spark.functions.sampling import (
+        verify_shard_manifest,
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, num_shards=4)
+    m = write_shard_manifest(spark, out)
+    assert m["total_rows"] == 40 and m["num_shards"] == 4
+    assert verify_shard_manifest(spark, out)
+    # tamper: claim a different checksum for one shard
+    with open(f"{out}/_MANIFEST.json") as fh:
+        doc = json.load(fh)
+    k = next(iter(doc["shards"]))
+    doc["shards"][k]["checksum"] = "0"
+    with open(f"{out}/_MANIFEST.json", "w") as fh:
+        json.dump(doc, fh)
+    assert not verify_shard_manifest(spark, out)
