@@ -122,6 +122,10 @@ def _parse_step(tok: str) -> Step:
             else:
                 key = a
         return Step("order", ((key, asc),))
+    if name == "coalesce" and not raw_args:
+        raise ParseError("coalesce: needs at least one branch")
+    if name == "tail" and (len(raw_args) != 1 or not isinstance(raw_args[0], int)):
+        raise ParseError("tail(n): takes exactly one integer")
     if name in ("and", "or", "union", "match", "coalesce"):
         return Step(name, tuple(tuple(a) if isinstance(a, tuple) else a for a in raw_args))
     if name in ("not", "repeat", "optional"):
