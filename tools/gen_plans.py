@@ -52,6 +52,19 @@ def _line_dedup_df(spark):
     return line_dedup(docs, max_df=2)
 
 
+def _interval_df(spark):
+    from grasper_spark.streaming.joins import interval_join_batch
+
+    return interval_join_batch(spark, SF_DIR)
+
+
+def _unigram_df(spark):
+    from grasper_spark.functions.text import unigram_lm_score
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    return unigram_lm_score(docs)
+
+
 def _quota_df(spark):
     from grasper_spark.functions.sampling import quota_sample
 
@@ -148,6 +161,22 @@ def main() -> None:
             "Pattern 2 compiles from its own pruned scan and equi-joins the binding "
             "relation on the shared 'p' label — a relational BGP join Catalyst is "
             "free to reorder; the name filter pushes into pattern 1's scan.",
+        ),
+        (
+            "Stream-stream interval join (batch twin)",
+            "interval_join_batch(spark, sf)  # clicks x purchases within 30 min",
+            _interval_df(spark),
+            "An equi-join on user_id with the time range as a post-join filter — "
+            "one shuffle per side here; the streaming form adds watermark-bounded "
+            "state, never a range explosion.",
+        ),
+        (
+            "Unigram-LM perplexity proxy",
+            "unigram_lm_score(documents)",
+            _unigram_df(spark),
+            "One partial-aggregated vocab groupBy, one token→count join (AQE "
+            "broadcasts the Zipfian vocab when it fits), one per-doc mean — "
+            "no driver-side vocabulary, no UDFs.",
         ),
         (
             "Cross-corpus line dedup",
