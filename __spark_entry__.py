@@ -656,7 +656,10 @@ def _q_algo_structure(spark, sf):
     g = _graph(spark, sf).graph
     a = triangle_count(g).select(
         F.lit("triangles").alias("metric"),
-        F.lit(None).cast("long").alias("vid"),
+        # -1 sentinel, not NULL: the global metric has no vertex, and a
+        # NULL would be the only one in the ledger (untested driver-sort
+        # territory)
+        F.lit(-1).cast("long").alias("vid"),
         F.col("n_triangles").alias("val"),
     )
     b = k_core(g, k=2).select(
@@ -1630,7 +1633,7 @@ WITH E AS MATERIALIZED (
   UNION SELECT DISTINCT least(l_orderkey + 40000000, l_partkey + 20000000), greatest(l_orderkey + 40000000, l_partkey + 20000000) FROM lineitem
   UNION SELECT DISTINCT least(l_suppkey + 10000000, l_partkey + 20000000), greatest(l_suppkey + 10000000, l_partkey + 20000000) FROM lineitem
 )
-SELECT 'triangles' AS metric, NULL::BIGINT AS vid, count(*)::BIGINT AS val
+SELECT 'triangles' AS metric, (-1)::BIGINT AS vid, count(*)::BIGINT AS val
 FROM E ab JOIN E bc ON ab.b = bc.a
           JOIN E ac ON ac.a = ab.a AND ac.b = bc.b
 UNION ALL
