@@ -684,18 +684,45 @@ def _q_events_asof(spark, sf):
     return out.select("event_id", "user_id", "asof_purchase_value")
 
 
-def _q_events_pivot(spark, sf):
-    # per-user event-type counts as columns (explicit value list keeps
-    # the schema deterministic)
+def _q_events_user_profile(spark, sf):
+    # pivot (per-type counts as columns) + per-user totals in one wide
+    # row — the pivot and groupBy aggregations share one shuffle key, so
+    # AQE plans the join between them broadcast/local
     from grasper_spark.streaming.windows import load_events
 
     types = ["click", "error", "purchase", "signup", "view"]
-    return (
-        load_events(spark, sf)
-        .groupBy("user_id")
+    ev = load_events(spark, sf)
+    piv = (
+        ev.groupBy("user_id")
         .pivot("event_type", types)
         .count()
         .na.fill(0, [t for t in types])
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("total_value"),
+    )
+    return piv.join(stats, "user_id", "inner")
+
+
+def _q_events_range_join(spark, sf):
+    # bin-based range join: purchase events matched to fixed price bands
+    # (the equi-join-on-bin rewrite of `v BETWEEN lo AND hi` — no
+    # nested-loop join; see functions/asof.range_join)
+    from grasper_spark.functions.asof import range_join
+    from grasper_spark.streaming.windows import load_events
+
+    bands = spark.createDataFrame(
+        [("micro", 0.0, 10.0), ("small", 10.0, 50.0), ("mid", 50.0, 200.0),
+         ("large", 200.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    ev = load_events(spark, sf).filter(F.col("event_type") == "purchase")
+    return (
+        range_join(ev, bands, "value", "lo", "hi", bin_size=25.0)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
     )
 
 
@@ -712,21 +739,6 @@ def _q_orders_rollup(spark, sf):
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
             "cnt",
             "total",
-        )
-    )
-
-
-def _q_events_user_stats(spark, sf):
-    # batch twin of streaming/stateful.running_user_stats final state
-    # (equality tested in tests/test_sinks_stateful.py)
-    from grasper_spark.streaming.windows import load_events
-
-    return (
-        load_events(spark, sf)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("total_value"),
         )
     )
 
@@ -777,9 +789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_lm": _q_doc_unigram_lm,
         "algo_pagerank": _q_algo_pagerank,
         "algo_structure": _q_algo_structure,
-        "events_user_stats": _q_events_user_stats,
+        "events_range_join": _q_events_range_join,
         "events_asof": _q_events_asof,
-        "events_pivot": _q_events_pivot,
+        "events_user_profile": _q_events_user_profile,
         "orders_rollup": _q_orders_rollup,
         "doc_gopher_quality": _q_doc_gopher_quality,
         "doc_pii_redact": _q_doc_pii_redact,
@@ -1650,13 +1662,15 @@ SELECT c.event_id, c.user_id, p.purchase_value AS asof_purchase_value
 FROM clicks c ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 """,
-        "events_pivot": """
+        "events_user_profile": """
 SELECT user_id,
   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
-  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+  count(*)::BIGINT AS n_events,
+  round(sum(coalesce(value, 0.0)), 4) AS total_value
 FROM events GROUP BY 1
 """,
         "orders_rollup": """
@@ -1665,9 +1679,14 @@ SELECT coalesce(o_orderstatus, 'ALL') AS status,
        count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
-        "events_user_stats": """
-SELECT user_id, count(*)::BIGINT AS n_events,
-       round(sum(coalesce(value, 0.0)), 4) AS total_value
-FROM events GROUP BY 1
+        "events_range_join": """
+WITH bands(band, lo, hi) AS (
+  VALUES ('micro', 0.0, 10.0), ('small', 10.0, 50.0),
+         ('mid', 50.0, 200.0), ('large', 200.0, 1000.0)
+)
+SELECT band, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+WHERE e.event_type = 'purchase'
+GROUP BY band
 """,
     }

@@ -45,3 +45,36 @@ def as_of_join(
     return unioned.filter(F.col("_side") == 1).select(
         *lcols, *[f"asof_{c}" for c in value_cols]
     )
+
+
+def range_join(
+    facts: DataFrame, ranges: DataFrame, value_col: str,
+    lo_col: str, hi_col: str, bin_size: float,
+) -> DataFrame:
+    """Bin-based range join: every fact row matched with every range row
+    whose [lo, hi] interval contains its value — WITHOUT the nested-loop
+    join Spark plans for a bare `v BETWEEN lo AND hi` condition.
+
+    The classic bin trick: ranges explode to the bins they cover, facts
+    map to their single bin, and the match becomes an EQUI-join on the
+    bin plus a residual filter. Each (fact, range) pair meets in exactly
+    one bin (the fact's), so no dedup is needed. Pick bin_size near the
+    typical range width: cost is O(|facts| + Σ range_width/bin_size)
+    exploded rows through one hash join — scales where the nested loop
+    is quadratic.
+    """
+    fb = facts.withColumn("_bin", F.floor(F.col(value_col) / bin_size))
+    rb = ranges.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_size),
+                F.floor(F.col(hi_col) / bin_size),
+            )
+        ),
+    )
+    return (
+        fb.join(rb, "_bin", "inner")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col)))
+        .drop("_bin")
+    )

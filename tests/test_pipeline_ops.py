@@ -754,3 +754,24 @@ def test_shard_manifest_roundtrip_and_tamper(spark, tmp_path):
     with open(f"{out}/_MANIFEST.json", "w") as fh:
         json.dump(doc, fh)
     assert not verify_shard_manifest(spark, out)
+
+
+def test_range_join_matches_naive_and_avoids_nested_loop(spark):
+    from grasper_spark.functions.asof import range_join
+
+    facts = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 100)], "fid long, v double"
+    )
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 9.0), ("b", 5.0, 30.0), ("c", 95.5, 99.5), ("d", 200.0, 300.0)],
+        "rid string, lo double, hi double",
+    )
+    got = {(r.fid, r.rid) for r in
+           range_join(facts, ranges, "v", "lo", "hi", bin_size=8.0).collect()}
+    want = {(f, rr) for f in range(100) for rr, lo, hi in
+            [("a", 0, 9), ("b", 5, 30), ("c", 95.5, 99.5), ("d", 200, 300)]
+            if lo <= f <= hi}
+    assert got == want and ("d" not in {r for _, r in got})
+    plan = (range_join(facts, ranges, "v", "lo", "hi", 8.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
