@@ -201,3 +201,31 @@ def resample(
         )
     )
     return out
+
+
+def time_rollup(events: DataFrame, agg_col: str = "value") -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: ONE pass producing
+    day-level, (day, hour)-level, and grand-total rows via ROLLUP on the
+    truncated time parts — the multi-granularity materialization a
+    time-series store keeps per chunk. NULL grouping keys from the
+    rollup are rendered as 'ALL' so every engine agrees on the output.
+
+    Scale: a single partial-aggregated ROLLUP (Spark expands it
+    map-side); at 100 TB the input is the time-partitioned table and
+    each partition contributes its chunk rows independently."""
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    hour = F.format_string("%02d", F.hour("ts"))
+    return (
+        events.withColumn("_day", day).withColumn("_hour", hour)
+        .rollup("_day", "_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(agg_col), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("_day", F.lit("ALL")).alias("day"),
+            F.coalesce("_hour", F.lit("ALL")).alias("hour"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -775,3 +775,22 @@ def test_range_join_matches_naive_and_avoids_nested_loop(spark):
     plan = (range_join(facts, ranges, "v", "lo", "hi", 8.0)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_time_rollup_matches_duckdb(spark):
+    import duckdb
+
+    from grasper_spark.streaming.windows import load_events, time_rollup
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in time_rollup(load_events(spark, sf)).collect())
+    want = sorted(tuple(r) for r in duckdb.sql(f"""
+        SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+               coalesce(printf('%02d', hour(ts)), 'ALL') AS hour,
+               count(*)::BIGINT, round(sum(value), 4)
+        FROM read_parquet('{sf}/events.parquet')
+        GROUP BY ROLLUP (date_trunc('day', ts), hour(ts))
+    """).fetchall())
+    assert got == want
+    days = {g[0] for g in got}
+    assert "ALL" in days and len(days) > 25  # grand total + a month of days
