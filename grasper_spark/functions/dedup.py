@@ -518,3 +518,39 @@ def dedup_against(
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.8, max_shingle_df: int = 10000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: (id_a, id_b, containment) where containment
+    = |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold — "a is
+    (mostly) contained in b". Catches the partial duplicates symmetric
+    Jaccard misses: a short article quoted inside a long page scores
+    near 1.0 here but low Jaccard (the union is dominated by the long
+    side). Both directions are emitted independently.
+
+    Scale: identical shape to ngram_jaccard_pairs — the same persisted
+    inverted-index self-join with the hot-shingle cap; only the final
+    normalization differs (divide by ONE side's size)."""
+    sh = _persisted_shingles(_exploded_shingles(df, text_col, id_col, shingle_n))
+    hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
+        F.col("df_cnt") > max_shingle_df
+    ).select("sh")
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")), "inner")
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    return (
+        common.join(sa, "id_a")
+        .withColumn("containment", F.round(F.col("common") / F.col("sz_a"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

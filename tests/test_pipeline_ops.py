@@ -794,3 +794,22 @@ def test_time_rollup_matches_duckdb(spark):
     assert got == want
     days = {g[0] for g in got}
     assert "ALL" in days and len(days) > 25  # grand total + a month of days
+
+
+def test_containment_catches_partial_duplicate(spark):
+    from grasper_spark.functions.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long_ = ("breaking news and analysis follows here today " + short +
+             " additional commentary continues with more unrelated filler text")
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "entirely different content")],
+        ["doc_id", "text"],
+    )
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in containment_pairs(docs, threshold=0.8).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.8  # short inside long
+    assert (2, 1) not in cont  # long is NOT contained in short
+    jac = {(r.id_a, r.id_b) for r in
+           ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert (1, 2) not in jac  # symmetric Jaccard misses exactly this
