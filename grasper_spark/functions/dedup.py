@@ -554,3 +554,52 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 32, bands: int = 4, max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a, id_b, hamming ≤ max_hamming).
+    Candidates come from banded prefix collisions — two hashes within
+    Hamming distance d < bands must agree EXACTLY on at least one of the
+    `bands` bit-slices (pigeonhole), so the candidate join is a bucket
+    equi-join like MinHash-LSH, never all-pairs; the exact popcount
+    verify runs on candidates only. Requires max_hamming < bands for the
+    pigeonhole guarantee."""
+    if max_hamming >= bands:
+        raise ValueError("simhash_pairs: need max_hamming < bands (pigeonhole)")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(df, text_col, id_col, bits)
+    slices = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask)).alias("h"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.b", "bk.h")
+    a, b = slices.alias("a"), slices.alias("b")
+    cand = (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.h") == F.col("b.h"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -813,3 +813,35 @@ def test_containment_catches_partial_duplicate(spark):
     jac = {(r.id_a, r.id_b) for r in
            ngram_jaccard_pairs(docs, threshold=0.8).collect()}
     assert (1, 2) not in jac  # symmetric Jaccard misses exactly this
+
+
+def test_simhash_pairs_bucketed_hamming(docs, spark):
+    from grasper_spark.functions.dedup import simhash, simhash_pairs
+
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 0  # identical token sets
+    # verify every reported hamming against the raw hashes
+    h = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    for (a, b), d in got.items():
+        assert bin(h[a] ^ h[b]).count("1") == d <= 3
+    # plan: bucketed candidate join, never a cross join
+    plan = (simhash_pairs(docs, max_hamming=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, bands=4, max_hamming=4)
+
+
+def test_line_dedup_identity_when_threshold_uncrossed(spark):
+    from grasper_spark.functions.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha {i}\nbeta {i}\ngamma {i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, max_df=999).collect()}
+    for i in range(10):
+        assert out[i].text == f"alpha {i}\nbeta {i}\ngamma {i}"
+        assert out[i].n_lines == out[i].n_kept == 3
