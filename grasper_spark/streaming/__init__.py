@@ -1,10 +1,20 @@
 """Structured Streaming surfaces (green-field — the reference is
 batch-only, SURVEY.md §2.7)."""
 
+from grasper_spark.streaming.joins import (
+    interval_join,
+    interval_join_batch,
+    interval_join_stream,
+)
 from grasper_spark.streaming.neardup import neardup_foreach_batch, neardup_stream
 from grasper_spark.streaming.windows import (
     read_events_stream,
+    resample,
+    session_rows,
+    session_rows_batch,
+    session_rows_stream,
     sessionize_batch,
+    time_rollup,
     windowed_counts,
     windowed_counts_batch,
 )
@@ -14,6 +24,14 @@ __all__ = [
     "windowed_counts",
     "windowed_counts_batch",
     "sessionize_batch",
+    "session_rows",
+    "session_rows_batch",
+    "session_rows_stream",
+    "resample",
+    "time_rollup",
+    "interval_join",
+    "interval_join_batch",
+    "interval_join_stream",
     "neardup_foreach_batch",
     "neardup_stream",
 ]
