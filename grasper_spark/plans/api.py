@@ -300,8 +300,8 @@ class G:
         self._cache_plans = cache_plans
         self._plan_cache: dict[str, DataFrame] = {}
 
-    def V(self) -> Traversal:
-        return Traversal(self.graph, (Step("V"),), self._seed, ctx=self)
+    def V(self, *ids: int) -> Traversal:
+        return Traversal(self.graph, (Step("V", tuple(ids)),), self._seed, ctx=self)
 
     def E(self) -> Traversal:
         return Traversal(self.graph, (Step("E"),), self._seed, ctx=self)

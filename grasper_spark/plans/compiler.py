@@ -216,6 +216,7 @@ class GremlinCompiler:
             or str(self.config.get("indexing", "true")).lower() == "false"
             or not steps
             or steps[0].name not in ("V", "E")
+            or steps[0].args  # V(id…): the id restriction must survive
         ):
             return steps, None
         element = steps[0].name
@@ -357,12 +358,22 @@ class GremlinCompiler:
 
     # ---------- sources ----------
 
-    def _step_V(self, s: Optional[Stream]) -> Stream:
+    def _step_V(self, s: Optional[Stream], *ids) -> Stream:
         assert s is None, "V() only at query start"
-        return Stream(df=self._vertices(), kind="V", props=True)
+        st = Stream(df=self._vertices(), kind="V", props=True)
+        if ids:
+            # V(id…) point start (TinkerPop-style extension): an early
+            # vid filter — vids are derived columns, so this prunes rows
+            # right after the scans rather than converting them; a
+            # point-lookup workload should BuildIndex on the natural key
+            # and use has() for true scan conversion.
+            st = replace(st, df=st.df.filter(F.col(VCOL).isin(list(ids))))
+        return st
 
-    def _step_E(self, s: Optional[Stream]) -> Stream:
+    def _step_E(self, s: Optional[Stream], *args) -> Stream:
         assert s is None, "E() only at query start"
+        if args:
+            raise CompileError("E() takes no arguments (edges have no ids)")
         return Stream(df=self._edges(), kind="E")
 
     # ---------- filters ----------

@@ -852,3 +852,18 @@ def test_path_by_string_parser_mixed_locations(g):
         'g.V().has("name","marko").out("created").values("lang").path().by("name")'
     ).collect())
     assert got == ["[marko, lop, java]"]
+
+
+def test_v_point_start(g):
+    assert vals(g.V(1).values("name")) == ["marko"]
+    assert vals(g.V(1, 4).out("created").values("name")) == ["lop", "lop", "ripple"]
+    got = sorted(r[0] for r in g.query('g.V(2, 6).values("name")').collect())
+    assert got == ["peter", "vadas"]
+
+
+def test_e_args_rejected(g):
+    import pytest
+    from grasper_spark.plans.compiler import CompileError
+
+    with pytest.raises(CompileError):
+        g.query("g.E(1).count()").collect()
