@@ -64,3 +64,81 @@ def curate(
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         exact_kept = exact_kept.join(losers, id_col, "left_anti")
     return exact_kept.drop("__text")
+
+
+def full_pipeline(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    out_path: str | None = None,
+    min_quality: float = 0.3,
+    languages: tuple[str, ...] = ("en", "de"),
+    near_dup_threshold: float = 0.5,
+    line_dedup_max_df: int = 2,
+    chunk_tokens: int = 64,
+    num_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, dict]:
+    """The WHOLE training-data flow as one composition of the proven
+    operators: Gopher repetition gates → PII redaction → cross-corpus
+    line dedup → quality/language curation with near-dup collapse →
+    benchmark decontamination (when `benchmark` is given) → token-window
+    chunking → deterministic shard assignment (written out when
+    `out_path` is given).
+
+    Returns (chunks_df, stats) where stats counts survivors per stage —
+    the audit trail a data-governance review asks for. Every stage is
+    declarative; the only materializations are the stage counts (driver
+    scalars) and the optional shard write.
+    """
+    from grasper_spark.functions.contamination import decontaminate
+    from grasper_spark.functions.dedup import line_dedup
+    from grasper_spark.functions.sampling import export_shards, write_training_shards
+    from grasper_spark.functions.text import chunk_documents, gopher_quality, redact_pii
+
+    stats: dict[str, int] = {"input": docs.count()}
+
+    gated = gopher_quality(docs, text_col=text_col, id_col=id_col)
+    survivors = gated.filter(F.col("pass")).select(id_col)
+    cur = docs.join(survivors, id_col, "left_semi")
+    stats["gopher_pass"] = cur.count()
+
+    cur = redact_pii(cur, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("clean_text").alias(text_col)
+    )
+
+    deduped_lines = line_dedup(cur, text_col=text_col, id_col=id_col,
+                               max_df=line_dedup_max_df)
+    cur = deduped_lines.filter(F.length(F.trim(text_col)) > 0).select(id_col, text_col)
+    stats["line_dedup_nonempty"] = cur.count()
+
+    kept = curate(
+        cur, min_quality=min_quality, languages=languages,
+        near_dup_threshold=near_dup_threshold, text_col=text_col, id_col=id_col,
+    )
+    cur = cur.join(kept.select(id_col), id_col, "left_semi")
+    stats["curated"] = cur.count()
+
+    if benchmark is not None:
+        cur = decontaminate(cur, benchmark, text_col=text_col, id_col=id_col)
+        stats["decontaminated"] = cur.count()
+
+    chunks = chunk_documents(cur, window=chunk_tokens,
+                             stride=max(1, chunk_tokens * 3 // 4),
+                             text_col=text_col, id_col=id_col)
+    stats["chunks"] = chunks.count()
+
+    sharded = export_shards(
+        chunks.select(
+            F.concat_ws("#", F.col(id_col).cast("string"), F.col("chunk_id").cast("string")
+                        ).alias(id_col),
+            F.col("chunk").alias(text_col),
+        ),
+        id_col=id_col, num_shards=num_shards,
+    )
+    if out_path is not None:
+        write_training_shards(
+            sharded.select(id_col, text_col), out_path, id_col=id_col,
+            num_shards=num_shards,
+        )
+    return sharded, stats

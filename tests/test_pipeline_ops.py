@@ -845,3 +845,31 @@ def test_line_dedup_identity_when_threshold_uncrossed(spark):
     for i in range(10):
         assert out[i].text == f"alpha {i}\nbeta {i}\ngamma {i}"
         assert out[i].n_lines == out[i].n_kept == 3
+
+
+def test_full_pipeline_end_to_end(spark, tmp_path):
+    from grasper_spark.functions.curation import full_pipeline
+    from grasper_spark.functions.sampling import (
+        verify_shard_manifest,
+        write_shard_manifest,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    out = str(tmp_path / "pipe_shards")
+    sharded, stats = full_pipeline(train, benchmark=bench, out_path=out,
+                                   num_shards=4)
+    # monotone survivor funnel, nothing degenerate
+    assert stats["input"] >= stats["gopher_pass"] >= stats["curated"] > 0
+    assert stats["decontaminated"] <= stats["curated"]
+    assert stats["chunks"] >= stats["decontaminated"]
+    # deterministic: a second run produces identical shard assignment
+    sharded2, stats2 = full_pipeline(train, benchmark=bench, num_shards=4)
+    assert stats2 == {k: v for k, v in stats.items()}
+    a = sorted(tuple(r) for r in sharded.select("doc_id", "shard", "pos").collect())
+    b = sorted(tuple(r) for r in sharded2.select("doc_id", "shard", "pos").collect())
+    assert a == b
+    # the written shards carry a verifiable manifest
+    write_shard_manifest(spark, out)
+    assert verify_shard_manifest(spark, out)
