@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from grasper_spark.graph import PropertyGraph
@@ -312,3 +312,84 @@ def degree_distribution(
         .select(F.coalesce("degree", F.lit(0)).alias("degree"))
     )
     return with_zero.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+def random_walks(
+    graph: PropertyGraph,
+    walk_length: int = 4,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    direction: str = "out",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Deterministic pseudo-random walks (DeepWalk/GraphSAGE sampling):
+    (walk_id, start_vid, path array<vid>). Each step picks the neighbor
+    ranked xxhash64(seed, walk_id, step) mod degree — no RNG state, so
+    the same graph + seed reproduces the same walks on any cluster
+    layout, and the walk corpus can be re-derived instead of stored.
+    Walks stop early at sinks (path shorter than walk_length+1).
+
+    Scale: one equi-join + one ranked-neighbor pick per step (the
+    neighbor rank is a window per source vertex, computed ONCE and
+    reused across all steps); lineage truncates every few steps. Output
+    is walks_per_vertex × |V| rows with arrays of ≤ walk_length+1 vids.
+    """
+    e = graph.edges
+    if direction == "out":
+        adj = e.select("src", "dst")
+    elif direction == "in":
+        adj = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    else:
+        adj = _undirected(e)
+    adj = adj.distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = (
+        adj.withColumn("_rk", F.row_number().over(w) - 1)
+        .withColumn("_deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+    walks = (
+        graph.vertices.select("vid")
+        .crossJoin(F.broadcast(
+            graph.vertices.sparkSession.range(walks_per_vertex)
+            .withColumnRenamed("id", "_w")
+        ))
+        .select(
+            F.concat_ws("#", F.col("vid").cast("string"), F.col("_w").cast("string"))
+            .alias("walk_id"),
+            F.col("vid").alias("start_vid"),
+            F.array(F.col("vid")).alias("path"),
+            F.col("vid").alias("_cur"),
+            F.lit(False).alias("_done"),
+        )
+    )
+    for step in range(walk_length):
+        # done walks must NOT re-enter the join (a done row joined
+        # against its vertex's ranked neighbors would fan out by degree)
+        active = walks.filter(~F.col("_done"))
+        done = walks.filter(F.col("_done"))
+        stepped = (
+            active.alias("wk")
+            .join(ranked.alias("r"), F.col("wk._cur") == F.col("r.src"), "left")
+            .filter(
+                F.col("r.src").isNull()  # sink: stop early
+                | (
+                    F.col("r._rk")
+                    == F.pmod(
+                        F.xxhash64(F.lit(seed), F.col("wk.walk_id"), F.lit(step)),
+                        F.col("r._deg"),
+                    )
+                )
+            )
+            .select(
+                "wk.walk_id", "wk.start_vid",
+                F.when(F.col("r.dst").isNull(), F.col("wk.path"))
+                .otherwise(F.array_append("wk.path", F.col("r.dst"))).alias("path"),
+                F.coalesce(F.col("r.dst"), F.col("wk._cur")).alias("_cur"),
+                F.col("r.dst").isNull().alias("_done"),
+            )
+        )
+        walks = stepped.unionByName(done)
+        if (step + 1) % checkpoint_every == 0:
+            walks = walks.localCheckpoint(eager=True)
+    return walks.select("walk_id", "start_vid", "path")

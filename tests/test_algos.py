@@ -134,3 +134,43 @@ def test_degree_distribution(modern, spark):
     got_in = {r.degree: r.n_vertices
               for r in degree_distribution(modern, "in").collect()}
     assert got_in == {3: 1, 1: 3, 0: 2}  # lop 3 in; vadas/josh/ripple 1
+
+
+def test_random_walks_valid_and_deterministic(modern, spark):
+    from grasper_spark.algos import random_walks
+
+    out1 = {r.walk_id: list(r.path)
+            for r in random_walks(modern, walk_length=3, seed=7).collect()}
+    out2 = {r.walk_id: list(r.path)
+            for r in random_walks(modern, walk_length=3, seed=7).collect()}
+    assert out1 == out2 and len(out1) == 6  # one walk per vertex
+    edges = {(a, b) for a, b, _, _ in [
+        (1, 2, 0, 0), (1, 3, 0, 0), (1, 4, 0, 0), (4, 5, 0, 0), (4, 3, 0, 0), (6, 3, 0, 0)
+    ]}
+    for wid, path in out1.items():
+        assert path[0] == int(wid.split("#")[0])
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in edges  # every hop is a real out-edge
+        assert len(path) <= 4
+    # sinks (2,3,5) stop immediately
+    assert out1["2#0"] == [2] and out1["3#0"] == [3] and out1["5#0"] == [5]
+    # seed-sensitivity: across a handful of seeds, marko's walk (3
+    # out-neighbors) takes more than one distinct route
+    first_hops = set()
+    for sd in range(5):
+        o = {r.walk_id: list(r.path)
+             for r in random_walks(modern, walk_length=1, seed=sd).collect()}
+        first_hops.add(tuple(o["1#0"]))
+    assert len(first_hops) >= 2
+
+
+def test_random_walks_multiple_per_vertex(modern):
+    from grasper_spark.algos import random_walks
+
+    out = random_walks(modern, walk_length=2, walks_per_vertex=3).collect()
+    assert len(out) == 18
+    starts = {}
+    for r in out:
+        starts.setdefault(r.start_vid, 0)
+        starts[r.start_vid] += 1
+    assert all(v == 3 for v in starts.values())
