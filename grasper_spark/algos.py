@@ -393,3 +393,28 @@ def random_walks(
         if (step + 1) % checkpoint_every == 0:
             walks = walks.localCheckpoint(eager=True)
     return walks.select("walk_id", "start_vid", "path")
+
+
+def walk_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) skip-gram pairs from random_walks output — the
+    training-example generator for DeepWalk/node2vec-style embedding
+    jobs. Every ordered pair of vids within `window` positions of each
+    other on a path is emitted (both directions, like word2vec).
+
+    Scale: pure per-row array work (sequence + posexplode) — no shuffle;
+    output ≤ 2·window·Σ path lengths rows."""
+    idx = F.posexplode(F.col("path"))
+    exploded = walks.select("walk_id", F.col("path"), idx.alias("pos", "center"))
+    ctx = F.explode(
+        F.filter(
+            F.transform(
+                F.sequence(
+                    F.greatest(F.col("pos") - window, F.lit(0)),
+                    F.least(F.col("pos") + window, F.size("path") - 1),
+                ),
+                lambda j: F.when(j != F.col("pos"), F.element_at(F.col("path"), j + 1)),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return exploded.select("center", ctx.alias("context"))

@@ -346,3 +346,34 @@ def unigram_lm_score(
             F.round(F.avg(F.log(F.col("_c") / F.col("_n"))), 4).alias("lm_score"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF (the classic
+    keyword/feature extractor): tf = in-doc count, idf = ln(N / df)
+    with document frequency over the corpus; ties break on the term
+    string so row k is deterministic. Returns (id, term, tfidf, rank).
+
+    Scale: one token explode, one per-(doc, term) count (partial agg),
+    one df groupBy, one join, one per-doc top-k window — the same
+    inverted-index shapes as the dedup family; idf's N is the only
+    driver scalar."""
+    toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.filter(F.length(F.trim(F.col(text_col))) > 0).count()
+    scored = tf.join(dfreq, "term").select(
+        id_col, "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

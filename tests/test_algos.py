@@ -174,3 +174,19 @@ def test_random_walks_multiple_per_vertex(modern):
         starts.setdefault(r.start_vid, 0)
         starts[r.start_vid] += 1
     assert all(v == 3 for v in starts.values())
+
+
+def test_walk_pairs_window(modern, spark):
+    from grasper_spark.algos import random_walks, walk_pairs
+
+    walks = random_walks(modern, walk_length=3, seed=7)
+    pairs = walk_pairs(walks, window=1).collect()
+    paths = {r.walk_id: list(r.path) for r in walks.collect()}
+    want = []
+    for p in paths.values():
+        for i, c in enumerate(p):
+            for j in range(max(0, i - 1), min(len(p), i + 2)):
+                if j != i:
+                    want.append((c, p[j]))
+    got = sorted((r.center, r.context) for r in pairs)
+    assert got == sorted(want) and len(got) > 0

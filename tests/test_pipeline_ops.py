@@ -873,3 +873,33 @@ def test_full_pipeline_end_to_end(spark, tmp_path):
     # the written shards carry a verifiable manifest
     write_shard_manifest(spark, out)
     assert verify_shard_manifest(spark, out)
+
+
+def test_tfidf_top_terms_matches_duckdb(spark):
+    import duckdb
+
+    from grasper_spark.functions.text import tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(tuple(r) for r in tfidf_top_terms(docs, k=3).collect())
+    want = sorted(tuple(r) for r in duckdb.sql(rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          FROM read_parquet('{sf}/documents.parquet') WHERE length(trim(text)) > 0
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM toks),
+        scored AS (
+          SELECT doc_id, term,
+                 round(tf * ln((SELECT n FROM nd) / df), 6) AS tfidf
+          FROM tf JOIN dfq USING (term)
+        )
+        SELECT doc_id, term, tfidf, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+          FROM scored) t
+        WHERE rank <= 3
+    """).fetchall())
+    assert got == want and len(got) == 3 * 500
