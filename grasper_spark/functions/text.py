@@ -377,3 +377,51 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pmi_bigrams(
+    df: DataFrame, k: int = 50, min_count: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k collocations: adjacent token bigrams ranked by pointwise
+    mutual information, PMI = ln(c_ab · T / (c_a · c_b)) with T = total
+    token occurrences — the standard phrase-mining signal (high PMI =
+    the pair co-occurs far more than its parts predict). Bigrams with
+    c_ab < min_count are dropped (PMI is unstable on hapax pairs); ties
+    break on the bigram string. Returns (bigram, n, pmi, rank).
+
+    Scale: one token explode feeding both the unigram and the
+    (lead-based) bigram counts — two partial-agg groupBys + two joins on
+    the unigram table + TakeOrdered(k); no global sort."""
+    from pyspark.sql import Window
+
+    toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "t"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = toks.select(
+        F.col("t").alias("a"), F.lead("t").over(w).alias("b")
+    ).filter(F.col("b").isNotNull())
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()
+    bc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= min_count
+    )
+    scored = (
+        bc.join(uni.select(F.col("t").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uni.select(F.col("t").alias("b"), F.col("c").alias("cb")), "b")
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "n",
+            F.round(
+                F.log(F.col("n") * F.lit(float(total)) / (F.col("ca") * F.col("cb"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("pmi").desc(), F.col("bigram"))),
+    )

@@ -903,3 +903,38 @@ def test_tfidf_top_terms_matches_duckdb(spark):
         WHERE rank <= 3
     """).fetchall())
     assert got == want and len(got) == 3 * 500
+
+
+def test_pmi_bigrams_matches_duckdb(spark):
+    import duckdb
+
+    from grasper_spark.functions.text import pmi_bigrams
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(tuple(r) for r in pmi_bigrams(docs, k=20).collect())
+    want = sorted(tuple(r) for r in duckdb.sql(rf"""
+        WITH toks AS (
+          SELECT doc_id, i AS pos, t[i] AS tok
+          FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                FROM read_parquet('{sf}/documents.parquet')
+                WHERE length(trim(text)) > 0),
+               unnest(generate_series(1, len(t))) AS u(i)
+        ), big AS (
+          SELECT tok AS a,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+          FROM toks
+        ), uni AS (SELECT tok AS t, count(*) AS c FROM toks GROUP BY 1),
+        tot AS (SELECT count(*)::DOUBLE AS n FROM toks),
+        bc AS (SELECT a, b, count(*) AS n FROM big WHERE b IS NOT NULL
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        scored AS (
+          SELECT a || ' ' || b AS bigram, bc.n,
+                 round(ln(bc.n * (SELECT n FROM tot) / (ua.c * ub.c)), 6) AS pmi
+          FROM bc JOIN uni ua ON ua.t = a JOIN uni ub ON ub.t = b
+        )
+        SELECT bigram, n, pmi,
+               row_number() OVER (ORDER BY pmi DESC, bigram) AS rank
+        FROM scored ORDER BY pmi DESC, bigram LIMIT 20
+    """).fetchall())
+    assert got == want and len(got) == 20
