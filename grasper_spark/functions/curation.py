@@ -76,6 +76,8 @@ def full_pipeline(
     line_dedup_max_df: int = 2,
     chunk_tokens: int = 64,
     num_shards: int = 8,
+    contamination_n: int = 5,
+    contamination_min_hits: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, dict]:
@@ -120,7 +122,14 @@ def full_pipeline(
     stats["curated"] = cur.count()
 
     if benchmark is not None:
-        cur = decontaminate(cur, benchmark, text_col=text_col, id_col=id_col)
+        # 5-gram / 3-hit gate by default: a 3-gram single-hit gate is
+        # the right paranoia for real web text but wipes a synthetic
+        # small-vocabulary corpus (every doc shares some 3-gram by
+        # chance) — callers tune per corpus
+        cur = decontaminate(
+            cur, benchmark, text_col=text_col, id_col=id_col,
+            n=contamination_n, min_hits=contamination_min_hits,
+        )
         stats["decontaminated"] = cur.count()
 
     chunks = chunk_documents(cur, window=chunk_tokens,
