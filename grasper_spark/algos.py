@@ -418,3 +418,64 @@ def walk_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         )
     )
     return exploded.select("center", ctx.alias("context"))
+
+
+def harmonic_centrality(
+    graph: PropertyGraph,
+    n_seeds: int = 16,
+    max_hops: int = 6,
+    direction: str = "both",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Approximate harmonic centrality by sampled multi-source BFS
+    (Eppstein–Wang): pick `n_seeds` deterministic seeds (md5-ranked —
+    reproducible anywhere), run ONE BFS whose frontier carries
+    (seed, vid) pairs, and score every vertex v as Σ_seeds 1/dist(s, v)
+    over reached seeds (harmonic form — robust to unreachable pairs,
+    unlike classic closeness). n_seeds = |V| gives the exact values.
+
+    Scale: state is (seed × reached vertex) pairs — n_seeds bounds the
+    blow-up factor over plain BFS; each hop is one equi-join + one
+    anti-join, lineage checkpointed. Returns (vid, harmonic, reached).
+    """
+    e = graph.edges
+    if direction == "out":
+        adj = e.select("src", "dst")
+    elif direction == "in":
+        adj = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    else:
+        adj = _undirected(e)
+    adj = adj.distinct().select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    seeds = (
+        graph.vertices.select("vid")
+        .orderBy(F.md5(F.col("vid").cast("string")), F.col("vid"))
+        .limit(n_seeds)
+        .select(F.col("vid").alias("_seed"))
+    )
+    visited = seeds.select("_seed", F.col("_seed").alias("vid")).withColumn(
+        "dist", F.lit(0)
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(adj.alias("a"), F.col("f.vid") == F.col("a._s"), "inner")
+            .select("f._seed", F.col("a._d").alias("vid"))
+            .distinct()
+            .join(visited.select("_seed", "vid"), ["_seed", "vid"], "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        if hop % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("vid")
+        .agg(
+            F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic"),
+            F.count(F.lit(1)).alias("reached"),
+        )
+    )

@@ -190,3 +190,19 @@ def test_walk_pairs_window(modern, spark):
                     want.append((c, p[j]))
     got = sorted((r.center, r.context) for r in pairs)
     assert got == sorted(want) and len(got) > 0
+
+
+def test_harmonic_centrality_exact_with_all_seeds(modern):
+    from grasper_spark.algos import harmonic_centrality
+
+    # n_seeds = |V| -> exact undirected harmonic centrality; hand-check
+    # lop(3): neighbors 1,4,6 at d=1; 2,5 at d=2 -> 3 + 1 = 4.0
+    got = {r.vid: (r.harmonic, r.reached)
+           for r in harmonic_centrality(modern, n_seeds=6).collect()}
+    assert got[3] == (4.0, 5)
+    # vadas(2): 1 at d=1; 3,4 at d=2; 5,6 at d=3 -> 1 + 1 + 2/3
+    assert got[2] == (round(1 + 1 + 2 / 3, 6), 5)
+    # determinism across runs
+    again = {r.vid: (r.harmonic, r.reached)
+             for r in harmonic_centrality(modern, n_seeds=6).collect()}
+    assert got == again
