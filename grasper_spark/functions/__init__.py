@@ -12,4 +12,10 @@ Cross-engine determinism: every hash used here is derived from md5
 results value-for-value.
 """
 
-from grasper_spark.functions import dedup, multimodal, similarity, text  # noqa: F401
+from grasper_spark.functions import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    sketches,
+    text,
+)

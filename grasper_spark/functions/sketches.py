@@ -1,0 +1,164 @@
+"""Sketch-based corpus statistics: HLL cardinality, mergeable per-shard
+sketches, one-pass column profiling.
+
+The first thing a 100 TB intake runs is not dedup — it is "how big is
+this, how many distinct tokens, what do the columns look like". Exact
+answers need a full shuffle of every distinct value; sketches need one
+scan with partial aggregation, and only KILOBYTES of sketch bytes cross
+the wire per partition. All of these stay JVM-side (Spark 4 ships the
+Apache DataSketches HLL aggregates as built-in SQL functions — no UDF).
+
+Why sketches are the 100 TB design and not a shortcut:
+
+- ``hll_sketch_agg`` is algebraic: executors build per-partition
+  sketches, the final reduce unions ~num_partitions × 2^lgk bytes.
+  ``approx_count_distinct`` (HLL++) has the same shape; we expose the
+  DataSketches form because its BINARY sketch is a value you can STORE
+  (per shard / per day) and re-union later without rescanning — the
+  incremental-ingest pattern (`shard_token_sketches` +
+  `merge_token_sketches`).
+- ``approx_percentile`` (KLL-ish quantile summary) replaces a global
+  sort: a length distribution over 10^11 documents costs one partial
+  agg instead of a total order.
+
+No reference parity to cite: Grasper has no approximate aggregates —
+this module is part of the training-data-pipeline extension surface
+(SURVEY.md "beyond the reference" bullet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from grasper_spark.functions.text import token_count, tokens
+
+#: default DataSketches lgK (2^12 = 4096 buckets ≈ 1.6% relative error,
+#: 4 KB per sketch — per-partition cost at any data scale)
+DEFAULT_LGK = 12
+
+
+def _token_stream(docs: DataFrame, text_col: str) -> DataFrame:
+    # explode is line-rate work but stays in whole-stage codegen; the
+    # aggregate downstream is partial, so no token-level shuffle of
+    # values — only sketch bytes
+    return docs.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    ).filter(F.length("token") > 0)
+
+
+def vocab_summary(
+    docs: DataFrame, text_col: str = "text", lgk: int = DEFAULT_LGK
+) -> DataFrame:
+    """One-row corpus summary: document count, total token count,
+    HLL-estimated distinct-token (vocabulary) count, and approximate
+    doc-length quantiles (p50/p95 tokens per doc).
+
+    One scan for the doc-level stats + one for the token stream; both
+    are partial aggregations — nothing but sketch/scalar bytes shuffles.
+    """
+    ntok = token_count(F.col(text_col))
+    doc_stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
+        F.approx_percentile(ntok, F.lit(0.5), F.lit(1000))
+        .cast("long")
+        .alias("p50_doc_tokens"),
+        F.approx_percentile(ntok, F.lit(0.95), F.lit(1000))
+        .cast("long")
+        .alias("p95_doc_tokens"),
+    )
+    vocab = _token_stream(docs, text_col).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("token", F.lit(lgk)))
+        .alias("est_vocab")
+    )
+    # two 1-row relations — the crossJoin is a driver-free no-op join
+    return doc_stats.crossJoin(vocab)
+
+
+def shard_token_sketches(
+    docs: DataFrame,
+    shard_col: str = "shard",
+    text_col: str = "text",
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Per-shard distinct-token HLL sketches:
+    (shard, sketch binary, est_distinct).
+
+    The sketch column is the STORED artifact: persist it next to each
+    ingested shard/day, and cardinality questions about any shard union
+    become `merge_token_sketches` over kilobytes instead of a rescan of
+    terabytes.
+    """
+    return (
+        docs.select(F.col(shard_col).alias("shard"), F.col(text_col).alias("text"))
+        .select("shard", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("shard")
+        .agg(F.hll_sketch_agg("token", F.lit(lgk)).alias("sketch"))
+        .select(
+            "shard",
+            "sketch",
+            F.hll_sketch_estimate("sketch").cast("long").alias("est_distinct"),
+        )
+    )
+
+
+def merge_token_sketches(sketches: DataFrame, sketch_col: str = "sketch") -> DataFrame:
+    """Union per-shard sketches into one global cardinality estimate —
+    the incremental-ingest read path (no rescan of the shards)."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col, F.lit(True)))
+        .cast("long")
+        .alias("est_distinct")
+    )
+
+
+def _numeric(dtype: str) -> bool:
+    return dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or (
+        dtype.startswith("decimal")
+    )
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass, long-format column profile: for every column its
+    non-null count, null count, approximate distinct count, and (for
+    numerics) min / max / approximate median.
+
+    Exactly ONE aggregate over one scan — all per-column statistics are
+    partial-aggregated together, then the single wide row is unpivoted
+    to (column, stat, value) rows with `stack` (driver-free). The
+    pattern replaces the N-scans-for-N-columns profiler loop that never
+    survives a 100 TB table.
+    """
+    names = cols or df.columns
+    dtypes = dict(df.dtypes)
+    aggs: list[Column] = []
+    for c in names:
+        aggs.append(F.count(F.col(c)).cast("double").alias(f"{c}__n"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("double")
+            .alias(f"{c}__nulls")
+        )
+        aggs.append(
+            F.approx_count_distinct(c).cast("double").alias(f"{c}__distinct")
+        )
+        if _numeric(dtypes[c]):
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+            aggs.append(
+                F.approx_percentile(F.col(c), F.lit(0.5), F.lit(1000))
+                .cast("double")
+                .alias(f"{c}__p50")
+            )
+    wide = df.agg(*aggs)
+    pieces = []
+    for c in wide.columns:
+        col_name, stat = c.rsplit("__", 1)
+        pieces.append(f"'{col_name}', '{stat}', `{c}`")
+    n = len(pieces)
+    stacked = wide.select(
+        F.expr(f"stack({n}, {', '.join(pieces)}) AS (column, stat, value)")
+    )
+    return stacked
