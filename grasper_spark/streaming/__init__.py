@@ -7,6 +7,11 @@ from grasper_spark.streaming.joins import (
     interval_join_stream,
 )
 from grasper_spark.streaming.neardup import neardup_foreach_batch, neardup_stream
+from grasper_spark.streaming.stateful_v2 import (
+    TWS_AVAILABLE,
+    running_user_stats_v2,
+    user_event_type_counts,
+)
 from grasper_spark.streaming.windows import (
     read_events_stream,
     resample,
@@ -34,4 +39,7 @@ __all__ = [
     "interval_join_stream",
     "neardup_foreach_batch",
     "neardup_stream",
+    "TWS_AVAILABLE",
+    "running_user_stats_v2",
+    "user_event_type_counts",
 ]

@@ -341,3 +341,91 @@ def test_compact_parquet(spark, tmp_path):
     import glob
     assert len(glob.glob(f"{out}/*.parquet")) == 1
     assert spark.read.parquet(out).count() == 10000
+
+
+def test_transform_with_state_unavailable_raises_pointed_error(spark):
+    # without protobuf the TWS factories must fail fast with guidance,
+    # not crash a driver worker mid-query
+    import pytest as _pytest
+
+    from grasper_spark.streaming import stateful_v2
+
+    if stateful_v2.TWS_AVAILABLE:
+        _pytest.skip("protobuf installed - gating path not reachable")
+    from grasper_spark.streaming.windows import read_events_stream
+
+    with _pytest.raises(RuntimeError, match="protobuf"):
+        stateful_v2.running_user_stats_v2(
+            read_events_stream(spark, "/root/testdata/sf0.001")
+        )
+
+
+def test_transform_with_state_running_stats(spark):
+    # Spark 4 StatefulProcessor twin must agree with the batch aggregate
+    # (and therefore with the applyInPandasWithState v1 operator, which
+    # has the same assertion above)
+    pytest.importorskip("google.protobuf")
+    from grasper_spark.streaming.stateful_v2 import running_user_stats_v2
+    from grasper_spark.streaming.windows import load_events, read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    q = (
+        running_user_stats_v2(read_events_stream(spark, sf))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats_v2")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 4))
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM user_stats_v2"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.t)
+        for r in load_events(spark, sf)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("t"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6
+
+
+def test_transform_with_state_map_state_histogram(spark):
+    pytest.importorskip("google.protobuf")
+    from grasper_spark.streaming.stateful_v2 import user_event_type_counts
+    from grasper_spark.streaming.windows import load_events, read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    q = (
+        user_event_type_counts(read_events_stream(spark, sf))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("type_counts_v2")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.event_type): r.cnt
+        for r in spark.sql(
+            "SELECT user_id, event_type, cnt FROM type_counts_v2"
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in load_events(spark, sf)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
