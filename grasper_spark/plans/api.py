@@ -131,6 +131,21 @@ class Traversal:
     def properties(self, *keys: str) -> "Traversal":
         return self._add("properties", *keys)
 
+    def id(self) -> "Traversal":
+        return self._add("id")
+
+    def valueMap(self, *keys: str) -> "Traversal":
+        return self._add("valueMap", *keys)
+
+    def elementMap(self, *keys: str) -> "Traversal":
+        return self._add("elementMap", *keys)
+
+    def simplePath(self) -> "Traversal":
+        return self._add("simplePath")
+
+    def cyclicPath(self) -> "Traversal":
+        return self._add("cyclicPath")
+
     def as_(self, label: str) -> "Traversal":
         return self._add("as", label)
 

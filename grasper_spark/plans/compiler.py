@@ -157,10 +157,13 @@ class GremlinCompiler:
     )
 
     def compile(self, steps: Sequence[Step], start: Optional[Stream] = None) -> Stream:
-        if start is None and any(st.name == "path" for st in steps):
+        if start is None and any(
+            st.name in ("path", "simplePath", "cyclicPath") for st in steps
+        ):
             # path mode: record each location as a string column riding
             # the history machinery (extension — the reference has no
-            # path(), SURVEY.md §2.7)
+            # path(), SURVEY.md §2.7). simplePath/cyclicPath filter on
+            # the same recorded locations.
             self._path_mode = True
             self._path_n = 0
         steps = self._fuse_dedup_count(list(steps))
@@ -578,6 +581,94 @@ class GremlinCompiler:
             *s.hist_cols(), F.explode(F.filter(arr, lambda x: x.isNotNull())).alias(VAL)
         )
         return self._traversal_result(s, df, "S", dtype="string")
+
+    def _step_id(self, s: Stream) -> Stream:
+        """id() (extension — TinkerPop step, not in the reference's
+        whitelist): element identity as a scalar. Vertices → vid;
+        edges → the reference's synthetic eid = src<<32 | dst
+        (base/type.hpp:156-184 bit-pack, SURVEY.md §1.1)."""
+        if s.kind == "V":
+            col = F.col(VCOL).cast("bigint")
+        elif s.kind == "E":
+            col = F.shiftleft(F.col(ESRC), 32).bitwiseOR(F.col(EDST))
+        else:
+            raise CompileError("id() applies to vertex or edge streams")
+        df = s.df.select(*s.hist_cols(), *s.sort_cols(), col.alias(VAL))
+        return self._traversal_result(s, df, "S", keep_sort=True, dtype="bigint")
+
+    def _value_map_parts(self, s: Stream, keys: tuple[str, ...]) -> tuple[Stream, list]:
+        s = self._ensure_vprops(s) if s.kind == "V" else s
+        all_keys = self.g.vertex_keys if s.kind == "V" else self.g.edge_keys
+        use = [k for k in (keys or all_keys) if k in all_keys]
+        prefix = VP if s.kind == "V" else EP
+        parts = [
+            F.when(
+                F.col(prefix + k).isNotNull(),
+                F.concat(F.lit(k + ":"), _fmt_value(F.col(prefix + k), all_keys[k])),
+            )
+            for k in use
+        ]
+        return s, parts
+
+    def _render_map(self, s: Stream, parts: list) -> Stream:
+        arr = (
+            F.filter(F.array(*parts), lambda x: x.isNotNull())
+            if parts
+            else F.array().cast("array<string>")
+        )
+        val = F.concat(F.lit("{"), F.concat_ws(", ", arr), F.lit("}"))
+        df = s.df.select(*s.hist_cols(), *s.sort_cols(), val.alias(VAL))
+        return self._traversal_result(s, df, "S", keep_sort=True, dtype="string")
+
+    def _step_valueMap(self, s: Stream, *keys: str) -> Stream:
+        """valueMap(k…) (extension): ONE row per element rendering all
+        present properties as "{k1:v1, k2:v2}" (declared-key order;
+        missing keys skipped — properties() emits one row per pair,
+        valueMap keeps element arity 1:1)."""
+        s, parts = self._value_map_parts(s, keys)
+        return self._render_map(s, parts)
+
+    def _step_elementMap(self, s: Stream, *keys: str) -> Stream:
+        """elementMap(k…) (extension): valueMap plus identity — the
+        rendered map leads with id:<id>, label:<label>."""
+        if s.kind == "V":
+            s = self._ensure_vprops(s)
+            ident = F.col(VCOL).cast("string")
+            lab = F.col(VLAB)
+        elif s.kind == "E":
+            ident = F.shiftleft(F.col(ESRC), 32).bitwiseOR(F.col(EDST)).cast("string")
+            lab = F.col(ELAB)
+        else:
+            raise CompileError("elementMap() applies to vertex or edge streams")
+        s, parts = self._value_map_parts(s, keys)
+        lead = [
+            F.concat(F.lit("id:"), ident),
+            F.when(lab.isNotNull(), F.concat(F.lit("label:"), lab)),
+        ]
+        return self._render_map(s, lead + parts)
+
+    def _path_cols(self, s: Stream) -> list[str]:
+        return sorted(
+            (c for c in s.history if c.startswith("_pp")), key=lambda c: int(c[3:])
+        )
+
+    def _step_simplePath(self, s: Stream) -> Stream:
+        """simplePath() (extension): keep traversers whose recorded path
+        has no repeated location — pure column arithmetic over the
+        ride-along _pp columns (no join, no shuffle)."""
+        pps = self._path_cols(s)
+        if not pps:
+            raise CompileError("simplePath(): no recorded locations")
+        arr = F.array(*[F.col(c) for c in pps])
+        return replace(s, df=s.df.filter(F.size(F.array_distinct(arr)) == F.size(arr)))
+
+    def _step_cyclicPath(self, s: Stream) -> Stream:
+        """cyclicPath() (extension): complement of simplePath()."""
+        pps = self._path_cols(s)
+        if not pps:
+            raise CompileError("cyclicPath(): no recorded locations")
+        arr = F.array(*[F.col(c) for c in pps])
+        return replace(s, df=s.df.filter(F.size(F.array_distinct(arr)) < F.size(arr)))
 
     # ---------- history ----------
 

@@ -29,7 +29,8 @@ STEP_NAMES = {
     "aggregate", "cap", "count", "sum", "max", "min", "mean", "group",
     "groupCount", "dedup", "order", "range", "limit", "skip", "union", "path",
     "repeat", "and", "or", "not", "optional", "choose", "project", "by",
-    "match", "coalesce", "tail",
+    "match", "coalesce", "tail", "id", "valueMap", "elementMap",
+    "simplePath", "cyclicPath",
 }
 
 # steps whose string args are python-reserved in the fluent API
@@ -126,6 +127,12 @@ def _parse_step(tok: str) -> Step:
         raise ParseError("coalesce: needs at least one branch")
     if name == "tail" and (len(raw_args) != 1 or not isinstance(raw_args[0], int)):
         raise ParseError("tail(n): takes exactly one integer")
+    if name in ("id", "simplePath", "cyclicPath") and raw_args:
+        raise ParseError(f"{name}() takes no arguments")
+    if name in ("valueMap", "elementMap") and not all(
+        isinstance(a, str) for a in raw_args
+    ):
+        raise ParseError(f"{name}() takes zero or more string property keys")
     if name in ("and", "or", "union", "match", "coalesce"):
         return Step(name, tuple(tuple(a) if isinstance(a, tuple) else a for a in raw_args))
     if name in ("not", "repeat", "optional"):

@@ -1,0 +1,110 @@
+"""id()/valueMap()/elementMap()/simplePath()/cyclicPath() — TinkerPop
+steps beyond the reference's 43-step whitelist (extensions; the
+reference has none of these, SURVEY.md §2.7)."""
+
+import pytest
+
+from grasper_spark.plans.parser import ParseError
+
+
+def vals(t):
+    return [r.val for r in t.df().collect()]
+
+
+def test_id_on_vertices(g):
+    got = sorted(vals(g.V().hasLabel("software").id()))
+    assert got == [3, 5]
+
+
+def test_id_on_edges_bitpack(g):
+    got = sorted(vals(g.E().id()))
+    assert len(got) == 6
+    # eid = src<<32 | dst (base/type.hpp bit-pack parity)
+    assert (1 << 32) | 2 in got
+    assert (6 << 32) | 3 in got
+
+
+def test_id_rejects_scalar_stream(g):
+    from grasper_spark.plans.compiler import CompileError
+
+    with pytest.raises(CompileError, match="id\\(\\)"):
+        g.V().values("name").id().df()
+
+
+def test_value_map_all_keys(g):
+    got = vals(g.V().has("name", "marko").valueMap())
+    assert got == ["{name:marko, age:29}"]  # lang missing -> skipped
+
+
+def test_value_map_selected_keys(g):
+    got = vals(g.V().has("name", "lop").valueMap("lang"))
+    assert got == ["{lang:java}"]
+
+
+def test_element_map_includes_identity(g):
+    got = vals(g.V().has("name", "marko").elementMap())
+    assert got == ["{id:1, label:person, name:marko, age:29}"]
+
+
+def test_element_map_on_edges(g):
+    got = vals(
+        g.E().hasLabel("knows").has("weight", 1.0).elementMap()
+    )
+    assert got == [f"{{id:{(1 << 32) | 4}, label:knows, weight:1}}"]
+
+
+def test_simple_path_filters_backtrack(g):
+    # marko -created-> lop <-created- {marko, josh, peter}: simplePath
+    # drops the backtrack to marko himself
+    got = sorted(
+        vals(
+            g.V().has("name", "marko").out("created").in_("created")
+            .simplePath().values("name")
+        )
+    )
+    assert got == ["josh", "peter"]
+
+
+def test_cyclic_path_is_complement(g):
+    got = vals(
+        g.V().has("name", "marko").out("created").in_("created")
+        .cyclicPath().values("name")
+    )
+    assert got == ["marko"]
+
+
+def test_simple_path_parses_from_query_string(g):
+    got = sorted(
+        r.val
+        for r in g.query(
+            'g.V().has("name","marko").out("created").in("created")'
+            ".simplePath().values(\"name\")"
+        ).collect()
+    )
+    assert got == ["josh", "peter"]
+
+
+def test_value_map_parses_from_query_string(g):
+    got = [r.val for r in g.query('g.V().has("name","ripple").valueMap()').collect()]
+    assert got == ["{name:ripple, lang:java}"]
+
+
+def test_new_step_arity_errors(g):
+    with pytest.raises(ParseError, match="takes no arguments"):
+        g.query("g.V().id(3)")
+    with pytest.raises(ParseError, match="string property keys"):
+        g.query("g.V().valueMap(5)")
+    with pytest.raises(ParseError, match="takes no arguments"):
+        g.query("g.V().out().simplePath(1)")
+
+
+def test_simple_path_no_join_no_shuffle(g):
+    # the path-distinctness filter is column arithmetic: no extra join
+    # beyond the traversal's own equi-joins, no added exchange
+    plan = (
+        g.V().has("name", "marko").out("created").in_("created")
+        .simplePath().df()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "array_distinct" in plan
