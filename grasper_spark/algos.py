@@ -479,3 +479,50 @@ def harmonic_centrality(
             F.count(F.lit(1)).alias("reached"),
         )
     )
+
+
+def label_propagation(
+    graph: PropertyGraph, max_iter: int = 10, checkpoint_every: int = 3
+) -> DataFrame:
+    """(vid, community) — semi-synchronous label propagation (LPA,
+    Raghavan et al. 2007) over the undirected edge set.
+
+    Each round every vertex adopts the most frequent label among its
+    neighbors PLUS its own current label (one self-vote — without it,
+    synchronous LPA oscillates on bipartite structures like a 2-path);
+    ties break to the SMALLEST label. Fully deterministic: no RNG, no
+    vertex-order dependence.
+
+    Scale shape: one shuffle per round (edge join + (vid,label) count +
+    per-vid arg-max), identical to the CC superstep; lineage is
+    truncated with localCheckpoint every `checkpoint_every` rounds.
+    Isolated vertices keep their own vid as community.
+    """
+    adj = _undirected(graph.edges).distinct().select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    )
+    labels = graph.vertices.select("vid").withColumn("community", F.col("vid"))
+    for i in range(max_iter):
+        votes = (
+            labels.alias("l")
+            .join(adj.alias("a"), F.col("l.vid") == F.col("a._s"), "inner")
+            .select(F.col("a._d").alias("vid"), F.col("l.community").alias("community"))
+            .unionByName(labels.select("vid", "community"))  # self-vote
+            .groupBy("vid", "community")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        w = Window.partitionBy("vid").orderBy(F.desc("_n"), F.asc("community"))
+        winners = (
+            votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("vid", F.col("community").alias("_new"))
+        )
+        labels = (
+            labels.join(winners, "vid", "left")
+            .select(
+                "vid", F.coalesce(F.col("_new"), F.col("community")).alias("community")
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

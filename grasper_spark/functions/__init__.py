@@ -14,7 +14,9 @@ results value-for-value.
 
 from grasper_spark.functions import (  # noqa: F401
     dedup,
+    embeddings,
     multimodal,
+    packing,
     similarity,
     sketches,
     text,

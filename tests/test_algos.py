@@ -206,3 +206,40 @@ def test_harmonic_centrality_exact_with_all_seeds(modern):
     again = {r.vid: (r.harmonic, r.reached)
              for r in harmonic_centrality(modern, n_seeds=6).collect()}
     assert got == again
+
+
+def test_label_propagation_two_cliques(spark):
+    # two 4-cliques joined by one bridge edge: LPA must keep them as two
+    # communities (the bridge cannot out-vote 3 intra-clique neighbors)
+    from grasper_spark.algos import label_propagation
+    from grasper_spark.graph import PropertyGraph
+
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges += [(a, b) for a in range(11, 15) for b in range(11, 15) if a < b]
+    edges += [(4, 11)]  # bridge
+    v = spark.createDataFrame(
+        [(i, "n") for i in [*range(1, 5), *range(11, 15)]], "vid long, label string"
+    )
+    e = spark.createDataFrame(
+        [(a, b, "e") for a, b in edges], "src long, dst long, label string"
+    )
+    g = PropertyGraph(v, e, name="cliques")
+    got = {r.vid: r.community for r in label_propagation(g, max_iter=6).collect()}
+    left = {got[i] for i in range(1, 5)}
+    right = {got[i] for i in range(11, 15)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_label_propagation_isolated_vertex_keeps_own_vid(spark):
+    from grasper_spark.algos import label_propagation
+    from grasper_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [(1, "n"), (2, "n"), (99, "n")], "vid long, label string"
+    )
+    e = spark.createDataFrame([(1, 2, "e")], "src long, dst long, label string")
+    g = PropertyGraph(v, e, name="iso")
+    got = {r.vid: r.community for r in label_propagation(g, max_iter=4).collect()}
+    assert got[99] == 99
+    assert got[1] == got[2]
