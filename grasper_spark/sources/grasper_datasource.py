@@ -51,6 +51,7 @@ def register(spark: SparkSession) -> None:
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         EqualTo,
         InputPartition,
     )
@@ -93,6 +94,80 @@ def register(spark: SparkSession) -> None:
             return f"array<{_SPARK_TYPES[code & ~16]}>"
         raise ValueError(f"unknown Grasper property type code: {code}")
 
+    def _iter_rows(path, kind, props, labels, want_label=None):
+        # one part_* file → typed row tuples (shared by the batch and
+        # streaming readers; runs executor-side)
+        def parse_props(body):
+            out = {}
+            if body.startswith("["):
+                body = body[1:]
+            if body.endswith("]"):
+                body = body[:-1]
+            if not body:
+                return out
+            for part in body.split(","):
+                pid, _, raw = part.partition(":")
+                out[int(pid)] = raw
+            return out
+
+        def conv(raw, code):
+            if raw is None or raw == "":
+                return None
+            if code & 16:
+                elem = code & ~16
+                return [conv(e, elem) for e in raw.split("\t")]
+            if raw[:1] in "\"'" and raw[-1:] == raw[:1]:
+                raw = raw[1:-1]
+            if code in (1, 5):
+                return int(raw)
+            if code == 2:
+                return float(raw)
+            return raw
+
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                if kind == "adjacency":
+                    # {vid}\t{num_in}\t{in.. num_out}\t{out..}: the
+                    # LAST space-token of field 2 is num_out
+                    # (Tutorial.md:12 — \s separates the in-list
+                    # from the out-count, \t starts the out-list)
+                    f = line.split("\t")
+                    vid = int(f[0])
+                    n_in = int(f[1])
+                    mid = f[2].split()
+                    ins = [int(x) for x in mid[:n_in]]
+                    n_out = int(mid[n_in])
+                    outs = [int(x) for x in f[3].split()] if n_out else []
+                    yield (vid, ins, outs)
+                    continue
+                if kind == "vertices":
+                    # {vid}\t{label_id}\t[props] — props may embed tabs
+                    vid_s, lab_s, body = line.split("\t", 2)
+                    lab_id = int(lab_s)
+                    if want_label is not None and lab_id != want_label:
+                        continue
+                    pv = parse_props(body)
+                    yield (
+                        int(vid_s),
+                        labels.get(lab_id),
+                        *[conv(pv.get(pid), code) for pid, _, code in props],
+                    )
+                else:  # edges
+                    src_s, dst_s, lab_s, body = line.split("\t", 3)
+                    lab_id = int(lab_s)
+                    if want_label is not None and lab_id != want_label:
+                        continue
+                    pv = parse_props(body)
+                    yield (
+                        int(src_s),
+                        int(dst_s),
+                        labels.get(lab_id),
+                        *[conv(pv.get(pid), code) for pid, _, code in props],
+                    )
+
     class _Reader(DataSourceReader):
         def __init__(self, files, kind, prop_index, label_by_id):
             self._files = files
@@ -121,83 +196,59 @@ def register(spark: SparkSession) -> None:
             return [InputPartition(p) for p in self._files]
 
         def read(self, partition):
-            kind = self._kind
-            props = self._props
-            labels = self._labels
-            want_label = self._label_id_filter
+            return _iter_rows(
+                partition.value,
+                self._kind,
+                self._props,
+                self._labels,
+                self._label_id_filter,
+            )
 
-            def parse_props(body):
-                out = {}
-                if body.startswith("["):
-                    body = body[1:]
-                if body.endswith("]"):
-                    body = body[:-1]
-                if not body:
-                    return out
-                for part in body.split(","):
-                    pid, _, raw = part.partition(":")
-                    out[int(pid)] = raw
-                return out
+    class _StreamReader(DataSourceStreamReader):
+        """Micro-batch reader over an APPEND-ONLY part-file directory —
+        the format's natural log: each offset is the set of files seen,
+        a micro-batch is the newly arrived files, one InputPartition
+        each (executor-side parse, same row iterator as the batch
+        scan). File contents must be immutable once written (the
+        standard log-shipping contract); file names may arrive in any
+        order because offsets track the explicit set, not a count."""
 
-            def conv(raw, code):
-                if raw is None or raw == "":
-                    return None
-                if code & 16:
-                    elem = code & ~16
-                    return [conv(e, elem) for e in raw.split("\t")]
-                if raw[:1] in "\"'" and raw[-1:] == raw[:1]:
-                    raw = raw[1:-1]
-                if code in (1, 5):
-                    return int(raw)
-                if code == 2:
-                    return float(raw)
-                return raw
+        def __init__(self, data_dir, kind, prop_index, label_by_id):
+            self._dir = data_dir
+            self._kind = kind
+            self._props = prop_index
+            self._labels = label_by_id
 
-            with open(partition.value, encoding="utf-8") as fh:
-                for line in fh:
-                    line = line.rstrip("\n")
-                    if not line:
-                        continue
-                    if kind == "adjacency":
-                        # {vid}\t{num_in}\t{in.. num_out}\t{out..}: the
-                        # LAST space-token of field 2 is num_out
-                        # (Tutorial.md:12 — \s separates the in-list
-                        # from the out-count, \t starts the out-list)
-                        f = line.split("\t")
-                        vid = int(f[0])
-                        n_in = int(f[1])
-                        mid = f[2].split()
-                        ins = [int(x) for x in mid[:n_in]]
-                        n_out = int(mid[n_in])
-                        outs = (
-                            [int(x) for x in f[3].split()] if n_out else []
-                        )
-                        yield (vid, ins, outs)
-                        continue
-                    if kind == "vertices":
-                        # {vid}\t{label_id}\t[props] — props may embed tabs
-                        vid_s, lab_s, body = line.split("\t", 2)
-                        lab_id = int(lab_s)
-                        if want_label is not None and lab_id != want_label:
-                            continue
-                        pv = parse_props(body)
-                        yield (
-                            int(vid_s),
-                            labels.get(lab_id),
-                            *[conv(pv.get(pid), code) for pid, _, code in props],
-                        )
-                    else:  # edges
-                        src_s, dst_s, lab_s, body = line.split("\t", 3)
-                        lab_id = int(lab_s)
-                        if want_label is not None and lab_id != want_label:
-                            continue
-                        pv = parse_props(body)
-                        yield (
-                            int(src_s),
-                            int(dst_s),
-                            labels.get(lab_id),
-                            *[conv(pv.get(pid), code) for pid, _, code in props],
-                        )
+        def _list(self):
+            return sorted(
+                f
+                for f in os.listdir(self._dir)
+                if not f.startswith((".", "_"))
+            )
+
+        def initialOffset(self):
+            return {"files": []}
+
+        def latestOffset(self):
+            return {"files": self._list()}
+
+        def partitions(self, start, end):
+            seen = set(start.get("files", []))
+            new = [f for f in end.get("files", []) if f not in seen]
+            return [
+                InputPartition(os.path.join(self._dir, f)) for f in new
+            ]
+
+        def read(self, partition):
+            return _iter_rows(
+                partition.value, self._kind, self._props, self._labels
+            )
+
+        def commit(self, end):
+            pass
+
+        def stop(self):
+            pass
 
     class GrasperTextDataSource(DataSource):
         @classmethod
@@ -239,7 +290,7 @@ def register(spark: SparkSession) -> None:
             ]
             return ", ".join(cols)
 
-        def reader(self, schema):
+        def _reader_inputs(self):
             t = self._table()
             sub = {
                 "vertices": "vtx_property",
@@ -247,11 +298,6 @@ def register(spark: SparkSession) -> None:
                 "adjacency": "vertices",
             }[t]
             d = os.path.join(self._dir(), sub)
-            files = sorted(
-                os.path.join(d, f)
-                for f in os.listdir(d)
-                if not f.startswith((".", "_"))
-            )
             if t == "adjacency":
                 props, labels = [], {}
             else:
@@ -263,6 +309,19 @@ def register(spark: SparkSession) -> None:
                         os.path.join(self._dir(), "index", lbl)
                     ).items()
                 }
+            return d, t, props, labels
+
+        def reader(self, schema):
+            d, t, props, labels = self._reader_inputs()
+            files = sorted(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if not f.startswith((".", "_"))
+            )
             return _Reader(files, t, props, labels)
+
+        def streamReader(self, schema):
+            d, t, props, labels = self._reader_inputs()
+            return _StreamReader(d, t, props, labels)
 
     spark.dataSource.register(GrasperTextDataSource)

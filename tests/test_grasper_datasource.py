@@ -85,3 +85,43 @@ def test_roundtrip_through_text_sink(gsource, tmp_path, modern):
     assert sorted((r.src, r.dst, r.label) for r in e.collect()) == sorted(
         (r.src, r.dst, r.label) for r in modern.edges.collect()
     )
+
+
+def test_stream_reader_picks_up_appended_files(gsource, tmp_path):
+    # append-only part-file log: a new part file arrives as its own
+    # micro-batch; already-seen files are never re-read (offsets track
+    # the explicit file set)
+    import os
+    import shutil
+
+    work = str(tmp_path / "gstream")
+    shutil.copytree(DATA, work)
+    os.system(f"chmod -R u+w {work}")
+    ep = os.path.join(work, "edge_property")
+    src = os.path.join(ep, "part_1")
+    lines = open(src).read().splitlines(True)
+    with open(src, "w") as fh:
+        fh.writelines(lines[:3])
+    q = (
+        gsource.readStream.format("grasper")
+        .option("path", work).option("table", "edges").load()
+        .writeStream.format("memory").queryName("grasper_stream")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = gsource.sql("select count(*) c from grasper_stream").collect()[0].c
+        assert n1 == 3
+        with open(os.path.join(ep, "part_2"), "w") as fh:
+            fh.writelines(lines[3:])
+        q.processAllAvailable()
+        got = sorted(
+            (r.src, r.dst, r.label)
+            for r in gsource.sql("select * from grasper_stream").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [
+        (1, 2, "knows"), (1, 3, "created"), (1, 4, "knows"),
+        (4, 3, "created"), (4, 5, "created"), (6, 3, "created"),
+    ]
