@@ -6,7 +6,8 @@
 
 Accepts the same three command families as the reference: Gremlin
 queries (g.V()… / g.E()…), BuildIndex(...), SetConfig(...); plus
-`emu <config_file>` for throughput mode and `explain <query>`.
+`emu <config_file>` for throughput mode, `explain <query>`, and
+`profile <query>` (per-step row counts + wall ms).
 """
 
 from __future__ import annotations
@@ -36,6 +37,12 @@ def _run_one(g, q: str, explain: bool = False) -> None:
             return
         if q.startswith("explain "):
             g.query(q[8:]).explain("formatted")
+            return
+        if q.startswith("profile "):
+            for r in g.profile(q[8:]).collect():
+                mark = f"  ! {r.error}" if r.error else ""
+                print(f"  step {r.step:>2} {r.name:<12} rows={r.rows} "
+                      f"ms={r.ms}{mark}")
             return
         df = g.query(q)
         rows = df.collect()

@@ -345,6 +345,31 @@ class G:
             self._plan_cache[q] = df
         return df
 
+    def profile(self, query: str) -> DataFrame:
+        """Per-step execution profile of a query string: one row per
+        step with its cumulative output row count and wall ms —
+        TinkerPop's `profile()` as a DEBUG command (the reference has no
+        profiler; its per-expert timers live in the console's timer
+        dump). Driver-side by design: each prefix is compiled and
+        counted as its own job, so cost is O(steps) jobs — a diagnosis
+        tool for one query, not a batch operator."""
+        import time
+
+        steps = parse_query(query)
+        rows = []
+        for i in range(1, len(steps) + 1):
+            t0 = time.perf_counter()
+            try:
+                n = self.traversal(steps[:i]).df().count()
+            except Exception as ex:  # mid-chain modulator states etc.
+                rows.append((i, steps[i - 1].name, None, None, str(ex)[:120]))
+                continue
+            ms = round((time.perf_counter() - t0) * 1000.0, 1)
+            rows.append((i, steps[i - 1].name, n, ms, None))
+        return self.graph.spark.createDataFrame(
+            rows, "step int, name string, rows bigint, ms double, error string"
+        )
+
     def _build_index(self, q: str) -> DataFrame:
         # BuildIndex(V,'key') — value→posting-list maps with a
         # selectivity-gated scan conversion at compile time

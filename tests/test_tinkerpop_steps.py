@@ -108,3 +108,14 @@ def test_simple_path_no_join_no_shuffle(g):
     )
     assert "CartesianProduct" not in plan
     assert "array_distinct" in plan
+
+
+def test_profile_reports_per_step_rows(g):
+    prof = {
+        r.step: (r.name, r.rows)
+        for r in g.profile('g.V().hasLabel("person").out("knows").values("age")').collect()
+    }
+    assert prof[1] == ("V", 6)
+    assert prof[2] == ("hasLabel", 4)
+    assert prof[3] == ("out", 2)
+    assert prof[4] == ("values", 2)
