@@ -526,3 +526,48 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def common_neighbors(
+    graph: PropertyGraph,
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """(a, b, n_common, jaccard) for vertex pairs sharing ≥ `min_common`
+    undirected neighbors — the classic link-prediction scores.
+
+    Inverted-index shape (same as the n-gram Jaccard dedup): pairs are
+    generated per SHARED NEIGHBOR (self-join of the adjacency on the
+    neighbor column, a<b), never all-pairs. Pair mass is Σ deg² over
+    neighbors; `max_degree` drops hub vertices from the *middle* role
+    (their pair fan-out, not their own candidacy) — the hot-shingle cap
+    in graph form.
+    """
+    adj = _undirected(graph.edges).distinct().select(
+        F.col("src").alias("v"), F.col("dst").alias("n")
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    mid = adj
+    if max_degree is not None:
+        hubs = deg.filter(F.col("deg") > max_degree).select(F.col("v").alias("n"))
+        mid = adj.join(hubs, "n", "left_anti")
+    pairs = (
+        mid.alias("x")
+        .join(mid.alias("y"), (F.col("x.n") == F.col("y.n")) & (F.col("x.v") < F.col("y.v")))
+        .groupBy(F.col("x.v").alias("a"), F.col("y.v").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("_db"))
+    return (
+        pairs.join(da, "a").join(db, "b")
+        .select(
+            "a", "b", "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_da") + F.col("_db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -8,7 +8,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from grasper_spark.functions.text import _md5_int
@@ -194,3 +194,75 @@ def quota_sample(
         .filter(F.col("_rk") <= n_per_group)
         .drop("_rk")
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    source_col: str = "lang",
+    len_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """Source-weighted mixture to a token budget: keep a deterministic
+    md5-ranked prefix of each source so that kept tokens per source stay
+    ≤ weight-share of `total_tokens` (sources without a weight drop).
+
+    Semantics: source s gets budget_s = total_tokens·w_s/Σw; a doc is
+    kept iff its cumulative token END (in md5-rank order) ≤ budget_s —
+    strictly under budget, deterministic across runs/engines/cluster
+    sizes. Under-full sources keep everything; no rebalancing (declared
+    mixture ratios, DoReMi-style, are the caller's contract).
+
+    Scale shape — the cumulative cut WITHOUT a per-source global window
+    (a hot source would serialize into one partition): docs hash into
+    `buckets` md5 sub-buckets per source; per-(source,bucket) token
+    sums (one partial-agg groupBy over ≤ sources×buckets rows) produce
+    running bucket offsets on the tiny side, broadcast back. Buckets
+    wholly under budget keep all docs with NO window; only the single
+    boundary bucket per source runs an exact within-bucket cumulative
+    window (~1/buckets of that source's rows).
+    """
+    share = {s: w / sum(weights.values()) for s, w in weights.items()}
+    budget = F.create_map(
+        *[x for s, w in share.items()
+          for x in (F.lit(s), F.lit(float(int(total_tokens * w))))]
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    d = (
+        df.filter(F.col(source_col).isin(list(weights)))
+        .withColumn("_h", h)
+        .withColumn("_bk", (_md5_int(F.col(id_col).cast("string")) % buckets))
+        .withColumn("_budget", budget[F.col(source_col)])
+    )
+    bucket_sums = (
+        d.groupBy(source_col, "_bk")
+        .agg(F.sum(len_col).cast("double").alias("_bsum"))
+    )
+    w_off = (
+        Window.partitionBy(source_col).orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.withColumn(
+        "_before", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0.0))
+    )
+    d = d.join(F.broadcast(offsets), [source_col, "_bk"])
+    # whole buckets strictly inside the budget: keep with no window
+    inside = d.filter(F.col("_before") + F.col("_bsum") <= F.col("_budget"))
+    # the boundary bucket: exact cumulative cut within the bucket only
+    wb = (
+        Window.partitionBy(source_col, "_bk").orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary = (
+        d.filter(
+            (F.col("_before") < F.col("_budget"))
+            & (F.col("_before") + F.col("_bsum") > F.col("_budget"))
+        )
+        .withColumn("_cum", F.sum(len_col).over(wb))
+        .filter(F.col("_before") + F.col("_cum") <= F.col("_budget"))
+        .drop("_cum")
+    )
+    drop = ["_h", "_bk", "_budget", "_bsum", "_before"]
+    return inside.unionByName(boundary).drop(*drop)

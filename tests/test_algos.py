@@ -243,3 +243,34 @@ def test_label_propagation_isolated_vertex_keeps_own_vid(spark):
     got = {r.vid: r.community for r in label_propagation(g, max_iter=4).collect()}
     assert got[99] == 99
     assert got[1] == got[2]
+
+
+def test_common_neighbors_matches_naive(spark, modern):
+    from grasper_spark.algos import common_neighbors
+
+    got = {
+        (r.a, r.b): (r.n_common, r.jaccard)
+        for r in common_neighbors(modern, min_common=1).collect()
+    }
+    # naive python ground truth over the undirected modern graph
+    edges = [(r.src, r.dst) for r in modern.edges.collect()]
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    want = {}
+    vs = sorted(adj)
+    for i, a in enumerate(vs):
+        for b in vs[i + 1:]:
+            c = len(adj[a] & adj[b])
+            if c >= 1:
+                want[(a, b)] = (c, round(c / len(adj[a] | adj[b]), 6))
+    assert got == want
+
+
+def test_common_neighbors_hub_cap_drops_middle_role(spark, modern):
+    from grasper_spark.algos import common_neighbors
+
+    # with max_degree=1 every shared-neighbor middle vertex is a hub ->
+    # no pairs survive
+    assert common_neighbors(modern, max_degree=1).count() == 0

@@ -938,3 +938,45 @@ def test_pmi_bigrams_matches_duckdb(spark):
         FROM scored ORDER BY pmi DESC, bigram LIMIT 20
     """).fetchall())
     assert got == want and len(got) == 20
+
+
+def test_mix_sources_respects_budgets(spark):
+    from grasper_spark.functions.sampling import mix_sources
+    from grasper_spark.functions.text import token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    weights = {"en": 0.7, "de": 0.3}
+    total = 4000
+    mixed = mix_sources(docs, weights, total)
+    got = {
+        r.lang: r.t
+        for r in mixed.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    avail = {
+        r.lang: r.t
+        for r in docs.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    max_doc = docs.agg(F.max("n_tokens")).collect()[0][0]
+    assert set(got) <= set(weights)  # unweighted sources dropped
+    for s, w in weights.items():
+        budget = int(total * w)
+        assert got.get(s, 0) <= budget
+        # surplus sources fill to within one doc of their budget
+        if avail.get(s, 0) > budget:
+            assert got[s] >= budget - max_doc
+
+
+def test_mix_sources_deterministic(spark):
+    from grasper_spark.functions.sampling import mix_sources
+    from grasper_spark.functions.text import token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    a = mix_sources(docs, {"en": 0.5, "fr": 0.5}, 3000)
+    b = mix_sources(docs.repartition(7), {"en": 0.5, "fr": 0.5}, 3000)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
