@@ -5,6 +5,7 @@ format (round-trip parity with the reference loader,
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -88,6 +89,7 @@ def write_bucketed_external(
     `base_dir` — the deployment shape: data outlives any one session and
     re-attaches via :func:`attach_bucketed_external`."""
     spark = graph.spark
+    ddls = {}
     for suffix, sub, key in _BUCKET_SPECS:
         table = f"{table_prefix}{suffix}"
         path = os.path.join(base_dir, sub)
@@ -100,6 +102,13 @@ def write_bucketed_external(
             .sortBy(key)
             .saveAsTable(table)
         )
+        ddls[sub] = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+    # persist the column DDL so attach skips three parquet-footer schema
+    # reads per session (the dominant cost of a warm re-attach)
+    with open(os.path.join(base_dir, "_SCHEMAS.json"), "w") as fh:
+        json.dump(ddls, fh)
 
 
 def attach_bucketed_external(
@@ -109,13 +118,28 @@ def attach_bucketed_external(
     (in-memory catalogs don't survive session restarts) and return the
     bucketed graph. Traversal joins on vid/src/dst then skip the build-
     side Exchange entirely (zero-exchange when both sides are bucketed)."""
+    ddls = {}
+    sfile = os.path.join(base_dir, "_SCHEMAS.json")
+    if os.path.exists(sfile):
+        with open(sfile) as fh:
+            ddls = json.load(fh)
     for suffix, sub, key in _BUCKET_SPECS:
         table = f"{table_prefix}{suffix}"
         path = os.path.join(base_dir, sub)
         if spark.catalog.tableExists(table):
             continue
-        schema = spark.read.parquet(path).schema
-        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        cols = ddls.get(sub)
+        if cols is None:  # pre-_SCHEMAS snapshot: fall back to a footer read
+            schema = spark.read.parquet(path).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            ddls[sub] = cols
+            try:  # upgrade the snapshot in place for the next session
+                with open(sfile, "w") as fh:
+                    json.dump(ddls, fh)
+            except OSError:
+                pass
         spark.sql(
             f"CREATE TABLE {table} ({cols}) USING PARQUET "
             f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "

@@ -132,3 +132,35 @@ def test_pack_sequences_overflow_flagged(spark):
     packed = pack_sequences(df, max_tokens=100, num_shards=2)
     over = packed.filter(F.col("overflow")).collect()
     assert [(r.doc_id, r.chunk_id) for r in over] == [(1, 1)]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=60),
+    cap=st.integers(min_value=64, max_value=256),
+)
+def test_pack_sequences_property(lengths, cap):
+    # every piece assigned exactly once; no non-overflow bin over cap;
+    # overflow flagged iff the piece alone exceeds cap
+    from pyspark.sql import SparkSession
+
+    from grasper_spark.functions.packing import pack_sequences
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame(
+        [(i, 0, n) for i, n in enumerate(lengths)],
+        "doc_id long, chunk_id int, n_chunk_tokens int",
+    )
+    packed = pack_sequences(df, max_tokens=cap, num_shards=4).collect()
+    assert len(packed) == len(lengths)
+    by_bin: dict = {}
+    for r in packed:
+        assert r.overflow == (r.n_chunk_tokens > cap)
+        if not r.overflow:
+            by_bin.setdefault((r.shard, r.bin), []).append(r.n_chunk_tokens)
+    for parts in by_bin.values():
+        assert sum(parts) <= cap
