@@ -138,3 +138,20 @@ def test_unigram_lm_no_driver_vocab_no_cartesian(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(unigram_lm_score(docs))
     assert "CartesianProduct" not in plan  # the 1-row total broadcasts
+
+
+def test_small_side_effect_store_broadcasts_via_aqe(g):
+    # where(within('x')) carries NO static broadcast hint (a forced hint
+    # is honored until it OOMs at scale); for a small store AQE must
+    # still pick a broadcast semi join at RUNTIME from actual stats
+    t = (
+        g.V().hasLabel("person").values("age").aggregate("x")
+        .is_(P.gt(0)).where(P.within("x"))
+    )
+    df = t.df()
+    df.collect()  # finalize the adaptive plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized  # no static hint anywhere
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final and "LeftSemi" in final
