@@ -119,3 +119,9 @@ def test_profile_reports_per_step_rows(g):
     assert prof[2] == ("hasLabel", 4)
     assert prof[3] == ("out", 2)
     assert prof[4] == ("values", 2)
+
+
+def test_value_map_on_edges(g):
+    got = vals(g.E().hasLabel("knows").has("weight", 0.5).valueMap())
+    # DebugString double parity: abs<1 keeps %.6f (tool.hpp:334-368)
+    assert got == ["{weight:0.500000}"]
