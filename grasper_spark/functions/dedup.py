@@ -52,11 +52,17 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
 
 
 def _exploded_shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True
+    df: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True,
+    unit: str = "word",
 ) -> DataFrame:
     """(id, sh) rows — n-gram shingles per document (DISTINCT by default;
     pass distinct=False for idempotent consumers like minhash-min, which
     saves the dedup shuffle).
+
+    unit='word' shingles whitespace tokens; unit='char' shingles
+    CODEPOINTS of the normalized text — the robust setting for
+    unsegmented scripts (CJK), where whitespace tokenization sees one
+    giant token per document and word Jaccard degenerates to 0/1.
 
     posexplode + window-lead formulation: higher-order-function lambdas
     (transform/array_distinct) run on Spark's interpreted path (~9 ms/row
@@ -65,9 +71,19 @@ def _exploded_shingles(
     One shuffle (window partitionBy id) + one distinct."""
     from pyspark.sql import Window
 
+    if unit == "char":
+        units = F.filter(
+            F.split(normalize(F.col(text_col)), ""), lambda c: c != ""
+        )
+        sep = ""
+    elif unit == "word":
+        units = tokens(normalize(F.col(text_col)))
+        sep = " "
+    else:
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
     toks = (
         _spread(df)
-        .select(F.col(id_col), F.posexplode(tokens(normalize(F.col(text_col)))).alias("pos", "t"))
+        .select(F.col(id_col), F.posexplode(units).alias("pos", "t"))
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
@@ -75,7 +91,7 @@ def _exploded_shingles(
         F.col(id_col),
         F.col("pos"),
         F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("_cnt"),
-        F.concat_ws(" ", *leads).alias("sh"),
+        F.concat_ws(sep, *leads).alias("sh"),
         leads[-1].alias("_last"),
     )
     long_docs = with_sh.filter((F.col("_cnt") >= n) & F.col("_last").isNotNull()).select(
@@ -215,13 +231,18 @@ def _persisted_shingles(sh: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.5, max_shingle_df: int = 10000,
+    unit: str = "word",
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via inverted-index join (no cross
-    join; `max_shingle_df` drops degenerate hot shingles to bound skew)."""
+    join; `max_shingle_df` drops degenerate hot shingles to bound skew).
+    unit='char' switches to codepoint n-grams (use shingle_n≈5) for
+    unsegmented scripts — same plan shape, same pair-mass budget."""
     # persist the raw shingle relation: the hot-shingle aggregate reads
     # it once, and the anti-joined consumers below (both join sides +
     # sizes) re-traverse it without recomputing the window shingling
-    sh = _persisted_shingles(_exploded_shingles(df, text_col, id_col, shingle_n))
+    sh = _persisted_shingles(
+        _exploded_shingles(df, text_col, id_col, shingle_n, unit=unit)
+    )
     hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
         F.col("df_cnt") > max_shingle_df
     ).select("sh")
@@ -534,7 +555,9 @@ def containment_pairs(
     Scale: identical shape to ngram_jaccard_pairs — the same persisted
     inverted-index self-join with the hot-shingle cap; only the final
     normalization differs (divide by ONE side's size)."""
-    sh = _persisted_shingles(_exploded_shingles(df, text_col, id_col, shingle_n))
+    sh = _persisted_shingles(
+        _exploded_shingles(df, text_col, id_col, shingle_n, unit=unit)
+    )
     hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
         F.col("df_cnt") > max_shingle_df
     ).select("sh")
