@@ -236,6 +236,29 @@ class Traversal:
     def repeat(self, branch: "Traversal", times: int = 1) -> "Traversal":
         return self._add("repeat", _steps_of(branch), times)
 
+    def _fold_repeat(self, name: str, *args: Any) -> "Traversal":
+        from grasper_spark.plans.parser import fold_repeat_mod
+
+        if not self._steps or self._steps[-1].name != "repeat":
+            raise ValueError(f"{name}() must follow repeat()")
+        folded = fold_repeat_mod(self._steps[-1], name, args)
+        return Traversal(
+            self._graph, self._steps[:-1] + (folded,), self._seed, self._ctx
+        )
+
+    def times(self, k: int) -> "Traversal":
+        return self._fold_repeat("times", k)
+
+    def until(self, cond: "Traversal") -> "Traversal":
+        """repeat(...).until(cond): loop the repeat branch, emitting each
+        traverser at the first position where the existential sub-
+        traversal `cond` matches (TinkerPop do-while semantics)."""
+        return self._fold_repeat("until", _steps_of(cond))
+
+    def emit(self) -> "Traversal":
+        """repeat(...).emit(): output every intermediate position."""
+        return self._fold_repeat("emit")
+
     def and_(self, *branches: "Traversal") -> "Traversal":
         return self._add("and", *[_steps_of(b) for b in branches])
 

@@ -1208,14 +1208,59 @@ class GremlinCompiler:
         outs = [self.compile(list(b), start=s) for b in branches]
         return self._align_union(outs)
 
-    def _step_repeat(self, s: Stream, branch: Sequence[Step], times: int = 1) -> Stream:
+    #: safety bound for repeat().until() loops (a cond no traverser ever
+    #: satisfies must terminate; stragglers at the bound are discarded)
+    _REPEAT_MAX_ROUNDS = 20
+
+    def _step_repeat(
+        self,
+        s: Stream,
+        branch: Sequence[Step],
+        times: int = 1,
+        until: Optional[Sequence[Step]] = None,
+        emit: bool = False,
+    ) -> Stream:
         # reference repeat == single-pass union ("Act just as union",
-        # /root/reference/core/parser.cpp:1305-1318); times>1 is our
-        # parity-plus unrolling extension.
-        out = s
-        for _ in range(max(1, times)):
-            out = self.compile(list(branch), start=out)
-        return out
+        # /root/reference/core/parser.cpp:1305-1318); times>1 unrolling
+        # and until()/emit() iteration are our parity-plus extensions
+        # (TinkerPop semantics).
+        if until is None and not emit:
+            out = s
+            for _ in range(max(1, times)):
+                out = self.compile(list(branch), start=out)
+            return out
+        # iterative driver loop (same shape as algos.py supersteps:
+        # one pass per round, localCheckpoint to truncate lineage, an
+        # isEmpty() probe only when until() needs early exit)
+        bound = times if (until is not None and times > 1) else (
+            self._REPEAT_MAX_ROUNDS if until is not None else max(1, times)
+        )
+        frontier = s
+        collected: list[Stream] = []
+        for i in range(bound):
+            frontier = self.compile(list(branch), start=frontier)
+            if until is None:
+                collected.append(frontier)  # emit(): every position
+                continue
+            if emit:
+                # emit()+until(): a traverser is output at EVERY round
+                # it is alive (TinkerPop emit-at-each-position)
+                collected.append(frontier)
+            else:
+                # until() alone: only the positions satisfying the exit
+                # condition are output (existential sub-traversal match
+                # — the same per-traverser machinery as and()/not())
+                collected.append(
+                    self._apply(frontier, Step("and", (tuple(until),)))
+                )
+            frontier = self._apply(frontier, Step("not", (tuple(until),)))
+            if (i + 1) % 3 == 0:
+                frontier = replace(
+                    frontier, df=frontier.df.localCheckpoint(eager=True)
+                )
+            if frontier.df.isEmpty():
+                break
+        return self._align_union(collected)
 
     def _tagged(self, s: Stream) -> tuple[Stream, str]:
         """Attach a content-hash traverser id for labelled branches.

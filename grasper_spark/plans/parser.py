@@ -30,7 +30,7 @@ STEP_NAMES = {
     "groupCount", "dedup", "order", "range", "limit", "skip", "union", "path",
     "repeat", "and", "or", "not", "optional", "choose", "project", "by",
     "match", "coalesce", "tail", "id", "valueMap", "elementMap",
-    "simplePath", "cyclicPath",
+    "simplePath", "cyclicPath", "until", "emit", "times",
 }
 
 # steps whose string args are python-reserved in the fluent API
@@ -213,6 +213,32 @@ def fold_by(prev: Step, args: tuple) -> Step:
     raise ParseError(f"by() cannot follow {prev.name}()")
 
 
+def fold_repeat_mod(prev: Step, name: str, args: tuple) -> Step:
+    """Fold a times/until/emit modulator into its preceding repeat step
+    (normalized args: (branch, times, until, emit)). Shared by the
+    string parser and the fluent API."""
+    if prev.name != "repeat":
+        raise ParseError(f"{name}() must follow repeat()")
+    a = prev.args
+    branch = a[0]
+    times = a[1] if len(a) > 1 else 1
+    until = a[2] if len(a) > 2 else None
+    emit = a[3] if len(a) > 3 else False
+    if name == "times":
+        if len(args) != 1 or not isinstance(args[0], int):
+            raise ParseError("times(k): takes exactly one integer")
+        times = args[0]
+    elif name == "until":
+        if len(args) != 1 or not isinstance(args[0], tuple):
+            raise ParseError("until(): takes one sub-traversal")
+        until = tuple(args[0])
+    else:  # emit
+        if args:
+            raise ParseError("emit() takes no arguments")
+        emit = True
+    return Step("repeat", (branch, times, until, emit))
+
+
 def parse_steps(chain: str) -> list[Step]:
     """Parse a dotted step chain like `out('knows').values('age')`."""
     toks = _split_top(chain.strip(), ".")
@@ -225,6 +251,10 @@ def parse_steps(chain: str) -> list[Step]:
             if not steps or steps[-1].name not in BY_HOSTS:
                 raise ParseError("by() must follow project/group/groupCount/order")
             steps[-1] = fold_by(steps[-1], st.args)
+        elif st.name in ("times", "until", "emit"):
+            if not steps:
+                raise ParseError(f"{st.name}() must follow repeat()")
+            steps[-1] = fold_repeat_mod(steps[-1], st.name, st.args)
         else:
             steps.append(st)
     return steps

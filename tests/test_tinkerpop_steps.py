@@ -4,6 +4,7 @@ reference has none of these, SURVEY.md §2.7)."""
 
 import pytest
 
+from grasper_spark.plans.api import A
 from grasper_spark.plans.parser import ParseError
 
 
@@ -125,3 +126,55 @@ def test_value_map_on_edges(g):
     got = vals(g.E().hasLabel("knows").has("weight", 0.5).valueMap())
     # DebugString double parity: abs<1 keeps %.6f (tool.hpp:334-368)
     assert got == ["{weight:0.500000}"]
+
+
+def test_repeat_until_label(g):
+    # each traverser exits at its FIRST software position; traversers
+    # landing on a person (marko->vadas, marko->josh) keep looping:
+    # round 1 exits lop (marko), ripple+lop (josh), lop (peter);
+    # round 2 the marko->josh traverser exits at ripple+lop again.
+    got = sorted(
+        vals(
+            g.V().hasLabel("person")
+            .repeat(A.out()).until(A.hasLabel("software"))
+            .values("name")
+        )
+    )
+    assert got == ["lop", "lop", "lop", "lop", "ripple", "ripple"]
+
+
+def test_repeat_emit_times(g):
+    # emit() outputs every intermediate position across 2 passes
+    got = sorted(
+        vals(
+            g.V().has("name", "marko")
+            .repeat(A.out("knows")).times(2).emit()
+            .values("name")
+        )
+    )
+    # pass 1: vadas, josh; pass 2: (vadas/josh have no knows-out) -> none
+    assert got == ["josh", "vadas"]
+
+
+def test_repeat_until_query_string(g):
+    got = sorted(
+        r.val
+        for r in g.query(
+            'g.V().hasLabel("person").repeat(out()).until(hasLabel("software")).label()'
+        ).collect()
+    )
+    assert got == ["software"] * 6
+
+
+def test_until_without_repeat_rejected(g):
+    with pytest.raises(ParseError, match="must follow repeat"):
+        g.query('g.V().until(hasLabel("software"))')
+
+
+def test_repeat_until_no_match_terminates_empty(g):
+    # a condition no traverser ever satisfies must terminate at the
+    # bound with zero rows, not loop forever
+    got = vals(
+        g.V().has("name", "marko").repeat(A.out("knows")).until(A.hasLabel("nosuch"))
+    )
+    assert got == []
