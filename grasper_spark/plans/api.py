@@ -143,6 +143,12 @@ class Traversal:
     def simplePath(self) -> "Traversal":
         return self._add("simplePath")
 
+    def fold(self) -> "Traversal":
+        return self._add("fold")
+
+    def constant(self, v: Any) -> "Traversal":
+        return self._add("constant", v)
+
     def cyclicPath(self) -> "Traversal":
         return self._add("cyclicPath")
 

@@ -1208,6 +1208,51 @@ class GremlinCompiler:
         outs = [self.compile(list(b), start=s) for b in branches]
         return self._align_union(outs)
 
+    def _step_fold(self, s: Stream, *args) -> Stream:
+        """fold() (extension — TinkerPop barrier): collapse the stream
+        into ONE traverser per group holding "[v1, v2, …]" (sorted for
+        determinism; same rendering as cap(), barrier_expert.hpp:366-430
+        format). Vertices fold their vids; scalars their values."""
+        if args:
+            raise CompileError("fold() takes no arguments")
+        if s.kind == "V":
+            col, dtype = F.col(VCOL), "bigint"
+        elif s.kind == "S":
+            col, dtype = F.col(VAL), s.dtype or "string"
+        else:
+            raise CompileError("fold() applies to vertex or scalar streams")
+        rendered = F.concat(
+            F.lit("["),
+            F.concat_ws(
+                ", ",
+                F.transform(
+                    F.array_sort(F.collect_list(col)),
+                    lambda x: _fmt_value(x, dtype),
+                ),
+            ),
+            F.lit("]"),
+        ).alias(VAL)
+        gcols = list(s.group_cols)
+        df = (
+            s.df.groupBy(*gcols).agg(rendered)
+            if gcols
+            else s.df.agg(rendered)
+        )
+        return Stream(df=df, kind="S", dtype="string", group_cols=gcols)
+
+    def _step_constant(self, s: Stream, v) -> Stream:
+        """constant(v) (extension): replace every traverser's value with
+        the literal — history and grouping ride along."""
+        dtype = (
+            "bigint" if isinstance(v, bool) is False and isinstance(v, int)
+            else "double" if isinstance(v, float) else "string"
+        )
+        df = s.df.select(
+            *s.hist_cols(), *s.sort_cols(),
+            F.lit(v).cast(dtype).alias(VAL),
+        )
+        return self._traversal_result(s, df, "S", keep_sort=True, dtype=dtype)
+
     #: safety bound for repeat().until() loops (a cond no traverser ever
     #: satisfies must terminate; stragglers at the bound are discarded)
     _REPEAT_MAX_ROUNDS = 20

@@ -30,7 +30,8 @@ STEP_NAMES = {
     "groupCount", "dedup", "order", "range", "limit", "skip", "union", "path",
     "repeat", "and", "or", "not", "optional", "choose", "project", "by",
     "match", "coalesce", "tail", "id", "valueMap", "elementMap",
-    "simplePath", "cyclicPath", "until", "emit", "times",
+    "simplePath", "cyclicPath", "until", "emit", "times", "fold",
+    "constant",
 }
 
 # steps whose string args are python-reserved in the fluent API
@@ -127,8 +128,10 @@ def _parse_step(tok: str) -> Step:
         raise ParseError("coalesce: needs at least one branch")
     if name == "tail" and (len(raw_args) != 1 or not isinstance(raw_args[0], int)):
         raise ParseError("tail(n): takes exactly one integer")
-    if name in ("id", "simplePath", "cyclicPath") and raw_args:
+    if name in ("id", "simplePath", "cyclicPath", "fold") and raw_args:
         raise ParseError(f"{name}() takes no arguments")
+    if name == "constant" and len(raw_args) != 1:
+        raise ParseError("constant(v): takes exactly one literal")
     if name in ("valueMap", "elementMap") and not all(
         isinstance(a, str) for a in raw_args
     ):

@@ -178,3 +178,27 @@ def test_repeat_until_no_match_terminates_empty(g):
         g.V().has("name", "marko").repeat(A.out("knows")).until(A.hasLabel("nosuch"))
     )
     assert got == []
+
+
+def test_fold_scalars(g):
+    got = vals(g.V().hasLabel("person").values("age").fold())
+    assert got == ["[27, 29, 32, 35]"]
+
+
+def test_fold_vertices_and_query_string(g):
+    got = [r.val for r in g.query('g.V().hasLabel("software").fold()').collect()]
+    assert got == ["[3, 5]"]
+
+
+def test_constant_step(g):
+    got = vals(g.V().hasLabel("person").constant(7))
+    assert got == [7, 7, 7, 7]
+    got2 = vals(g.V().has("name", "marko").constant("x"))
+    assert got2 == ["x"]
+
+
+def test_fold_constant_arity_errors(g):
+    with pytest.raises(ParseError, match="takes no arguments"):
+        g.query("g.V().fold(3)")
+    with pytest.raises(ParseError, match="exactly one literal"):
+        g.query("g.V().constant()")
