@@ -544,6 +544,7 @@ def dedup_against(
 def containment_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.8, max_shingle_df: int = 10000,
+    unit: str = "word",
 ) -> DataFrame:
     """ASYMMETRIC near-dup: (id_a, id_b, containment) where containment
     = |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold — "a is

@@ -1010,3 +1010,78 @@ def test_char_and_word_units_agree_on_tokenized_text(spark):
     a = ngram_jaccard_pairs(docs, threshold=0.2)
     b = ngram_jaccard_pairs(docs, threshold=0.2, unit="word")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_mix_sources_matches_duckdb(spark):
+    # DuckDB twin of the two-phase cut: cumulative token sum in md5-rank
+    # order per source, keep docs whose cumulative END <= budget
+    import duckdb
+
+    from grasper_spark.functions.sampling import mix_sources
+    from grasper_spark.functions.text import token_count
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    weights = {"en": 0.6, "de": 0.4}
+    total = 5000
+    got = sorted(r.doc_id for r in mix_sources(docs, weights, total).collect())
+    con = duckdb.connect()
+    budgets = {s: int(total * w / sum(weights.values())) for s, w in weights.items()}
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {b}" for s, b in budgets.items()
+    )
+    want = sorted(
+        r[0]
+        for r in con.execute(f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n,
+                 md5(doc_id::VARCHAR) AS h,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 256 AS bk
+          FROM read_parquet('{sf}/documents.parquet')
+          WHERE lang IN ({", ".join(repr(s) for s in weights)})
+        ), c AS (
+          -- the two-phase cut ≡ one global cumsum in (bucket, h, id) order
+          SELECT doc_id, lang,
+                 sum(n) OVER (PARTITION BY lang ORDER BY bk, h, doc_id) AS cum
+          FROM d
+        )
+        SELECT doc_id FROM c WHERE cum <= (CASE {cases} END)
+        """).fetchall()
+    )
+    assert got == want
+
+
+def test_common_neighbors_matches_duckdb(spark, modern):
+    import duckdb
+
+    from grasper_spark.algos import common_neighbors
+
+    got = sorted(
+        (r.a, r.b, r.n_common, r.jaccard)
+        for r in common_neighbors(modern, min_common=1).collect()
+    )
+    edges = [(r.src, r.dst) for r in modern.edges.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+        WITH adj AS (
+          SELECT DISTINCT src AS v, dst AS n FROM (
+            SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+        ), deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+        p AS (
+          SELECT x.v AS a, y.v AS b, count(*) AS c
+          FROM adj x JOIN adj y ON x.n = y.n AND x.v < y.v
+          GROUP BY 1, 2
+        )
+        SELECT a, b, c, round(c / (da.d + db.d - c), 6)
+        FROM p JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+        """).fetchall()
+    )
+    assert got == want
