@@ -289,3 +289,33 @@ def group_centroids(
     )
     centroid = F.array(*[F.round(F.col(f"_s{i}") / F.col("n"), 6) for i in range(dim)])
     return sums.select(F.col(group_col), centroid.alias("centroid"), "n")
+
+
+def write_ivf_index(
+    assigned: DataFrame, centroids: list, path: str, vec_col: str = "embedding"
+) -> None:
+    """Persist an IVF index: the assignment parquet PARTITIONED BY
+    cluster (each probe then reads only its clusters' files — Spark
+    partition pruning, not a filter over the whole corpus) + the
+    centroid table as one small JSON next to it."""
+    import json
+    import os
+
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "assigned")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as fh:
+        json.dump(centroids, fh)
+
+
+def read_ivf_index(spark, path: str):
+    """(assigned_df, centroids) — inverse of write_ivf_index. The
+    returned assignment is the partition-pruned read path: pass it
+    straight to ivf_topk."""
+    import json
+    import os
+
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    with open(os.path.join(path, "centroids.json")) as fh:
+        centroids = [(int(c), v) for c, v in json.load(fh)]
+    return assigned, centroids

@@ -164,3 +164,31 @@ def test_pack_sequences_property(lengths, cap):
             by_bin.setdefault((r.shard, r.bin), []).append(r.n_chunk_tokens)
     for parts in by_bin.values():
         assert sum(parts) <= cap
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, emb, tmp_path):
+    # persisted IVF index: same top-k after reload, and a single-cluster
+    # probe plan reads ONLY that cluster's files (PartitionFilters on
+    # the cluster partition column, not a post-scan filter)
+    from grasper_spark.functions.similarity import (
+        ivf_index,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    assigned, cents = ivf_index(emb, n_clusters=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, cents, path)
+    assigned2, cents2 = read_ivf_index(spark, path)
+    assert cents2 == [(c, list(v)) for c, v in cents]
+
+    q = emb.filter(F.col("vec_id") < 3)
+    a = ivf_topk(assigned, cents, q, k=5).collect()
+    b = ivf_topk(assigned2, cents2, q, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    one = assigned2.filter(F.col("cluster") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cluster" in plan
+    one.collect()
