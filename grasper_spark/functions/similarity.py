@@ -319,3 +319,39 @@ def read_ivf_index(spark, path: str):
     with open(os.path.join(path, "centroids.json")) as fh:
         centroids = [(int(c), v) for c, v in json.load(fh)]
     return assigned, centroids
+
+
+def ivf_append(
+    spark, path: str, new_vectors: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Incrementally ingest vectors into a persisted IVF index: assign
+    each new vector to its nearest stored centroid (broadcast centroid
+    table, argmax cosine — no retraining) and APPEND to the cluster-
+    partitioned assignment. Centroids drift only on an explicit
+    re-train (`ivf_index` + `write_ivf_index`) — the standard IVF
+    ingest/retrain split. Returns the new rows' assignment."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        centroids = [(int(c), v) for c, v in json.load(fh)]
+    cent_df = spark.createDataFrame(centroids, ["cluster", "centroid"])
+    scored = (
+        new_vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            id_col, vec_col, "cluster",
+            cosine(F.col(vec_col), F.col("centroid").cast("array<double>")).alias("csim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cluster"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, vec_col, "cluster")
+    )
+    assigned.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(path, "assigned")
+    )
+    return assigned

@@ -192,3 +192,30 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, emb, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(cluster" in plan
     one.collect()
+
+
+def test_ivf_append_ingests_without_retrain(spark, emb, tmp_path):
+    from grasper_spark.functions.similarity import (
+        ivf_append,
+        ivf_index,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    base = emb.filter(F.col("vec_id") >= 10)
+    assigned, cents = ivf_index(base, n_clusters=8)
+    path = str(tmp_path / "ivf2")
+    write_ivf_index(assigned, cents, path)
+
+    newv = emb.filter(F.col("vec_id") < 10)
+    out = ivf_append(spark, path, newv)
+    assert out.count() == newv.count()
+
+    a2, c2 = read_ivf_index(spark, path)
+    assert a2.count() == emb.count()
+    # an appended vector must now be findable: probe with itself -> its
+    # nearest neighbors include only valid ids and sims are sane
+    res = ivf_topk(a2, c2, emb.filter(F.col("vec_id") == 5), k=3).collect()
+    assert len(res) == 3
+    assert all(r.sim <= 1.0 + 1e-9 for r in res)
