@@ -355,3 +355,24 @@ def ivf_append(
         os.path.join(path, "assigned")
     )
     return assigned
+
+
+def ivf_append_stream(path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """foreachBatch processor for STREAMING ingest into a persisted IVF
+    index — each micro-batch broadcast-assigns against the stored
+    centroids and appends its partitioned parquet:
+
+        q = (vec_stream.writeStream
+             .foreachBatch(ivf_append_stream(index_path))
+             .option("checkpointLocation", ckpt).start())
+
+    Exactly-once per batch rides the streaming checkpoint (a replayed
+    batch re-appends — pair with a dedup on id at read time if the
+    source can replay)."""
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_append(batch_df.sparkSession, path, batch_df, id_col, vec_col)
+
+    return process

@@ -219,3 +219,30 @@ def test_ivf_append_ingests_without_retrain(spark, emb, tmp_path):
     res = ivf_topk(a2, c2, emb.filter(F.col("vec_id") == 5), k=3).collect()
     assert len(res) == 3
     assert all(r.sim <= 1.0 + 1e-9 for r in res)
+
+
+def test_ivf_append_stream_ingests_microbatches(spark, emb, tmp_path):
+    from grasper_spark.functions.similarity import (
+        ivf_append_stream,
+        ivf_index,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    base = emb.filter(F.col("vec_id") >= 10)
+    assigned, cents = ivf_index(base, n_clusters=8)
+    path = str(tmp_path / "ivf_s")
+    write_ivf_index(assigned, cents, path)
+
+    src = str(tmp_path / "src")
+    emb.filter(F.col("vec_id") < 10).write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(ivf_append_stream(path))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    a2, _ = read_ivf_index(spark, path)
+    assert a2.count() == emb.count()
