@@ -75,6 +75,7 @@ def full_pipeline(
     near_dup_threshold: float = 0.5,
     line_dedup_max_df: int = 2,
     chunk_tokens: int = 64,
+    pack_tokens: int | None = None,
     num_shards: int = 8,
     contamination_n: int = 5,
     contamination_min_hits: int = 3,
@@ -85,8 +86,9 @@ def full_pipeline(
     operators: Gopher repetition gates → PII redaction → cross-corpus
     line dedup → quality/language curation with near-dup collapse →
     benchmark decontamination (when `benchmark` is given) → token-window
-    chunking → deterministic shard assignment (written out when
-    `out_path` is given).
+    chunking → (optionally, with `pack_tokens`) sharded first-fit
+    sequence packing into fixed-size training contexts → deterministic
+    shard assignment (written out when `out_path` is given).
 
     Returns (chunks_df, stats) where stats counts survivors per stage —
     the audit trail a data-governance review asks for. Every stage is
@@ -136,6 +138,23 @@ def full_pipeline(
                              stride=max(1, chunk_tokens * 3 // 4),
                              text_col=text_col, id_col=id_col)
     stats["chunks"] = chunks.count()
+
+    if pack_tokens is not None:
+        from grasper_spark.functions.packing import pack_sequences, packing_stats
+
+        packed = pack_sequences(
+            chunks.select(id_col, "chunk_id", "chunk", "n_chunk_tokens"),
+            max_tokens=pack_tokens,
+            len_col="n_chunk_tokens",
+            id_cols=(id_col, "chunk_id"),
+            num_shards=num_shards,
+        )
+        ps = packing_stats(packed, pack_tokens).collect()[0]
+        stats["bins"] = int(ps.n_bins)
+        stats["mean_fill"] = float(ps.mean_fill)
+        if out_path is not None:
+            packed.write.mode("overwrite").partitionBy("shard").parquet(out_path)
+        return packed, stats
 
     sharded = export_shards(
         chunks.select(

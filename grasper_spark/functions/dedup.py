@@ -627,3 +627,33 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def pair_mass_estimate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, unit: str = "word", candidate_caps: tuple = (100, 1000, 10000),
+) -> DataFrame:
+    """ONE-ROW planning diagnostic for the inverted-index joins: the
+    candidate-pair mass Σ df·(df−1)/2 over shingles — the exact number
+    of pairs `ngram_jaccard_pairs`/`containment_pairs` will generate —
+    plus what each `max_shingle_df` cap would cut it to, and the hottest
+    shingle's df. Run this BEFORE a near-dup pass at a new scale: pair
+    mass, not row count, is the job's real size (SCALE.md).
+
+    Cost: the same shingle explode the dedup pass itself does + one
+    partial-agg groupBy — no joins, no pairs materialized."""
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n, unit=unit)
+    dfs = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("d"))
+    pm = F.col("d") * (F.col("d") - 1) / 2
+    aggs = [
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.max("d").alias("max_df"),
+        F.sum(pm).cast("bigint").alias("pair_mass"),
+    ]
+    for cap in candidate_caps:
+        aggs.append(
+            F.sum(F.when(F.col("d") <= cap, pm).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"pair_mass_cap{cap}")
+        )
+    return dfs.agg(*aggs)

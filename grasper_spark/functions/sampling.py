@@ -266,3 +266,28 @@ def mix_sources(
     )
     drop = ["_h", "_bk", "_budget", "_bsum", "_before"]
     return inside.unionByName(boundary).drop(*drop)
+
+
+def importance_sample(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    floor: float = 0.1,
+    power: float = 1.0,
+) -> DataFrame:
+    """Deterministic quality-weighted downsampling: keep a row with
+    probability p = clamp(score^power, floor, 1) — high-quality docs
+    always survive, low-quality ones thin out, and the "coin flip" is
+    the md5 of the id, so the SAME corpus gives the SAME sample on any
+    engine, partitioning, or cluster size (no RNG state to ship).
+
+    `score_col` is expected in [0, 1] (e.g. text.quality_score);
+    `power` > 1 sharpens the preference, `floor` guarantees minimum
+    representation of the low end (the DoReMi-ish smoothing knob).
+    Pure column arithmetic — scan-speed, zero shuffle."""
+    p = F.least(
+        F.lit(1.0),
+        F.greatest(F.lit(float(floor)), F.pow(F.col(score_col), F.lit(float(power)))),
+    )
+    u = (_md5_int(F.col(id_col).cast("string")) % BUCKETS) / F.lit(float(BUCKETS))
+    return df.filter(u < p)

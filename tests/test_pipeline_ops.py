@@ -1085,3 +1085,56 @@ def test_common_neighbors_matches_duckdb(spark, modern):
         """).fetchall()
     )
     assert got == want
+
+
+def test_full_pipeline_with_packing(spark, tmp_path):
+    from grasper_spark.functions.curation import full_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out, stats = full_pipeline(
+        docs, pack_tokens=128, out_path=str(tmp_path / "packed")
+    )
+    assert stats["bins"] > 0 and stats["mean_fill"] > 0.5
+    per_bin = (
+        out.filter(~F.col("overflow"))
+        .groupBy("shard", "bin")
+        .agg(F.sum("n_chunk_tokens").alias("t"))
+        .agg(F.max("t"))
+        .collect()[0][0]
+    )
+    assert per_bin <= 128
+    back = spark.read.parquet(str(tmp_path / "packed"))
+    assert back.count() == out.count()
+
+
+def test_pair_mass_estimate_matches_exact(spark):
+    from grasper_spark.functions.dedup import _exploded_shingles, pair_mass_estimate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = pair_mass_estimate(docs).collect()[0]
+    sh = _exploded_shingles(docs, "text", "doc_id", 3)
+    dfs = {r.sh: r.n for r in sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n")).collect()}
+    exact = sum(d * (d - 1) // 2 for d in dfs.values())
+    assert row.pair_mass == exact
+    assert row.max_df == max(dfs.values())
+    # caps are monotone and bounded by the uncapped mass
+    assert row.pair_mass_cap100 <= row.pair_mass_cap1000 <= row.pair_mass_cap10000 <= row.pair_mass
+
+
+def test_importance_sample_deterministic_and_monotone(spark):
+    from grasper_spark.functions.sampling import importance_sample
+    from grasper_spark.functions.text import quality_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    a = importance_sample(docs, "q", floor=0.2)
+    b = importance_sample(docs.repartition(5), "q", floor=0.2)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(r.doc_id for r in b.collect())
+    # keep-rate for the top-quality half must exceed the bottom half
+    med = docs.approxQuantile("q", [0.5], 0.01)[0]
+    hi = docs.filter(F.col("q") >= med)
+    lo = docs.filter(F.col("q") < med)
+    hi_rate = importance_sample(hi, "q", floor=0.2).count() / max(hi.count(), 1)
+    lo_rate = importance_sample(lo, "q", floor=0.2).count() / max(lo.count(), 1)
+    assert hi_rate > lo_rate
