@@ -20,6 +20,15 @@ Why sketches are the 100 TB design and not a shortcut:
 - ``approx_percentile`` (KLL-ish quantile summary) replaces a global
   sort: a length distribution over 10^11 documents costs one partial
   agg instead of a total order.
+- ``theta_sketch_agg`` adds what HLL cannot: set INTERSECTION and
+  DIFFERENCE. Corpus-overlap questions ("how much of snapshot B is
+  already in A") become set algebra over kilobyte sketches instead of
+  a distinct-join of two token streams (`corpus_overlap`,
+  `source_overlap_matrix`).
+- ``kll_sketch_agg_bigint`` is the storable/mergeable form of a
+  quantile summary: persist one blob per shard, answer global
+  quantiles later without rescanning (`shard_length_sketches` +
+  `merge_length_sketches`).
 
 No reference parity to cite: Grasper has no approximate aggregates —
 this module is part of the training-data-pipeline extension surface
@@ -112,6 +121,148 @@ def merge_token_sketches(sketches: DataFrame, sketch_col: str = "sketch") -> Dat
         .cast("long")
         .alias("est_distinct")
     )
+
+
+def corpus_overlap(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Estimated token-set overlap between two corpora WITHOUT a join:
+    one row (est_a, est_b, est_intersection, est_union, jaccard,
+    containment_a_in_b, containment_b_in_a).
+
+    Theta sketches support set INTERSECTION and DIFFERENCE, which HLL
+    cannot: each side is one scan + partial ``theta_sketch_agg`` (only
+    sketch bytes shuffle), and the set algebra runs on two kilobyte
+    sketches driver-free. This is the planning probe you run BEFORE
+    paying for pairwise dedup or a decontamination join at 100 TB —
+    "how much of corpus B is already in corpus A" for kilobytes of I/O.
+    Pairs with `dedup.pair_mass_estimate` (how expensive would the join
+    be) the way a cost model pairs with an optimizer.
+    """
+    sa = _token_stream(docs_a, text_col).agg(
+        F.theta_sketch_agg("token", F.lit(lgk)).alias("sk")
+    )
+    sb = _token_stream(docs_b, text_col).agg(
+        F.theta_sketch_agg("token", F.lit(lgk)).alias("sk")
+    )
+    both = sa.select(F.col("sk").alias("sk_a")).crossJoin(
+        sb.select(F.col("sk").alias("sk_b"))
+    )
+    est = both.select(
+        F.theta_sketch_estimate("sk_a").alias("est_a"),
+        F.theta_sketch_estimate("sk_b").alias("est_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_a", "sk_b")
+        ).alias("est_intersection"),
+        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias("est_union"),
+    )
+    return est.select(
+        "est_a",
+        "est_b",
+        "est_intersection",
+        "est_union",
+        F.round(F.col("est_intersection") / F.greatest(F.col("est_union"), F.lit(1.0)), 6)
+        .alias("jaccard"),
+        F.round(F.col("est_intersection") / F.greatest(F.col("est_a"), F.lit(1.0)), 6)
+        .alias("containment_a_in_b"),
+        F.round(F.col("est_intersection") / F.greatest(F.col("est_b"), F.lit(1.0)), 6)
+        .alias("containment_b_in_a"),
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Pairwise estimated token-set Jaccard/containment between every
+    pair of sources in one table: (source_a, source_b, est_a, est_b,
+    est_intersection, jaccard, containment_a_in_b).
+
+    One scan builds a per-source theta sketch (partial agg, sketch bytes
+    only); the pairwise set algebra is a self-join of the K-row sketch
+    relation — K² sketch intersections over kilobytes, independent of
+    corpus size. The standard "which of my 30 crawl snapshots duplicate
+    each other" probe: the quadratic part runs on sketches, never rows.
+    """
+    per_src = (
+        docs.select(F.col(source_col).alias("src"), F.col(text_col).alias("text"))
+        .select("src", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("src")
+        .agg(F.theta_sketch_agg("token", F.lit(lgk)).alias("sk"))
+    )
+    a = per_src.select(F.col("src").alias("source_a"), F.col("sk").alias("sk_a"))
+    b = per_src.select(F.col("src").alias("source_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.theta_sketch_estimate("sk_a").alias("est_a"),
+        F.theta_sketch_estimate("sk_b").alias("est_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_a", "sk_b")
+        ).alias("est_intersection"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+            / F.greatest(
+                F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")), F.lit(1.0)
+            ),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+            / F.greatest(F.theta_sketch_estimate("sk_a"), F.lit(1.0)),
+            6,
+        ).alias("containment_a_in_b"),
+    )
+
+
+def shard_length_sketches(
+    docs: DataFrame,
+    shard_col: str = "shard",
+    text_col: str = "text",
+    k: int = 200,
+) -> DataFrame:
+    """Per-shard KLL sketch of the doc-length (token count)
+    distribution: (shard, kll binary, n). The stored-quantiles twin of
+    `shard_token_sketches`: persist one KLL blob per ingested shard and
+    any later quantile question about any union of shards is answered by
+    `merge_length_sketches` over kilobytes — ``approx_percentile``
+    cannot do this because its summary is not a storable/mergeable
+    column value.
+    """
+    ntok = token_count(F.col(text_col)).cast("bigint")
+    return (
+        docs.select(F.col(shard_col).alias("shard"), ntok.alias("n_tokens"))
+        .groupBy("shard")
+        .agg(F.kll_sketch_agg_bigint("n_tokens", F.lit(k)).alias("kll"))
+        .select(
+            "shard", "kll", F.kll_sketch_get_n_bigint("kll").alias("n")
+        )
+    )
+
+
+def merge_length_sketches(
+    sketches: DataFrame,
+    quantiles: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99),
+    kll_col: str = "kll",
+) -> DataFrame:
+    """Merge per-shard KLL sketches and read global doc-length
+    quantiles: one row (n, q_10, q_50, q_90, q_99, ...) — the
+    incremental-ingest read path, no rescan of the shards."""
+    merged = sketches.agg(F.kll_merge_agg_bigint(kll_col).alias("kll"))
+    cols = [F.kll_sketch_get_n_bigint("kll").alias("n")] + [
+        F.kll_sketch_get_quantile_bigint("kll", F.lit(q)).alias(
+            f"q_{int(q * 100):02d}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(*cols)
 
 
 def _numeric(dtype: str) -> bool:

@@ -22,6 +22,17 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _local_dir() -> str:
+    """Scratch dir for shuffle/spill: prefer tmpfs (/dev/shm) when
+    present and writable, else the system default tmp."""
+    import tempfile
+
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "spark-graft-local")
+    return tempfile.gettempdir()
+
+
 def get_spark(
     app_name: str = "grasper_spark",
     master: str | None = None,
@@ -46,7 +57,20 @@ def get_spark(
         # the driver's events.parquet stores TIMESTAMP(NANOS) — read as
         # long nanos and normalize in the loader (Spark has no nanos type).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode: this one JVM is the whole "cluster" — size its heap
+        # like the sum of executors, not like a driver. With 8g, the
+        # cached graph snapshot + persisted shingle relations from early
+        # bench queries evict/GC-thrash the later ones (observed 3-4×
+        # inflation on the doc_* queries at sf0.1); 32g keeps the
+        # working set resident. On a real cluster this knob moves to
+        # executor memory and the default driver size is fine.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # local-mode: shuffle/spill files on the virtual disk stall for
+        # seconds under host I/O contention (observed 3-10× spikes on
+        # shuffle-heavy queries); tmpfs makes them RAM-speed. Harmless
+        # at test scale (shuffles ≪ RAM); on a real cluster local dirs
+        # are NVMe and this fallback never fires.
+        .config("spark.local.dir", _local_dir())
         # Multi-client fairness: concurrent queries (emu mode, notebook
         # users) round-robin stages instead of FIFO-queueing behind a
         # long scan — the analogue of the reference master's per-client

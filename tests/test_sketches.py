@@ -83,6 +83,115 @@ def test_sketch_agg_is_partial(spark, corpus):
     assert "partial_hll_sketch_agg" in plan or "partial_" in plan
 
 
+def test_corpus_overlap_estimates_known_intersection(spark):
+    from grasper_spark.functions.sketches import corpus_overlap
+
+    # corpus A: tokens w0..w999; corpus B: tokens w500..w1499
+    # exact: |A|=|B|=1000, |A∩B|=500, |A∪B|=1500, J=1/3, containment=0.5
+    def corp(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.concat(F.lit("w"), F.col("id").cast("string")).alias("text"))
+        )
+
+    row = corpus_overlap(corp(0, 1000), corp(500, 1500)).collect()[0]
+    assert row["est_a"] == pytest.approx(1000, rel=0.05)
+    assert row["est_b"] == pytest.approx(1000, rel=0.05)
+    assert row["est_intersection"] == pytest.approx(500, rel=0.10)
+    assert row["est_union"] == pytest.approx(1500, rel=0.05)
+    assert row["jaccard"] == pytest.approx(1 / 3, rel=0.10)
+    assert row["containment_a_in_b"] == pytest.approx(0.5, rel=0.10)
+    assert row["containment_b_in_a"] == pytest.approx(0.5, rel=0.10)
+
+
+def test_source_overlap_matrix_pairs_and_estimates(spark):
+    from grasper_spark.functions.sketches import source_overlap_matrix
+
+    # 3 sources: s0 = w0..w599, s1 = w300..w899 (50% overlap with s0),
+    # s2 = w5000..w5599 (disjoint from both)
+    docs = (
+        spark.range(600)
+        .select(
+            F.concat(F.lit("w"), F.col("id").cast("string")).alias("t0"),
+            F.concat(F.lit("w"), (F.col("id") + 300).cast("string")).alias("t1"),
+            F.concat(F.lit("w"), (F.col("id") + 5000).cast("string")).alias("t2"),
+        )
+        .selectExpr(
+            "stack(3, 's0', t0, 's1', t1, 's2', t2) AS (source, text)"
+        )
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(docs).collect()
+    }
+    assert set(rows) == {("s0", "s1"), ("s0", "s2"), ("s1", "s2")}
+    r01 = rows[("s0", "s1")]
+    assert r01["est_intersection"] == pytest.approx(300, rel=0.12)
+    assert r01["jaccard"] == pytest.approx(300 / 900, rel=0.12)
+    assert rows[("s0", "s2")]["est_intersection"] == pytest.approx(0, abs=5)
+    assert rows[("s1", "s2")]["est_intersection"] == pytest.approx(0, abs=5)
+
+
+def test_theta_sketch_agg_is_partial(spark):
+    # like the HLL test: only sketch bytes may shuffle, never tokens
+    from grasper_spark.functions.sketches import corpus_overlap
+
+    docs = spark.range(100).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("text")
+    )
+    plan = (
+        corpus_overlap(docs, docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_theta_sketch_agg" in plan or "partial_" in plan
+
+
+def test_length_sketches_merge_to_global_quantiles(spark, corpus):
+    from grasper_spark.functions.sketches import (
+        merge_length_sketches,
+        shard_length_sketches,
+    )
+
+    # every doc is exactly 10 tokens → every quantile is exactly 10 and
+    # n equals the doc count; the merge path must see all 4 shards
+    shards = shard_length_sketches(corpus)
+    assert shards.count() == 4
+    assert {r["n"] for r in shards.collect()} == {100}
+    row = merge_length_sketches(shards).collect()[0]
+    assert row["n"] == 400
+    for q in ("q_10", "q_50", "q_90", "q_99"):
+        assert row[q] == 10
+
+
+def test_length_sketches_mixed_distribution(spark):
+    from grasper_spark.functions.sketches import (
+        merge_length_sketches,
+        shard_length_sketches,
+    )
+
+    # 900 ten-token docs + 100 hundred-token docs → p50=10, p99≈100;
+    # KLL with k=200 is near-exact at n=1000
+    docs = spark.range(1000).select(
+        (F.col("id") % 2).alias("shard"),
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.when(F.col("id") < 900, F.lit(10)).otherwise(F.lit(100)),
+                ),
+                lambda j: F.lit("tok"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    row = merge_length_sketches(shard_length_sketches(docs)).collect()[0]
+    assert row["n"] == 1000
+    assert row["q_50"] == 10
+    assert row["q_99"] == 100
+
+
 def test_profile_one_pass_and_correct(spark):
     from grasper_spark.functions.sketches import profile
 
