@@ -265,6 +265,63 @@ def merge_length_sketches(
     return merged.select(*cols)
 
 
+def shard_frequency_sketches(
+    docs: DataFrame,
+    shard_col: str = "shard",
+    text_col: str = "text",
+    eps: float = 1e-4,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-shard count-min sketch of token frequencies:
+    (shard, cms binary, n_tokens).
+
+    The FREQUENCY member of the mergeable-sketch family (HLL =
+    cardinality, theta = set algebra, KLL = quantiles): ~(2/eps) ×
+    ln(1/(1-confidence)) counters per shard, built with one partial
+    aggregation — token values never shuffle, only sketch bytes. Store
+    one blob per shard/day; any later "how often does token X appear in
+    shards S" is `probe_token_frequencies` over kilobytes. Estimates
+    overcount only (est ≥ true, est ≤ true + eps·N at `confidence`).
+    """
+    toks = (
+        docs.select(F.col(shard_col).alias("shard"), F.col(text_col).alias("text"))
+        .select("shard", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    return toks.groupBy("shard").agg(
+        F.count_min_sketch(
+            "token", F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("cms"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+def probe_token_frequencies(
+    sketches: DataFrame, probe_tokens: list[str], cms_col: str = "cms"
+) -> DataFrame:
+    """Merge per-shard CMS blobs and estimate each probe token's global
+    count: (token, est_count).
+
+    The merge+probe runs DRIVER-SIDE on Spark's own
+    `org.apache.spark.util.sketch.CountMinSketch` — the sketches are
+    kilobytes regardless of corpus size, so this is the same
+    "collect the tiny summary" shape as BuildIndex's count map, not a
+    driver-side data scan. All shards must share (eps, confidence,
+    seed) or the underlying merge raises IncompatibleMergeException.
+    """
+    spark = sketches.sparkSession
+    blobs = [bytes(r[cms_col]) for r in sketches.select(cms_col).collect()]
+    if not blobs:
+        return spark.createDataFrame([], "token string, est_count bigint")
+    jvm = spark._jvm
+    merged = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(blobs[0])
+    for b in blobs[1:]:
+        merged.mergeInPlace(jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(b))
+    rows = [(t, int(merged.estimateCount(t))) for t in probe_tokens]
+    return spark.createDataFrame(rows, "token string, est_count bigint")
+
+
 def _numeric(dtype: str) -> bool:
     return dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or (
         dtype.startswith("decimal")

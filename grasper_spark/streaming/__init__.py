@@ -6,6 +6,7 @@ from grasper_spark.streaming.joins import (
     interval_join_batch,
     interval_join_stream,
 )
+from grasper_spark.streaming.monitor import corpus_monitor, corpus_monitor_batch
 from grasper_spark.streaming.neardup import neardup_foreach_batch, neardup_stream
 from grasper_spark.streaming.stateful_v2 import (
     TWS_AVAILABLE,
@@ -39,6 +40,8 @@ __all__ = [
     "interval_join_stream",
     "neardup_foreach_batch",
     "neardup_stream",
+    "corpus_monitor",
+    "corpus_monitor_batch",
     "TWS_AVAILABLE",
     "running_user_stats_v2",
     "user_event_type_counts",

@@ -119,6 +119,46 @@ def test_streaming_dedup(spark, tmp_path):
     assert any(r.doc_id == 3 for r in rows)
 
 
+def test_streaming_corpus_monitor_equals_batch(spark, tmp_path):
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from grasper_spark.streaming.monitor import corpus_monitor, corpus_monitor_batch
+
+    src = str(tmp_path / "monitor_stream")
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # window 12:00 — 3 docs, incl. one empty doc
+        (1, "alpha beta gamma", t0),
+        (2, "alpha alpha", t0 + datetime.timedelta(seconds=20)),
+        (3, "", t0 + datetime.timedelta(seconds=40)),
+        # window 12:01 — 2 docs, disjoint vocab
+        (4, "delta epsilon", t0 + datetime.timedelta(minutes=1)),
+        (5, "delta zeta eta theta", t0 + datetime.timedelta(minutes=1, seconds=30)),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    q = (
+        corpus_monitor(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("monitor_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.sql("select * from monitor_out").collect())
+    want = sorted(tuple(r) for r in corpus_monitor_batch(batch).collect())
+    assert got == want and len(got) == 2
+    by_start = {r[0].minute: r for r in got}
+    # window :00 — 3 docs (empty doc counted), 5 tokens, vocab {alpha,beta,gamma}
+    assert by_start[0][1:4] == (3, 5, 3)
+    # window :01 — 2 docs, 6 tokens, vocab {delta,epsilon,zeta,eta,theta}
+    assert by_start[1][1:4] == (2, 6, 5)
+
+
 def test_streaming_dedup_with_watermark_collapses_across_ts(spark, tmp_path):
     # same content at DIFFERENT event times must still collapse to one
     # survivor (fingerprint-only dedup within the watermark horizon)

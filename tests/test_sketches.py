@@ -192,6 +192,64 @@ def test_length_sketches_mixed_distribution(spark):
     assert row["q_99"] == 100
 
 
+def test_frequency_sketches_probe_exact_on_small_input(spark):
+    from grasper_spark.functions.sketches import (
+        probe_token_frequencies,
+        shard_frequency_sketches,
+    )
+
+    # doc i repeats token w{i%5} (i%10 + 1) times across 2 shards →
+    # exact per-token totals are computable; CMS at eps=1e-4 over ~275
+    # tokens has zero collisions, so estimates are exact here
+    docs = spark.range(50).select(
+        (F.col("id") % 2).alias("shard"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("id") % 10) + 1),
+                lambda j: F.concat(F.lit("w"), (F.col("id") % 5).cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    exact = {
+        r["t"]: r["n"]
+        for r in docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sketches = shard_frequency_sketches(docs)
+    assert sketches.count() == 2
+    got = {
+        r["token"]: r["est_count"]
+        for r in probe_token_frequencies(
+            sketches, ["w0", "w1", "w2", "w3", "w4", "absent"]
+        ).collect()
+    }
+    for t in ("w0", "w1", "w2", "w3", "w4"):
+        assert got[t] == exact[t]
+    assert got["absent"] == 0
+
+
+def test_frequency_sketch_overcounts_only(spark):
+    # CMS error is one-sided: est >= true always
+    from grasper_spark.functions.sketches import (
+        probe_token_frequencies,
+        shard_frequency_sketches,
+    )
+
+    docs = spark.range(2000).select(
+        F.lit(0).alias("shard"),
+        F.concat(F.lit("tok"), (F.col("id") % 997).cast("string")).alias("text"),
+    )
+    got = probe_token_frequencies(
+        shard_frequency_sketches(docs, eps=0.01), ["tok0", "tok1", "tok996"]
+    ).collect()
+    for r in got:
+        true = 3 if int(r["token"][3:]) < 6 else 2
+        assert r["est_count"] >= true
+
+
 def test_profile_one_pass_and_correct(spark):
     from grasper_spark.functions.sketches import profile
 
