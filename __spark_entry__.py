@@ -646,6 +646,40 @@ def _q_doc_export_shards(spark, sf):
     return export_shards(_docs(spark, sf), num_shards=8).select("doc_id", "shard", "pos")
 
 
+def _q_doc_tfidf(spark, sf):
+    from grasper_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf), k=3)
+
+
+def _q_doc_pmi_bigrams(spark, sf):
+    from grasper_spark.functions.text import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf), k=20)
+
+
+def _q_doc_mix_sources(spark, sf):
+    from grasper_spark.functions.sampling import mix_sources
+    from grasper_spark.functions.text import token_count
+
+    docs = _docs(spark, sf).select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return mix_sources(docs, {"en": 0.6, "de": 0.4}, 5000)
+
+
+def _q_events_resample(spark, sf):
+    from grasper_spark.streaming.windows import load_events, resample
+
+    return resample(load_events(spark, sf), "1 day")
+
+
+def _q_events_time_rollup(spark, sf):
+    from grasper_spark.streaming.windows import load_events, time_rollup
+
+    return time_rollup(load_events(spark, sf))
+
+
 def _q_algo_structure(spark, sf):
     # triangle count + 2-core decomposition in one tagged union. k-core
     # peeling is monotone, so Spark's early-converged loop equals the
@@ -799,6 +833,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": _q_doc_contamination,
         "doc_topk_ngrams": _q_doc_topk_ngrams,
         "doc_export_shards": _q_doc_export_shards,
+        "doc_tfidf": _q_doc_tfidf,
+        "doc_pmi_bigrams": _q_doc_pmi_bigrams,
+        "doc_mix_sources": _q_doc_mix_sources,
+        "events_resample": _q_events_resample,
+        "events_time_rollup": _q_events_time_rollup,
     }
 
 
@@ -1688,5 +1727,96 @@ SELECT band, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
 WHERE e.event_type = 'purchase'
 GROUP BY band
+""",
+        # twin of text.tfidf_top_terms (k=3): tf·ln(N/df), ties on term
+        "doc_tfidf": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM toks),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln((SELECT n FROM nd) / df), 6) AS tfidf
+  FROM tf JOIN dfq USING (term)
+)
+SELECT doc_id, term, tfidf, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored) t
+WHERE rank <= 3
+""",
+        # twin of text.pmi_bigrams (k=20, min_count=2): adjacent-token
+        # bigrams ranked by ln(c_ab·T / (c_a·c_b)), ties on the bigram
+        "doc_pmi_bigrams": r"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+        WHERE length(trim(text)) > 0),
+       unnest(generate_series(1, len(t))) AS u(i)
+), big AS (
+  SELECT tok AS a,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM toks
+), uni AS (SELECT tok AS t, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS n FROM toks),
+bc AS (SELECT a, b, count(*) AS n FROM big WHERE b IS NOT NULL
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+scored AS (
+  SELECT a || ' ' || b AS bigram, bc.n,
+         round(ln(bc.n * (SELECT n FROM tot) / (ua.c * ub.c)), 6) AS pmi
+  FROM bc JOIN uni ua ON ua.t = a JOIN uni ub ON ub.t = b
+)
+SELECT bigram, n, pmi,
+       (row_number() OVER (ORDER BY pmi DESC, bigram))::INTEGER AS rank
+FROM scored ORDER BY pmi DESC, bigram LIMIT 20
+""",
+        # twin of sampling.mix_sources({'en':.6,'de':.4}, 5000): the
+        # two-phase bucket cut ≡ one global cumsum in (bucket, h, id)
+        # order per source, keep docs whose cumulative END <= budget
+        "doc_mix_sources": r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n,
+         md5(doc_id::VARCHAR) AS h,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 256 AS bk
+  FROM documents
+  WHERE lang IN ('en', 'de')
+), c AS (
+  SELECT doc_id, lang, n,
+         sum(n) OVER (PARTITION BY lang ORDER BY bk, h, doc_id) AS cum
+  FROM d
+)
+SELECT doc_id, lang, n::INTEGER AS n_tokens FROM c
+WHERE cum <= (CASE WHEN lang = 'en' THEN 3000 ELSE 2000 END)
+""",
+        # twin of streaming.windows.resample('1 day'): gap-filled daily
+        # calendar between the stream's min and max day buckets
+        "events_resample": """
+WITH e AS (
+  SELECT (epoch(ts)::BIGINT // 86400) * 86400 AS bk, value FROM events
+), agg AS (
+  SELECT bk, count(*)::BIGINT AS n, round(sum(value), 4) AS s
+  FROM e GROUP BY bk
+), cal AS (
+  SELECT unnest(generate_series((SELECT min(bk) FROM e),
+                                (SELECT max(bk) FROM e), 86400)) AS bk
+)
+SELECT strftime(to_timestamp(cal.bk), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       coalesce(n, 0)::BIGINT AS n_events,
+       coalesce(s, 0.0) AS sum_value
+FROM cal LEFT JOIN agg ON agg.bk = cal.bk
+""",
+        # twin of streaming.windows.time_rollup: one ROLLUP pass over
+        # (day, hour), NULL grouping keys rendered as 'ALL'
+        "events_time_rollup": """
+SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       coalesce(printf('%02d', hour(ts)), 'ALL') AS hour,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY ROLLUP (date_trunc('day', ts), hour(ts))
 """,
     }
