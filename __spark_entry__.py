@@ -668,6 +668,35 @@ def _q_doc_mix_sources(spark, sf):
     return mix_sources(docs, {"en": 0.6, "de": 0.4}, 5000)
 
 
+def _q_doc_importance_sample(spark, sf):
+    # deterministic quality-weighted downsampling: md5 "coin" vs
+    # clamp(quality², 0.05, 1) — no RNG, same sample on any engine
+    from grasper_spark.functions.sampling import importance_sample
+    from grasper_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf).select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    return importance_sample(docs, "q", power=2.0, floor=0.05)
+
+
+def _q_algo_linkpred(spark, sf):
+    # co-supplier link prediction over the bipartite `supplies` slice:
+    # suppliers pair via shared parts (inverted-index join, never
+    # all-pairs), scored by common-neighbor count + Jaccard
+    from grasper_spark.algos import common_neighbors
+    from grasper_spark.graph import PropertyGraph
+
+    g = _graph(spark, sf).graph
+    sub = PropertyGraph(
+        g.vertices, g.edges.filter(F.col("label") == "supplies"), name="supplies"
+    )
+    # max_degree drops hub vertices from the MIDDLE role: suppliers
+    # (deg ~600) stop fanning out part-pairs, so pairs are co-suppliers
+    # via shared parts — ≤ C(n_suppliers, 2) rows, not ~all part pairs
+    return common_neighbors(sub, min_common=2, max_degree=100)
+
+
 def _q_events_resample(spark, sf):
     from grasper_spark.streaming.windows import load_events, resample
 
@@ -836,6 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": _q_doc_tfidf,
         "doc_pmi_bigrams": _q_doc_pmi_bigrams,
         "doc_mix_sources": _q_doc_mix_sources,
+        "doc_importance_sample": _q_doc_importance_sample,
+        "algo_linkpred": _q_algo_linkpred,
         "events_resample": _q_events_resample,
         "events_time_rollup": _q_events_time_rollup,
     }
@@ -1793,6 +1824,44 @@ WITH d AS (
 )
 SELECT doc_id, lang, n::INTEGER AS n_tokens FROM c
 WHERE cum <= (CASE WHEN lang = 'en' THEN 3000 ELSE 2000 END)
+""",
+        # twin of sampling.importance_sample(quality², floor=.05): the
+        # md5 coin is the same 32-bit bucket / 10000 both sides
+        "doc_importance_sample": f"""
+WITH q AS (
+  SELECT doc_id,
+    round((0.5 * least({_NTOK} / 50.0, 1.0) + 0.4 * least({_SW_RATIO} * 5.0, 1.0))
+          * (1.0 - 0.3 * least({_PUNCT_RATIO} * 10.0, 1.0)), 6) AS q,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bk
+  FROM documents
+)
+SELECT doc_id, q FROM q
+WHERE bk / 10000.0 < least(1.0, greatest(0.05, pow(q, 2.0)))
+""",
+        # twin of algos.common_neighbors over the supplies slice: the
+        # same vid arithmetic as the graph projection (supplier +1e7,
+        # part +2e7); undirected adjacency of a bipartite edge set
+        "algo_linkpred": """
+WITH e AS (
+  SELECT DISTINCT (l_suppkey + 10000000)::BIGINT AS src,
+                  (l_partkey + 20000000)::BIGINT AS dst
+  FROM lineitem
+), adj AS (
+  SELECT src AS v, dst AS n FROM e UNION ALL SELECT dst, src FROM e
+), deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+mid AS (
+  -- hub cap (max_degree=100) on the MIDDLE role only; degrees for
+  -- Jaccard stay uncapped
+  SELECT adj.v, adj.n FROM adj JOIN deg ON deg.v = adj.n WHERE deg.d <= 100
+),
+p AS (
+  SELECT x.v AS a, y.v AS b, count(*) AS c
+  FROM mid x JOIN mid y ON x.n = y.n AND x.v < y.v
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT a, b, c::BIGINT AS n_common,
+       round(c / (da.d + db.d - c), 6) AS jaccard
+FROM p JOIN deg da ON da.v = a JOIN deg db ON db.v = b
 """,
         # twin of streaming.windows.resample('1 day'): gap-filled daily
         # calendar between the stream's min and max day buckets
