@@ -215,6 +215,12 @@ def main() -> None:
 
         with open(os.path.join(os.path.dirname(__file__), "configs", "emu_tpch.txt")) as fh:
             cfg = fh.read()
+        # the reference's emu runs off its index store (it samples $RAND
+        # values from it and index-converts the point has() scans) —
+        # build the same indexes here so templates get the
+        # selectivity-gated broadcast-lookup plans
+        for key in ("name", "mktsegment", "acctbal"):
+            g.query(f"BuildIndex(V,'{key}')")
         emu = run_emu(g, cfg, max_queries=150)
         result["emu"] = emu.as_dict()
         print(f"# emu: {emu.throughput_qps} q/s p50={emu.latency_p50_ms}ms "

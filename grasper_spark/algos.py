@@ -546,7 +546,13 @@ def common_neighbors(
     adj = _undirected(graph.edges).distinct().select(
         F.col("src").alias("v"), F.col("dst").alias("n")
     )
-    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    # the adjacency feeds SIX roles below (deg, hub filter, both pair
+    # sides, both degree joins); without materialization Catalyst
+    # re-derives it from the edge scan for each — 16 scans of E in the
+    # physical plan. One eager localCheckpoint = one edge scan, and the
+    # pair join reads the same cached blocks twice.
+    adj = adj.localCheckpoint()
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     mid = adj
     if max_degree is not None:
         hubs = deg.filter(F.col("deg") > max_degree).select(F.col("v").alias("n"))

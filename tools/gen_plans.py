@@ -72,6 +72,31 @@ def _quota_df(spark):
     return quota_sample(docs, "lang", 50).select("doc_id", "lang")
 
 
+def _overlap_df(spark):
+    from pyspark.sql import functions as F
+
+    from grasper_spark.functions.sketches import corpus_overlap
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return corpus_overlap(a, b)
+
+
+def _linkpred_df(spark, g):
+    from pyspark.sql import functions as F
+
+    from grasper_spark.algos import common_neighbors
+    from grasper_spark.graph import PropertyGraph
+
+    sub = PropertyGraph(
+        g.graph.vertices,
+        g.graph.edges.filter(F.col("label") == "supplies"),
+        name="supplies",
+    )
+    return common_neighbors(sub, min_common=2, max_degree=100)
+
+
 def main() -> None:
     spark = get_spark("plans-doc", shuffle_partitions=32)
     g = G(load_tpch_graph(spark, SF_DIR))
@@ -194,6 +219,23 @@ def main() -> None:
             "One hash exchange on the group key, then a per-group window bounded by "
             "the rank filter — groups are the parallelism unit; md5 rank keeps the "
             "sample engine- and partitioning-independent.",
+        ),
+        (
+            "Theta-sketch corpus overlap",
+            "corpus_overlap(docs_even, docs_odd)",
+            _overlap_df(spark),
+            "Each corpus reduces to ONE kilobyte theta sketch via partial "
+            "aggregation (token values never shuffle — only sketch bytes); the "
+            "intersection/union/Jaccard algebra runs on a 1-row × 1-row join.",
+        ),
+        (
+            "Common-neighbors link prediction",
+            "common_neighbors(supplies_subgraph, min_common=2, max_degree=100)",
+            _linkpred_df(spark, g),
+            "The inverted-index shape again: pairs generated per shared neighbor "
+            "(equi-join on the neighbor column, a<b), never all-pairs; the "
+            "max_degree hub cap anti-joins high-degree middles out before the "
+            "pair fan-out — Σ deg² stays bounded.",
         ),
     ]
 
