@@ -17,6 +17,7 @@ from grasper_spark.functions import (  # noqa: F401
     embeddings,
     multimodal,
     packing,
+    pq,
     similarity,
     sketches,
     text,
