@@ -205,6 +205,102 @@ def pq_topk(
     )
 
 
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    m: int = 8,
+    nbits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the IVF-PQ layout: PQ codes partitioned by IVF cluster
+    (+ centroids and codebooks as small JSON sidecars).
+
+    The faiss IVF-PQ architecture as a parquet layout: a probe reads
+    only its clusters' FILES (Spark partition pruning) and those files
+    hold m-byte codes, not vectors — probed bytes shrink by
+    (corpus/probed clusters) × (vector bytes/m)."""
+    import json
+    import os
+
+    from grasper_spark.functions.similarity import ivf_index
+
+    assigned, centroids = ivf_index(
+        corpus, n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    books = pq_train(
+        corpus, m=m, nbits=nbits, dim=dim, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    coded = assigned.select(id_col, "cluster").join(codes, id_col)
+    coded.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "codes")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as fh:
+        json.dump(centroids, fh)
+    with open(os.path.join(path, "codebooks.json"), "w") as fh:
+        json.dump(books, fh)
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_with: DataFrame | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: per query, pick the `n_probe`
+    closest centroids (driver-side numpy over the kilobyte centroid
+    table), read ONLY the union of probed cluster partitions,
+    ADC-score the codes, and optionally exact-rerank a shortlist.
+
+    The cluster filter is an `isin` over the partition column, so the
+    scan's PartitionFilters prune unprobed files (plan-asserted in
+    tests)."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        centroids = [(int(c), v) for c, v in json.load(fh)]
+    with open(os.path.join(path, "codebooks.json")) as fh:
+        books = json.load(fh)
+    cents = np.asarray([v for _, v in centroids])
+    cent_ids = [c for c, _ in centroids]
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>")
+    ).collect()
+    probed: set[int] = set()
+    for r in q_rows:
+        qv = np.asarray(r[1])
+        sims = (cents @ qv) / (
+            np.linalg.norm(cents, axis=1) * max(np.linalg.norm(qv), 1e-12) + 1e-12
+        )
+        for i in np.argsort(-sims)[:n_probe]:
+            probed.add(cent_ids[int(i)])
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("cluster").isin(sorted(probed))
+    )
+    return pq_topk(
+        codes,
+        books,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        rerank_with=rerank_with,
+        shortlist=shortlist,
+    )
+
+
 def pq_reconstruct(
     codes_df: DataFrame,
     codebooks: list[list[list[float]]],

@@ -107,6 +107,35 @@ def test_pq_topk_recall_vs_exact(spark, clustered, pq_parts):
     assert recall >= 0.9, f"rerank recall {recall}"
 
 
+def test_ivfpq_index_probe_prunes_partitions_and_recalls(spark, clustered, tmp_path):
+    from grasper_spark.functions.pq import ivfpq_topk, write_ivfpq_index
+    from grasper_spark.functions.similarity import cosine_topk
+
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(clustered, path, n_clusters=4, m=4, nbits=4, dim=16)
+    queries = clustered.filter(F.col("vec_id") % 100 == 0)  # 1 per cluster
+    out = ivfpq_topk(
+        spark, path, queries, k=10, n_probe=1, rerank_with=clustered
+    )
+    e = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(clustered, queries, k=10).collect()
+    }
+    a = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    assert len(e & a) / len(e) >= 0.9
+
+    # partition pruning: probing 1 cluster for 1 query must show a
+    # cluster PartitionFilter in the scan
+    one = clustered.filter(F.col("vec_id") == 0)
+    plan = (
+        ivfpq_topk(spark, path, one, k=5, n_probe=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:120]
+
+
 def test_pq_scoring_is_jvm_side(spark, clustered, pq_parts):
     # the ENCODE step is the one sanctioned pandas UDF; the SCORE plan
     # must be pure JVM (no Python eval) so the corpus never crosses to
