@@ -668,6 +668,44 @@ def _q_doc_mix_sources(spark, sf):
     return mix_sources(docs, {"en": 0.6, "de": 0.4}, 5000)
 
 
+def _q_g_extensions(spark, sf):
+    # the TinkerPop-extension steps beyond the reference's 43 (SURVEY
+    # §2.6 extensions) in one tagged union: coalesce (live + fallback
+    # branch), optional (live + fallback), choose, ordered tail, and
+    # path().by(name) rendering
+    g = _graph(spark, sf)
+
+    def tag(op, t):
+        return t.df().select(
+            F.lit(op).alias("op"), F.col("val").cast("string").alias("val")
+        )
+
+    co_live = g.V().hasLabel("nation").coalesce(
+        A.out("in_region").values("name"), A.constant("none")
+    )
+    co_fb = g.V().hasLabel("part").coalesce(
+        A.out().values("name"), A.constant("no_out")
+    )
+    opt_live = g.V().hasLabel("nation").optional(A.out("in_region")).values("name")
+    opt_fb = g.V().hasLabel("region").optional(A.out()).values("name")
+    ch = g.V().hasLabel("order").choose(
+        A.has("totalprice", P.gt(150000.0)), A.constant("big"), A.constant("small")
+    )
+    tl = g.V().hasLabel("customer").values("acctbal").order().tail(5)
+    pa = g.V().hasLabel("nation").out("in_region").path().by("name")
+    out = tag("coalesce_live", co_live)
+    for op, t in [
+        ("coalesce_fallback", co_fb),
+        ("optional_live", opt_live),
+        ("optional_fallback", opt_fb),
+        ("choose", ch),
+        ("tail", tl),
+        ("path", pa),
+    ]:
+        out = out.unionByName(tag(op, t))
+    return out
+
+
 def _q_doc_importance_sample(spark, sf):
     # deterministic quality-weighted downsampling: md5 "coin" vs
     # clamp(quality², 0.05, 1) — no RNG, same sample on any engine
@@ -831,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_project": _q_g_project,
         "g_dedup_cap": _q_g_dedup_cap,
         "g_match": _q_g_match,
+        "g_extensions": _q_g_extensions,
         "doc_tokens_fp": _q_doc_tokens_fp,
         "doc_text_lang": _q_doc_text_lang,
         "doc_line_dedup": _q_doc_line_dedup,
@@ -1824,6 +1863,23 @@ WITH d AS (
 )
 SELECT doc_id, lang, n::INTEGER AS n_tokens FROM c
 WHERE cum <= (CASE WHEN lang = 'en' THEN 3000 ELSE 2000 END)
+""",
+        # twin of the TinkerPop-extension union: each branch is a plain
+        # relational rewrite of the step semantics
+        "g_extensions": """
+SELECT 'coalesce_live' AS op, r_name AS val
+FROM nation JOIN region ON n_regionkey = r_regionkey
+UNION ALL SELECT 'coalesce_fallback', 'no_out' FROM part
+UNION ALL SELECT 'optional_live', r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+UNION ALL SELECT 'optional_fallback', r_name FROM region
+UNION ALL SELECT 'choose',
+  CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END
+FROM orders
+UNION ALL SELECT 'tail', c_acctbal::VARCHAR FROM (
+  SELECT c_acctbal FROM customer ORDER BY c_acctbal DESC LIMIT 5)
+UNION ALL SELECT 'path', '[' || n_name || ', ' || r_name || ']'
+FROM nation JOIN region ON n_regionkey = r_regionkey
 """,
         # twin of sampling.importance_sample(quality², floor=.05): the
         # md5 coin is the same 32-bit bucket / 10000 both sides
