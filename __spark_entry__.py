@@ -706,6 +706,14 @@ def _q_g_extensions(spark, sf):
     return out
 
 
+def _q_doc_containment(spark, sf):
+    # asymmetric near-dup: short doc (mostly) contained in a long one —
+    # the partial duplicates symmetric Jaccard misses
+    from grasper_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf), shingle_n=2, threshold=0.5)
+
+
 def _q_doc_importance_sample(spark, sf):
     # deterministic quality-weighted downsampling: md5 "coin" vs
     # clamp(quality², 0.05, 1) — no RNG, same sample on any engine
@@ -904,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": _q_doc_tfidf,
         "doc_pmi_bigrams": _q_doc_pmi_bigrams,
         "doc_mix_sources": _q_doc_mix_sources,
+        "doc_containment": _q_doc_containment,
         "doc_importance_sample": _q_doc_importance_sample,
         "algo_linkpred": _q_algo_linkpred,
         "events_resample": _q_events_resample,
@@ -1880,6 +1889,26 @@ UNION ALL SELECT 'tail', c_acctbal::VARCHAR FROM (
   SELECT c_acctbal FROM customer ORDER BY c_acctbal DESC LIMIT 5)
 UNION ALL SELECT 'path', '[' || n_name || ', ' || r_name || ']'
 FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+        # twin of dedup.containment_pairs(shingle_n=2, threshold=.5):
+        # jaccard's inverted-index pairs with one-side normalization,
+        # both directions emitted
+        "doc_containment": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS s
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(common / sa.sz, 6) AS containment
+FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+WHERE round(common / sa.sz, 6) >= 0.5
 """,
         # twin of sampling.importance_sample(quality², floor=.05): the
         # md5 coin is the same 32-bit bucket / 10000 both sides
