@@ -131,7 +131,15 @@ def _q_g_has_filters(spark, sf):
         g.V().hasNot("acctbal").count().df()
         .select(F.lit("hasnot").alias("step"), F.col("val").cast("string").alias("val"))
     )
-    return a.unionByName(b).unionByName(c)
+    d = (
+        g.V().hasKey("name").count().df()
+        .select(F.lit("haskey").alias("step"), F.col("val").cast("string").alias("val"))
+    )
+    e = (
+        g.V().hasValue("BUILDING").count().df()
+        .select(F.lit("hasvalue").alias("step"), F.col("val").cast("string").alias("val"))
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def _q_g_traverse_values(spark, sf):
@@ -1356,6 +1364,14 @@ UNION ALL
 SELECT 'hasnot',
        ((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
       + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders))::VARCHAR
+UNION ALL
+SELECT 'haskey',
+       ((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+      + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+      + (SELECT count(*) FROM part))::VARCHAR
+UNION ALL
+SELECT 'hasvalue',
+       (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING')::VARCHAR
 """,
         "g_traverse_values": """
 SELECT 'in' AS step, c_acctbal AS val
