@@ -4,6 +4,7 @@ batch-only, SURVEY.md §2.7)."""
 from grasper_spark.streaming.joins import (
     interval_join,
     interval_join_batch,
+    interval_join_outer,
     interval_join_stream,
 )
 from grasper_spark.streaming.monitor import corpus_monitor, corpus_monitor_batch
@@ -37,6 +38,7 @@ __all__ = [
     "time_rollup",
     "interval_join",
     "interval_join_batch",
+    "interval_join_outer",
     "interval_join_stream",
     "neardup_foreach_batch",
     "neardup_stream",

@@ -63,6 +63,48 @@ def interval_join(
     )
 
 
+def interval_join_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER interval join: every click, matched purchases where
+    they exist, NULL purchase columns where none arrived in the window —
+    the "click that never converted" detector.
+
+    Streaming semantics: Spark emits the unmatched (NULL-padded) click
+    only once its watermark guarantees no matching purchase can still
+    arrive — the outer row is late by design, and BOTH sides need
+    watermarks for the state bound + the null-emission deadline."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("_p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("_p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return c.join(p, cond, "left_outer").select(
+        "click_id",
+        "user_id",
+        F.date_format("click_ts", _FMT).alias("click_ts"),
+        F.date_format("purchase_ts", _FMT).alias("purchase_ts"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
 def interval_join_batch(
     spark: SparkSession, sf_dir: str, max_delay: str = "30 minutes"
 ) -> DataFrame:

@@ -543,6 +543,60 @@ def test_streaming_interval_join_equals_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_streaming_interval_join_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    import datetime
+
+    from grasper_spark.streaming.joins import interval_join_outer
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    hours = datetime.timedelta(hours=1)
+    # click 1: converted (purchase 10 min later). click 2: never
+    # converted, and OLD enough that the watermark (driven by the late
+    # clock events at t0+9h) proves no purchase can still arrive.
+    # click 3: unmatched but at the stream tail — the watermark never
+    # passes its deadline, so streaming withholds it (by design).
+    clicks = [
+        (1, t0, 100, "click", 0.0, ""),
+        (2, t0 + hours, 100, "click", 0.0, ""),
+        (3, t0 + 9 * hours, 200, "click", 0.0, ""),
+    ]
+    purchases = [
+        (10, t0 + datetime.timedelta(minutes=10), 100, "purchase", 42.5, ""),
+        # clock advancers on both streams (watermark = max ts - delay)
+        (11, t0 + 9 * hours, 999, "purchase", 1.0, ""),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    spark.createDataFrame(clicks, schema).write.parquet(cdir)
+    spark.createDataFrame(purchases, schema).write.parquet(pdir)
+    q = (
+        interval_join_outer(
+            spark.readStream.schema(schema).parquet(cdir),
+            spark.readStream.schema(schema).parquet(pdir),
+            max_delay="30 minutes",
+            watermark="1 hour",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_outer")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["click_id"]: r for r in spark.sql("select * from ij_outer").collect()}
+    assert rows[1]["purchase_value"] == 42.5          # matched pair
+    assert rows[2]["purchase_ts"] is None             # unmatched, emitted
+    assert rows[2]["purchase_value"] is None
+    # the batch twin (same function on static inputs) also returns the
+    # tail click streaming must withhold
+    batch = interval_join_outer(
+        spark.read.parquet(cdir), spark.read.parquet(pdir), "30 minutes"
+    )
+    b = {r["click_id"]: r for r in batch.collect()}
+    assert set(b) == {1, 2, 3} and b[3]["purchase_ts"] is None
+    assert set(rows) <= set(b)
+
+
 def test_group_centroids_matches_duckdb(spark):
     import duckdb
 
