@@ -193,6 +193,73 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    graph: PropertyGraph,
+    seeds: list[int],
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(vid, rank) — PageRank with the teleport restricted to `seeds`:
+    rank(v) = (1-d)·1[v∈S]/|S| + d·(Σ in-contribs + dangling/|S|·1[v∈S]).
+    The standard proximity / recommendation score ("PPR from this
+    user"); ranks sum to ~1 and concentrate around the seed set.
+
+    Same superstep shape as `pagerank` — one join + one aggregate per
+    iteration, the dangling-mass scalar rides the plan as a broadcast
+    1-row crossJoin (no driver round-trip), lineage truncated by
+    localCheckpoint. The seed set is a literal isin filter, so the
+    teleport term costs no join."""
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    v = graph.vertices.select("vid")
+    s = float(len(seeds))
+    is_seed = F.col("vid").isin(list(seeds))
+    out_deg = graph.edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = v.withColumn(
+        "rank", F.when(is_seed, F.lit(1.0 / s)).otherwise(F.lit(0.0))
+    )
+    edges = graph.edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    for i in range(iterations):
+        contribs = (
+            ranks.join(out_deg, "vid", "inner").alias("r")
+            .join(edges.alias("e"), F.col("r.vid") == F.col("e._s"), "inner")
+            .select(
+                F.col("e._d").alias("vid"),
+                (F.col("r.rank") / F.col("r.deg")).alias("c"),
+            )
+            .groupBy("vid")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = (
+            ranks.join(out_deg, "vid", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        ranks = (
+            v.join(contribs, "vid", "left")
+            .na.fill({"in_sum": 0.0})
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vid",
+                (
+                    F.when(is_seed, F.lit((1 - damping) / s)).otherwise(F.lit(0.0))
+                    + F.lit(damping)
+                    * (
+                        F.col("in_sum")
+                        + F.when(is_seed, F.col("_dang") / F.lit(s)).otherwise(
+                            F.lit(0.0)
+                        )
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def sssp(
     graph: PropertyGraph,
     sources: DataFrame,

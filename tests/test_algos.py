@@ -54,6 +54,34 @@ def test_pagerank_sums_and_order(modern):
     assert ranks[1] == min(ranks.values()) or ranks[6] == min(ranks.values())
 
 
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(modern):
+    from grasper_spark.algos import personalized_pagerank
+
+    ranks = {
+        r.vid: r.rank
+        for r in personalized_pagerank(modern, seeds=[1], iterations=15).collect()
+    }
+    # total mass ~1 (probability interpretation)
+    assert abs(sum(ranks.values()) - 1.0) < 0.02
+    # the seed holds the most mass; its direct out-neighbors (2=vadas,
+    # 3=lop, 4=josh) hold all the rest; 6 (peter) only reaches lop —
+    # which never links back toward marko — so peter gets ~0
+    assert ranks[1] == max(ranks.values())
+    assert ranks[6] < 1e-9
+    assert ranks[3] > ranks[6]
+    # independent seed → different concentration (peter's PPR loves lop)
+    r6 = {
+        r.vid: r.rank
+        for r in personalized_pagerank(modern, seeds=[6], iterations=15).collect()
+    }
+    assert r6[6] == max(r6.values()) and r6[3] > r6[2]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        personalized_pagerank(modern, seeds=[])
+
+
 def test_triangle_count_modern(modern):
     from grasper_spark.algos import triangle_count
 
