@@ -83,6 +83,22 @@ def _overlap_df(spark):
     return corpus_overlap(a, b)
 
 
+def _pq_adc_df(spark):
+    from pyspark.sql import functions as F
+
+    from grasper_spark.functions.pq import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    books = pq_train(emb, m=8, nbits=4, dim=64)
+    codes = pq_encode(emb, books)
+    # materialize codes (stored-index read path) so the plan under
+    # audit is the scoring side alone
+    codes = spark.createDataFrame(
+        codes.collect(), "vec_id long, codes array<smallint>"
+    )
+    return pq_topk(codes, books, emb.filter(F.col("vec_id") < 3), k=5)
+
+
 def _linkpred_df(spark, g):
     from pyspark.sql import functions as F
 
@@ -227,6 +243,15 @@ def main() -> None:
             "Each corpus reduces to ONE kilobyte theta sketch via partial "
             "aggregation (token values never shuffle — only sketch bytes); the "
             "intersection/union/Jaccard algebra runs on a 1-row × 1-row join.",
+        ),
+        (
+            "PQ ADC top-k scoring (stored codes)",
+            "pq_topk(stored_codes, codebooks, queries, k=5)",
+            _pq_adc_df(spark),
+            "The per-query LUT broadcasts as a literal column and each of the m "
+            "lookups is a static element_at expression — scoring scans m-byte "
+            "codes entirely JVM-side (zero Python evals in this plan; the one "
+            "sanctioned pandas UDF is the offline encode pass).",
         ),
         (
             "Common-neighbors link prediction",
