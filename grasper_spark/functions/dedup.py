@@ -541,6 +541,41 @@ def dedup_against(
     )
 
 
+def intra_doc_line_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """WITHIN-document repeated-line removal (the MassiveText/Gopher
+    intra-doc half of line dedup; `line_dedup` is the cross-corpus
+    half): keep the FIRST occurrence of each normalized (lower+trim)
+    line per document, blank lines kept verbatim. Returns
+    (id, text, n_lines, n_kept).
+
+    Scale: ZERO shuffle — pure per-row array work (split → first-
+    occurrence filter → join), so it runs at scan speed and composes
+    into any pipeline stage. Per-row cost is O(lines²) via
+    array_position; documents have tens-to-hundreds of lines, so the
+    quadratic term is noise next to the scan."""
+    # the source column is renamed before the output reuses `text_col`:
+    # with input and output sharing a name in ONE select, Spark resolves
+    # the nested lambda's column reference against the new aliased
+    # column for some sibling expressions (observed: n_kept counted the
+    # already-deduped text) — a silent wrong answer, not an error
+    src = df.select(F.col(id_col), F.col(text_col).alias("_intra_src"))
+    lines = F.split(F.col("_intra_src"), "\n")
+    norms = F.transform(lines, lambda ln: F.lower(F.trim(ln)))
+    kept = F.filter(
+        lines,
+        lambda ln, i: (F.length(F.trim(ln)) == 0)
+        | (F.array_position(norms, F.lower(F.trim(ln))) == i + F.lit(1)),
+    )
+    return src.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
 def containment_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.8, max_shingle_df: int = 10000,

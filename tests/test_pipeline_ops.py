@@ -888,6 +888,28 @@ def test_simhash_pairs_bucketed_hamming(docs, spark):
         simhash_pairs(docs, bands=4, max_hamming=4)
 
 
+def test_intra_doc_line_dedup_keeps_first_occurrence(spark):
+    from grasper_spark.functions.dedup import intra_doc_line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # repeated boilerplate line (case/space-insensitive), blank
+            # lines preserved, order of survivors preserved
+            (1, "subscribe now\nreal content\n  Subscribe Now  \n\nmore text\nsubscribe now"),
+            (2, "unique one\nunique two"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in intra_doc_line_dedup(docs).collect()}
+    assert out[1].text == "subscribe now\nreal content\n\nmore text"
+    assert out[1].n_lines == 6 and out[1].n_kept == 4
+    assert out[2].text == "unique one\nunique two"
+    assert out[2].n_lines == out[2].n_kept == 2
+    # zero shuffle: pure per-row array work
+    plan = intra_doc_line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_line_dedup_identity_when_threshold_uncrossed(spark):
     from grasper_spark.functions.dedup import line_dedup
 
