@@ -83,8 +83,9 @@ def full_pipeline(
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, dict]:
     """The WHOLE training-data flow as one composition of the proven
-    operators: Gopher repetition gates → PII redaction → cross-corpus
-    line dedup → quality/language curation with near-dup collapse →
+    operators: Gopher repetition gates → PII redaction → intra-doc
+    repeated-line removal → cross-corpus line dedup → quality/language
+    curation with near-dup collapse →
     benchmark decontamination (when `benchmark` is given) → token-window
     chunking → (optionally, with `pack_tokens`) sharded first-fit
     sequence packing into fixed-size training contexts → deterministic
@@ -96,7 +97,7 @@ def full_pipeline(
     scalars) and the optional shard write.
     """
     from grasper_spark.functions.contamination import decontaminate
-    from grasper_spark.functions.dedup import line_dedup
+    from grasper_spark.functions.dedup import intra_doc_line_dedup, line_dedup
     from grasper_spark.functions.sampling import export_shards, write_training_shards
     from grasper_spark.functions.text import chunk_documents, gopher_quality, redact_pii
 
@@ -111,6 +112,11 @@ def full_pipeline(
         id_col, F.col("clean_text").alias(text_col)
     )
 
+    # within-doc repeats first (zero-shuffle, rides the scan), then the
+    # cross-corpus hot-line strip
+    cur = intra_doc_line_dedup(cur, text_col=text_col, id_col=id_col).select(
+        id_col, text_col
+    )
     deduped_lines = line_dedup(cur, text_col=text_col, id_col=id_col,
                                max_df=line_dedup_max_df)
     cur = deduped_lines.filter(F.length(F.trim(text_col)) > 0).select(id_col, text_col)
