@@ -149,6 +149,10 @@ def pq_topk(
         qv = np.asarray(r[1], dtype=np.float64).reshape(m, dsub)
         lut = np.einsum("jd,jkd->jk", qv, books).reshape(m * K)  # (m*K,)
         luts.append((r["query_id"], [float(x) for x in lut]))
+    if not luts:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
     lut_df = spark.createDataFrame(luts, ["query_id", "lut"])
 
     c = codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
