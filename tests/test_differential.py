@@ -1,0 +1,541 @@
+"""Differential testing: random type-valid step pipelines evaluated by
+BOTH the DataFrame compiler and an independent pure-Python traverser
+interpreter over the same fixed graph must agree on the result multiset.
+
+The interpreter implements the reference's documented semantics directly
+(traverser lists, per-traverser history, missing-key drops —
+/root/reference/expert/*.hpp) with none of the compiler's machinery, so
+a bug in the join/window/aggregation formulation can't hide: hypothesis
+explores step compositions (filter→traverse→branch→barrier) far beyond
+what the hand-written goldens cover.
+
+Comparison rules sidestep documented nondeterminism:
+- element streams compare as multisets of vid / (src,dst); scalar
+  streams as multisets of values — the dedup survivor's HISTORY is
+  arbitrary, so generated pipelines never read history after dedup().
+- order().limit/range ties: only generated on scalar streams, where the
+  boundary tie makes the value multiset deterministic anyway.
+"""
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from grasper_spark import G, P, PropertyGraph
+from grasper_spark.plans.api import A, Order
+
+# --------------------------------------------------------------------------
+# fixed test graph (small but adversarial: missing props, multi-labels,
+# reciprocal edges, self-referential 2-cycles, isolated vertex)
+# --------------------------------------------------------------------------
+
+VERTS = [
+    # vid, label, age, name
+    (1, "person", 29, "alice"),
+    (2, "person", 27, "bob"),
+    (3, "person", None, "carol"),  # missing age
+    (4, "person", 32, None),       # missing name
+    (5, "item", 29, "book"),       # age collides with alice
+    (6, "item", 3, "pen"),
+    (7, "item", None, None),       # all props missing
+    (8, "person", 27, "dave"),     # age collides with bob
+    (9, "item", 100, "rock"),
+    (10, "person", 27, "erin"),    # isolated (no edges)
+]
+
+EDGES = [
+    # src, dst, label, w
+    (1, 2, "knows", 5),
+    (2, 1, "knows", 7),    # reciprocal
+    (1, 3, "knows", None), # missing w
+    (3, 4, "knows", 2),
+    (4, 1, "knows", 9),
+    (1, 5, "likes", 1),
+    (2, 5, "likes", 4),
+    (2, 6, "likes", None),
+    (3, 6, "likes", 8),
+    (4, 9, "likes", 2),
+    (8, 1, "knows", 5),
+    (8, 9, "likes", 3),
+    (5, 6, "rel", 1),      # item->item edge, third label
+    (9, 5, "rel", 6),
+]
+
+VLABELS = ["person", "item"]
+ELABELS = ["knows", "likes", "rel"]
+VPROPS = {"age": "long", "name": "string"}
+EPROPS = {"w": "long"}
+
+_VBY = {v[0]: {"label": v[1], "age": v[2], "name": v[3]} for v in VERTS}
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    v = spark.createDataFrame(
+        VERTS, "vid long, label string, age long, name string"
+    )
+    e = spark.createDataFrame(EDGES, "src long, dst long, label string, w long")
+    pg = PropertyGraph(v, e, name="difftest")
+    pg.vertices.cache().count()
+    pg.edges.cache().count()
+    return G(pg)
+
+
+# --------------------------------------------------------------------------
+# reference interpreter: lists of (kind, loc, hist) traversers
+#   kind 'V': loc = vid     kind 'E': loc = (src, dst)   kind 'S': loc = value
+# --------------------------------------------------------------------------
+
+
+def _match(pred, v, hist=None):
+    """Predicate kernel twin (plans/predicates.py): null never matches."""
+    op, args = pred
+    if v is None:
+        return False
+    if op == "any":
+        return True
+    if op in ("within", "without"):
+        hit = v in args
+        return hit if op == "within" else not hit
+    if op in ("between", "inside", "outside"):
+        a, b = args
+        if op == "between":
+            return a <= v < b
+        if op == "inside":
+            return a < v < b
+        return v < a or v > b
+    (o,) = args
+    if o is None:
+        return False
+    return {
+        "eq": v == o, "neq": v != o, "gt": v > o, "gte": v >= o,
+        "lt": v < o, "lte": v <= o,
+    }[op]
+
+
+def _vprop(vid, key):
+    return _VBY[vid].get(key)
+
+
+def _eprop(loc, key, elabel_by_pair):
+    return elabel_by_pair[loc][1].get(key)
+
+
+_EBY = {(s, d): (lb, {"w": w}) for s, d, lb, w in EDGES}
+
+
+def _cur_val(t):
+    """The traverser's comparable current value (engine's Stream.val())."""
+    kind, loc, _ = t
+    return loc  # vid for V, value for S (E never feeds where/dedup here)
+
+
+def interp(steps, ts=None):
+    if ts is None:
+        ts = [("V", v[0], ()) for v in VERTS]
+    for step in steps:
+        name, *args = step
+        out = []
+        if name == "hasLabel":
+            out = [t for t in ts if _elem_label(t) in args]
+        elif name == "has":
+            key, pred = args
+            out = [t for t in ts if _match(pred, _elem_prop(t, key))]
+        elif name == "hasNot":
+            (key,) = args
+            out = [t for t in ts if _elem_prop(t, key) is None]
+        elif name in ("out", "in", "both", "outE", "inE"):
+            lbs = args[0]
+            for kind, vid, h in ts:
+                for (s_, d_, lb, w) in EDGES:
+                    if lbs and lb not in lbs:
+                        continue
+                    if name in ("out", "outE") and s_ == vid:
+                        out.append(("V", d_, h) if name == "out" else ("E", (s_, d_), h))
+                    elif name in ("in", "inE") and d_ == vid:
+                        out.append(("V", s_, h) if name == "in" else ("E", (s_, d_), h))
+                    elif name == "both":
+                        if s_ == vid:
+                            out.append(("V", d_, h))
+                        if d_ == vid:
+                            out.append(("V", s_, h))
+        elif name == "outV":
+            out = [("V", loc[0], h) for _, loc, h in ts]
+        elif name == "inV":
+            out = [("V", loc[1], h) for _, loc, h in ts]
+        elif name == "values":
+            (key,) = args
+            for t in ts:
+                v = _elem_prop(t, key)
+                if v is not None:
+                    out.append(("S", v, t[2]))
+        elif name == "label":
+            out = [("S", _elem_label(t), t[2]) for t in ts]
+        elif name == "as":
+            (lb,) = args
+            out = [(k, loc, h + ((lb, loc),)) for k, loc, h in ts]
+        elif name == "where_hist":
+            pred_op, lb = args
+            for t in ts:
+                ref = dict(t[2])[lb]
+                if _match((pred_op, (ref,)), _cur_val(t)):
+                    out.append(t)
+        elif name == "dedup":
+            seen = set()
+            for t in ts:
+                k = (t[0], t[1])
+                if k not in seen:
+                    seen.add(k)
+                    out.append(t)
+        elif name == "dedup_hist_count":
+            (lb,) = args
+            out = [("S", len({dict(t[2])[lb] for t in ts}), ())]
+        elif name == "is":
+            (pred,) = args
+            out = [t for t in ts if _match(pred, t[1])]
+        elif name == "count":
+            out = [("S", len(ts), ())]
+        elif name in ("sum", "max", "min", "mean"):
+            vals = [t[1] for t in ts]
+            if not vals:
+                out = [("S", None, ())]
+            else:
+                r = {
+                    "sum": lambda v: float(sum(v)),
+                    "max": lambda v: float(max(v)),
+                    "min": lambda v: float(min(v)),
+                    "mean": lambda v: float(sum(v)) / len(v),
+                }[name](vals)
+                out = [("S", r, ())]
+        elif name == "order_slice":
+            asc, a, b = args
+            vals = sorted((t[1] for t in ts), reverse=not asc)
+            out = [("S", v, ()) for v in vals[a:b]]
+        elif name == "groupCount":
+            c = Counter(t[1] for t in ts)
+            out = [("G", (k, n), ()) for k, n in c.items()]
+        elif name == "union":
+            branches = args[0]
+            for t in ts:
+                for b in branches:
+                    out.extend(interp(b, [t]))
+        elif name in ("and", "or", "not"):
+            branches = args[0]
+            for t in ts:
+                hits = [bool(interp(b, [t])) for b in branches]
+                ok = {
+                    "and": all(hits), "or": any(hits), "not": not any(hits),
+                }[name]
+                if ok:
+                    out.append(t)
+        else:  # pragma: no cover
+            raise AssertionError(f"unknown step {name}")
+        ts = out
+    return ts
+
+
+def _elem_label(t):
+    kind, loc, _ = t
+    return _VBY[loc]["label"] if kind == "V" else _EBY[loc][0]
+
+
+def _elem_prop(t, key):
+    kind, loc, _ = t
+    return _VBY[loc].get(key) if kind == "V" else _EBY[loc][1].get(key)
+
+
+# --------------------------------------------------------------------------
+# spec -> fluent-API traversal
+# --------------------------------------------------------------------------
+
+_PREDS = {
+    "any": lambda a: None,  # has(k) form
+    "eq": lambda a: P.eq(a[0]), "neq": lambda a: P.neq(a[0]),
+    "gt": lambda a: P.gt(a[0]), "gte": lambda a: P.gte(a[0]),
+    "lt": lambda a: P.lt(a[0]), "lte": lambda a: P.lte(a[0]),
+    "between": lambda a: P.between(*a), "inside": lambda a: P.inside(*a),
+    "outside": lambda a: P.outside(*a),
+    "within": lambda a: P.within(*a), "without": lambda a: P.without(*a),
+}
+
+
+def _pred_api(pred):
+    op, args = pred
+    return _PREDS[op](args)
+
+
+def _apply(t, steps):
+    for step in steps:
+        name, *args = step
+        if name == "hasLabel":
+            t = t.hasLabel(*args)
+        elif name == "has":
+            key, pred = args
+            p = _pred_api(pred)
+            t = t.has(key) if p is None else t.has(key, p)
+        elif name == "hasNot":
+            t = t.hasNot(args[0])
+        elif name in ("out", "in", "both", "outE", "inE"):
+            m = {"out": t.out, "in": t.in_, "both": t.both,
+                 "outE": t.outE, "inE": t.inE}[name]
+            t = m(*args[0])
+        elif name == "outV":
+            t = t.outV()
+        elif name == "inV":
+            t = t.inV()
+        elif name == "values":
+            t = t.values(args[0])
+        elif name == "label":
+            t = t.label()
+        elif name == "as":
+            t = t.as_(args[0])
+        elif name == "where_hist":
+            op, lb = args
+            t = t.where(getattr(P, op)(lb))
+        elif name == "dedup":
+            t = t.dedup()
+        elif name == "dedup_hist_count":
+            t = t.dedup(args[0]).count()
+        elif name == "is":
+            t = t.is_(_pred_api(args[0]))
+        elif name == "count":
+            t = t.count()
+        elif name in ("sum", "max", "min", "mean"):
+            t = {"sum": t.sum_, "max": t.max_, "min": t.min_, "mean": t.mean}[name]()
+        elif name == "order_slice":
+            asc, a, b = args
+            t = t.order(direction=Order.incr if asc else Order.decr).range_(a, b)
+        elif name == "groupCount":
+            t = t.groupCount(relational=True)
+        elif name == "union":
+            t = t.union(*[_apply_anon(b) for b in args[0]])
+        elif name in ("and", "or", "not"):
+            m = {"and": t.and_, "or": t.or_, "not": t.not_}[name]
+            t = m(*[_apply_anon(b) for b in args[0]])
+        else:  # pragma: no cover
+            raise AssertionError(f"unknown step {name}")
+    return t
+
+
+def _apply_anon(steps):
+    return _apply(A, steps)
+
+
+# --------------------------------------------------------------------------
+# pipeline generator (type-valid by construction)
+# --------------------------------------------------------------------------
+
+_num = st.integers(min_value=-1, max_value=101)
+
+
+@st.composite
+def _num_pred(draw):
+    op = draw(st.sampled_from(
+        ["any", "eq", "neq", "gt", "gte", "lt", "lte",
+         "between", "inside", "outside", "within", "without"]
+    ))
+    if op in ("between", "inside", "outside"):
+        a, b = sorted([draw(_num), draw(_num)])
+        return (op, (a, b if b > a else a + 1))
+    if op in ("within", "without"):
+        return (op, tuple(draw(st.lists(_num, min_size=1, max_size=3))))
+    if op == "any":
+        return ("any", ())
+    return (op, (draw(_num),))
+
+
+@st.composite
+def _elem_filter(draw):
+    kind = draw(st.sampled_from(["hasLabel", "has_age", "hasNot", "has_name"]))
+    if kind == "hasLabel":
+        return ("hasLabel", draw(st.sampled_from(VLABELS)))
+    if kind == "hasNot":
+        return ("hasNot", draw(st.sampled_from(["age", "name"])))
+    if kind == "has_name":
+        nm = draw(st.sampled_from(["alice", "bob", "book", "zzz"]))
+        return ("has", "name", ("eq", (nm,)))
+    return ("has", "age", draw(_num_pred()))
+
+
+@st.composite
+def _hop(draw):
+    d = draw(st.sampled_from(["out", "in", "both"]))
+    lbs = draw(st.sampled_from([(), ("knows",), ("likes",), ("knows", "likes")]))
+    return (d, lbs)
+
+
+@st.composite
+def _branch(draw):
+    """A short V->V sub-pipeline for union/and/or/not branches."""
+    steps = [draw(_hop())]
+    if draw(st.booleans()):
+        steps.append(draw(_elem_filter()))
+    if draw(st.booleans()):
+        steps.append(draw(_hop()))
+    return steps
+
+
+@st.composite
+def _scalar_tail(draw):
+    """values()/label() then scalar ops, ending the pipeline."""
+    first = draw(st.sampled_from(["values_age", "values_w_edge", "label"]))
+    steps = [("values", "age") if first == "values_age" else ("label",)]
+    tail_kind = draw(st.sampled_from(
+        ["none", "is", "dedup", "order", "agg", "groupCount"]
+    ))
+    if tail_kind == "is" and first != "label":
+        steps.append(("is", draw(_num_pred())))
+        if draw(st.booleans()):
+            steps.append(("count",))
+    elif tail_kind == "dedup":
+        steps.append(("dedup",))
+        if draw(st.booleans()):
+            steps.append(("count",))
+    elif tail_kind == "order":
+        a = draw(st.integers(min_value=0, max_value=3))
+        b = a + draw(st.integers(min_value=1, max_value=5))
+        steps.append(("order_slice", draw(st.booleans()), a, b))
+    elif tail_kind == "agg" and first != "label":
+        steps.append((draw(st.sampled_from(["sum", "max", "min", "mean"])),))
+    elif tail_kind == "groupCount":
+        steps.append(("groupCount",))
+    return steps
+
+
+@st.composite
+def pipeline(draw):
+    steps = []
+    # optional leading filters
+    for _ in range(draw(st.integers(min_value=0, max_value=2))):
+        steps.append(draw(_elem_filter()))
+    # as('a') + traversal + optional history use (always before dedup)
+    use_hist = draw(st.booleans())
+    if use_hist:
+        steps.append(("as", "a"))
+    for _ in range(draw(st.integers(min_value=1, max_value=2))):
+        steps.append(draw(_hop()))
+    if use_hist:
+        kind = draw(st.sampled_from(["where", "dedup_hist_count", "none"]))
+        if kind == "where":
+            steps.append(("where_hist", draw(st.sampled_from(["eq", "neq"])), "a"))
+        elif kind == "dedup_hist_count":
+            steps.append(("dedup_hist_count", "a"))
+            return steps
+    # optional branch step
+    b = draw(st.sampled_from(["none", "union", "and", "or", "not"]))
+    if b == "union":
+        steps.append(("union", [draw(_branch()), draw(_branch())]))
+    elif b != "none":
+        n = 2 if b in ("and", "or") and draw(st.booleans()) else 1
+        steps.append((b, [draw(_branch()) for _ in range(n)]))
+    # optional element dedup, then terminal
+    if draw(st.booleans()):
+        steps.append(("dedup",))
+    term = draw(st.sampled_from(["none", "count", "scalar"]))
+    if term == "count":
+        steps.append(("count",))
+    elif term == "scalar":
+        steps.extend(draw(_scalar_tail()))
+    return steps
+
+
+@st.composite
+def edge_pipeline(draw):
+    steps = []
+    if draw(st.booleans()):
+        steps.append(draw(_elem_filter()))
+    d = draw(st.sampled_from(["outE", "inE"]))
+    lbs = draw(st.sampled_from([(), ("knows",), ("likes",)]))
+    steps.append((d, lbs))
+    if draw(st.booleans()):
+        steps.append(("has", "w", draw(_num_pred())))
+    nxt = draw(st.sampled_from(["end", "V", "values", "label", "count"]))
+    if nxt == "V":
+        steps.append((draw(st.sampled_from(["outV", "inV"])),))
+        if draw(st.booleans()):
+            steps.append(("dedup",))
+        if draw(st.booleans()):
+            steps.append(("count",))
+    elif nxt == "values":
+        steps.append(("values", "w"))
+        if draw(st.booleans()):
+            steps.append((draw(st.sampled_from(["sum", "count", "max"])),))
+    elif nxt == "label":
+        steps.append(("label",))
+        steps.append(("groupCount",))
+    elif nxt == "count":
+        steps.append(("count",))
+    return steps
+
+
+# --------------------------------------------------------------------------
+# comparison
+# --------------------------------------------------------------------------
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def _expected(ts):
+    out = []
+    for kind, loc, _ in ts:
+        if kind == "E":
+            out.append(loc)
+        elif kind == "G":
+            out.append(loc)
+        else:
+            out.append(_canon(loc))
+    return Counter(out)
+
+
+def _got(df):
+    rows = df.collect()
+    cols = df.columns
+    out = []
+    for r in rows:
+        if cols == ["vid"]:
+            out.append(r[0])
+        elif cols == ["src", "dst"]:
+            out.append((r[0], r[1]))
+        elif cols == ["key", "cnt"]:
+            out.append((r[0], r[1]))
+        else:
+            out.append(_canon(r[0]))
+    return Counter(out)
+
+
+def _check(g, steps):
+    want = _expected(interp(steps))
+    got = _got(_apply(g.V(), steps).df())
+    assert got == want, f"pipeline {steps}\n got {got}\n want {want}"
+
+
+@given(steps=pipeline())
+@settings(max_examples=60, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_vertex_pipelines_match_reference_interpreter(g, steps):
+    _check(g, steps)
+
+
+@given(steps=edge_pipeline())
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_edge_pipelines_match_reference_interpreter(g, steps):
+    _check(g, steps)
+
+
+def test_interpreter_sanity():
+    # the interpreter itself, pinned on hand-checked cases
+    assert _expected(interp([("count",)])) == Counter([10])
+    assert _expected(interp([("out", ()), ("count",)])) == Counter([len(EDGES)])
+    assert _expected(interp([("hasLabel", "item")])) == Counter([5, 6, 7, 9])
+    # alice knows bob&carol; values(age) drops carol's null
+    assert _expected(
+        interp([("has", "name", ("eq", ("alice",))), ("out", ("knows",)),
+                ("values", "age")])
+    ) == Counter([27])
