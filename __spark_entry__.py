@@ -521,13 +521,27 @@ def _q_doc_curation(spark, sf):
 
 def _q_emb_neardup(spark, sf):
     # banded-LSH candidates + exact-cosine verify — bucketed, never
-    # all-pairs; the oracle mirrors the md5-deterministic bucketing
-    from grasper_spark.functions.similarity import lsh_neardup_pairs
+    # all-pairs; the oracle mirrors the md5-deterministic bucketing.
+    # Tagged union (50-entry ledger window): 'pair' rows = the verified
+    # near-dup pairs, 'keep'/'drop' rows = SemDeDup greedy min-id
+    # survivor verdicts over the SAME pair relation.
+    from grasper_spark.functions.similarity import lsh_neardup_pairs, semantic_dedup
     from grasper_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return lsh_neardup_pairs(emb, threshold=0.4, dim=64, num_planes=16, bands=4)
+    pairs = lsh_neardup_pairs(emb, threshold=0.4, dim=64, num_planes=16, bands=4)
+    p = pairs.select(
+        F.lit("pair").alias("op"), "id_a", "id_b", F.col("sim").alias("v")
+    )
+    verdicts = semantic_dedup(emb, pairs=pairs)
+    k = verdicts.select(
+        F.when(F.col("keep"), F.lit("keep")).otherwise(F.lit("drop")).alias("op"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.col("nn_sim").alias("v"),
+    )
+    return p.unionByName(k)
 
 
 def _q_emb_lsh_topk(spark, sf):
@@ -1126,11 +1140,19 @@ WITH bk AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
                      AND a.vec_id < b.vec_id
+), pairs AS (
+  SELECT id_a, id_b, {cos} AS sim
+  FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+            JOIN embeddings eb ON eb.vec_id = id_b
+  WHERE {cos} >= {threshold}
+), worst AS (
+  SELECT id_b AS vec_id, max(sim) AS nn_sim FROM pairs GROUP BY 1
 )
-SELECT id_a, id_b, {cos} AS sim
-FROM cand JOIN embeddings ea ON ea.vec_id = id_a
-          JOIN embeddings eb ON eb.vec_id = id_b
-WHERE {cos} >= {threshold}
+SELECT 'pair' AS op, id_a, id_b, sim AS v FROM pairs
+UNION ALL
+SELECT CASE WHEN w.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS op,
+       e.vec_id AS id_a, (-1)::BIGINT AS id_b, w.nn_sim AS v
+FROM embeddings e LEFT JOIN worst w ON e.vec_id = w.vec_id
 """
 
 

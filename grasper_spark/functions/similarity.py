@@ -157,6 +157,62 @@ def lsh_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame, threshold: float = 0.4, dim: int = 64,
+    num_planes: int = 16, bands: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    assigned: DataFrame | None = None, pairs: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): mark every vector that has a semantically
+    near-identical smaller-id neighbor as a drop candidate.
+
+    Returns one row per corpus vector: ``(id, keep, nn_sim)`` —
+    ``keep = false`` iff some neighbor with a smaller id has
+    ``cosine ≥ threshold`` (greedy min-id survivor, the same
+    deterministic rule as exact_dedup's min-id keeper); ``nn_sim`` is
+    the best such similarity (NULL for kept rows).
+
+    Candidate generation (never all-pairs):
+    - default: banded hyperplane-LSH pairs (`lsh_neardup_pairs`) —
+      md5-deterministic, so an engine-independent oracle can mirror it;
+    - ``assigned=`` an `ivf_index` assignment (id, cluster): candidates
+      are within-cluster pairs — the paper's k-means scoping; pair mass
+      is Σ n_c², controlled by n_clusters;
+    - ``pairs=`` precomputed (id_a, id_b, sim) to reuse an existing
+      near-dup relation.
+
+    Scale shape: bucketed candidate join + one partial-aggregated
+    groupBy(id_b) + one left join back to the id set — no quadratic
+    stage, no driver-side state.
+    """
+    if pairs is None:
+        if assigned is not None:
+            a = assigned.select(F.col(id_col).alias("id_a"),
+                                F.col(vec_col).alias("va"), "cluster")
+            b = assigned.select(F.col(id_col).alias("id_b"),
+                                F.col(vec_col).alias("vb"), "cluster")
+            pairs = (
+                a.join(b, ["cluster"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b",
+                        cosine(F.col("va"), F.col("vb")).alias("sim"))
+                .filter(F.col("sim") >= threshold)
+            )
+        else:
+            pairs = lsh_neardup_pairs(
+                corpus, threshold, dim, num_planes, bands, id_col, vec_col
+            )
+    worst = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.max("sim").alias("nn_sim")
+    )
+    return (
+        corpus.select(id_col)
+        .join(worst, id_col, "left")
+        .select(id_col, F.col("nn_sim").isNull().alias("keep"), "nn_sim")
+    )
+
+
 def ivf_index(
     corpus: DataFrame, n_clusters: int = 16, id_col: str = "vec_id",
     vec_col: str = "embedding", seed: int = 42,

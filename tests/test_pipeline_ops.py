@@ -127,6 +127,36 @@ def test_lsh_neardup_matches_exact_on_candidates(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_semantic_dedup_min_id_survivor(spark):
+    # SemDeDup greedy rule: within a near-identical group, the smallest
+    # id keeps; every other member is marked drop with its best-neighbor
+    # sim. Distant vectors keep. Same verdicts via LSH buckets and via
+    # an IVF cluster assignment.
+    from grasper_spark.functions.similarity import ivf_index, semantic_dedup
+
+    rows = [(i, [1.0 + 0.001 * i] + [0.1] * 63) for i in range(4)]  # one group
+    rows += [(50, [-1.0] + [-0.1] * 63)]                            # loner
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {r.vec_id: (r.keep, r.nn_sim)
+           for r in semantic_dedup(vecs, threshold=0.99, dim=64).collect()}
+    assert got[0][0] is True and got[50][0] is True and got[50][1] is None
+    for i in (1, 2, 3):
+        assert got[i][0] is False and got[i][1] >= 0.99
+
+    assigned, _ = ivf_index(vecs, n_clusters=2)
+    via_ivf = {r.vec_id: r.keep
+               for r in semantic_dedup(vecs, threshold=0.99,
+                                       assigned=assigned).collect()}
+    assert via_ivf == {k: v[0] for k, v in got.items()}
+    # scale shape: no cartesian/nested-loop join in either path
+    for df in (semantic_dedup(vecs, threshold=0.99, dim=64),
+               semantic_dedup(vecs, threshold=0.99, assigned=assigned)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+
 def test_lang_id_stopword_votes(spark):
     from grasper_spark.functions.text import lang_id
 
