@@ -132,9 +132,11 @@ def _cur_val(t):
     return loc  # vid for V, value for S (E never feeds where/dedup here)
 
 
-def interp(steps, ts=None):
+def interp(steps, ts=None, stores=None):
     if ts is None:
         ts = [("V", v[0], ()) for v in VERTS]
+    if stores is None:
+        stores = {}
     for step in steps:
         name, *args = step
         out = []
@@ -220,16 +222,59 @@ def interp(steps, ts=None):
             branches = args[0]
             for t in ts:
                 for b in branches:
-                    out.extend(interp(b, [t]))
+                    out.extend(interp(b, [t], stores))
         elif name in ("and", "or", "not"):
             branches = args[0]
             for t in ts:
-                hits = [bool(interp(b, [t])) for b in branches]
+                hits = [bool(interp(b, [t], stores)) for b in branches]
                 ok = {
                     "and": all(hits), "or": any(hits), "not": not any(hits),
                 }[name]
                 if ok:
                     out.append(t)
+        elif name == "select":
+            (lb,) = args
+            out = [("S", dict(h)[lb], h) for _, _, h in ts]
+        elif name == "aggregate":
+            (nm,) = args
+            stores[nm] = {_cur_val(t) for t in ts}
+            out = ts
+        elif name == "where_store":
+            op, nm = args
+            member = stores.get(nm, set())
+            for t in ts:
+                hit = _cur_val(t) in member
+                if (op == "within") == hit:
+                    out.append(t)
+        elif name == "coalesce":
+            branches = args[0]
+            for t in ts:
+                for b in branches:
+                    r = interp(b, [t], stores)
+                    if r:
+                        out.extend(r)
+                        break
+        elif name == "optional":
+            (b,) = args
+            for t in ts:
+                r = interp(b, [t], stores)
+                out.extend(r if r else [t])
+        elif name == "choose":
+            pred, bt, bf = args
+            for t in ts:
+                b = bt if _match(pred, _cur_val(t)) else bf
+                out.extend(interp(b, [t], stores))
+        elif name == "repeat":
+            b, k = args
+            out = ts
+            for _ in range(k):
+                out = interp(b, out, stores)
+        elif name == "order_key_limit_values":
+            key, asc, n = args
+            keyed = [(t, _elem_prop(t, key)) for t in ts]
+            keyed = [(t, v) for t, v in keyed if v is not None]
+            keyed.sort(key=lambda p: p[1], reverse=not asc)
+            out = [("S", v, t[2]) for t, v in keyed[:n]]
         else:  # pragma: no cover
             raise AssertionError(f"unknown step {name}")
         ts = out
@@ -314,6 +359,26 @@ def _apply(t, steps):
         elif name in ("and", "or", "not"):
             m = {"and": t.and_, "or": t.or_, "not": t.not_}[name]
             t = m(*[_apply_anon(b) for b in args[0]])
+        elif name == "select":
+            t = t.select(args[0])
+        elif name == "aggregate":
+            t = t.aggregate(args[0])
+        elif name == "where_store":
+            op, nm = args
+            t = t.where(getattr(P, op)(nm))
+        elif name == "coalesce":
+            t = t.coalesce(*[_apply_anon(b) for b in args[0]])
+        elif name == "optional":
+            t = t.optional(_apply_anon(args[0]))
+        elif name == "choose":
+            pred, bt, bf = args
+            t = t.choose(_pred_api(pred), _apply_anon(bt), _apply_anon(bf))
+        elif name == "repeat":
+            b, k = args
+            t = t.repeat(_apply_anon(b), times=k)
+        elif name == "order_key_limit_values":
+            key, asc, n = args
+            t = t.order(key, Order.incr if asc else Order.decr).limit(n).values(key)
         else:  # pragma: no cover
             raise AssertionError(f"unknown step {name}")
     return t
@@ -470,6 +535,69 @@ def edge_pipeline(draw):
     return steps
 
 
+@st.composite
+def _vid_pred(draw):
+    """Predicate over vids (1..10) for choose()'s condition."""
+    op = draw(st.sampled_from(["gt", "lte", "eq", "within", "between"]))
+    v = st.integers(min_value=0, max_value=11)
+    if op == "within":
+        return ("within", tuple(draw(st.lists(v, min_size=1, max_size=4))))
+    if op == "between":
+        a, b = sorted([draw(v), draw(v)])
+        return ("between", (a, max(b, a + 1)))
+    return (op, (draw(v),))
+
+
+@st.composite
+def ext_pipeline(draw):
+    """Extension steps: select/aggregate-store/coalesce/optional/choose/
+    repeat-times/keyed order."""
+    steps = []
+    if draw(st.booleans()):
+        steps.append(draw(_elem_filter()))
+    kind = draw(st.sampled_from(
+        ["select", "store", "coalesce", "optional", "choose", "repeat",
+         "order_key"]
+    ))
+    if kind == "select":
+        steps.append(("as", "a"))
+        steps.extend(draw(st.lists(_hop(), min_size=1, max_size=2)))
+        steps.append(("select", "a"))
+        if draw(st.booleans()):
+            steps.append(("dedup",))
+    elif kind == "store":
+        steps.append(("aggregate", "x"))
+        steps.extend(draw(st.lists(_hop(), min_size=1, max_size=2)))
+        steps.append(("where_store",
+                      draw(st.sampled_from(["within", "without"])), "x"))
+        if draw(st.booleans()):
+            steps.append(("count",))
+    elif kind == "coalesce":
+        steps.append(("coalesce", [draw(_branch()), draw(_branch())]))
+        if draw(st.booleans()):
+            steps.append(("count",))
+    elif kind == "optional":
+        steps.append(("optional", draw(_branch())))
+        if draw(st.booleans()):
+            steps.append(("values", "age"))
+    elif kind == "choose":
+        steps.append(("choose", draw(_vid_pred()), draw(_branch()),
+                      draw(_branch())))
+        if draw(st.booleans()):
+            steps.append(("count",))
+    elif kind == "repeat":
+        steps.append(("repeat", [draw(_hop())],
+                      draw(st.integers(min_value=1, max_value=3))))
+        if draw(st.booleans()):
+            steps.append(("dedup",))
+        if draw(st.booleans()):
+            steps.append(("count",))
+    else:  # order_key
+        steps.append(("order_key_limit_values", "age", draw(st.booleans()),
+                      draw(st.integers(min_value=1, max_value=6))))
+    return steps
+
+
 # --------------------------------------------------------------------------
 # comparison
 # --------------------------------------------------------------------------
@@ -526,6 +654,13 @@ def test_vertex_pipelines_match_reference_interpreter(g, steps):
 @settings(max_examples=40, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_edge_pipelines_match_reference_interpreter(g, steps):
+    _check(g, steps)
+
+
+@given(steps=ext_pipeline())
+@settings(max_examples=50, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_extension_pipelines_match_reference_interpreter(g, steps):
     _check(g, steps)
 
 
