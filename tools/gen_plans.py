@@ -99,6 +99,25 @@ def _pq_adc_df(spark):
     return pq_topk(codes, books, emb.filter(F.col("vec_id") < 3), k=5)
 
 
+def _semantic_dedup_df(spark):
+    from grasper_spark.functions.similarity import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    return semantic_dedup(emb, threshold=0.4, dim=64)
+
+
+def _sqlfn_df(spark):
+    from grasper_spark.sqlfns import register_sql_functions
+
+    register_sql_functions(spark)
+    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
+        .createOrReplaceTempView("plans_docs")
+    return spark.sql(
+        "SELECT doc_id, gs_quality_score(text) q, gs_lang_id(text) lang "
+        "FROM plans_docs WHERE gs_token_count(text) >= 10"
+    )
+
+
 def _linkpred_df(spark, g):
     from pyspark.sql import functions as F
 
@@ -261,6 +280,23 @@ def main() -> None:
             "(equi-join on the neighbor column, a<b), never all-pairs; the "
             "max_degree hub cap anti-joins high-degree middles out before the "
             "pair fan-out — Σ deg² stays bounded.",
+        ),
+        (
+            "SemDeDup semantic dedup (LSH-scoped)",
+            "semantic_dedup(embeddings, threshold=0.4, dim=64)",
+            _semantic_dedup_df(spark),
+            "Candidates come from the banded-LSH bucket self-join (equi-join on "
+            "(band, bucket)), never an all-pairs product; verdicts are one "
+            "partial-aggregated groupBy(id_b) plus one left join back to the id "
+            "set. No CartesianProduct / BroadcastNestedLoop anywhere.",
+        ),
+        (
+            "Pure-SQL pipeline (gs_* SQL UDFs)",
+            "SELECT doc_id, gs_quality_score(text), gs_lang_id(text) WHERE gs_token_count(text) >= 10",
+            _sqlfn_df(spark),
+            "SQL UDFs inline at analysis time: the whole filter+project compiles "
+            "to one codegen stage over one pruned parquet scan — zero Python "
+            "evals, identical to the Column-builder plan.",
         ),
     ]
 
