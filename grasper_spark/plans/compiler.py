@@ -383,8 +383,8 @@ class GremlinCompiler:
 
     def _step_has(self, s: Stream, key: str, pred: Optional[Pred] = None) -> Stream:
         pred = pred if pred is not None else P.ANY
-        s, col, _ = self._prop_col(s, key)
-        return replace(s, df=s.df.filter(pred_to_condition(pred, col)))
+        s, col, dt = self._prop_col(s, key)
+        return replace(s, df=s.df.filter(pred_to_condition(pred, col, dtype=dt)))
 
     def _step_hasNot(self, s: Stream, key: str) -> Stream:
         s, col, _ = self._prop_col(s, key)
@@ -423,7 +423,11 @@ class GremlinCompiler:
 
     def _step_is(self, s: Stream, pred: Pred) -> Stream:
         assert s.kind == "S", "is() applies to scalar streams"
-        return replace(s, df=s.df.filter(pred_to_condition(pred, F.col(VAL))))
+        if not isinstance(pred, Pred):
+            raise CompileError(f"is() needs a predicate, got {pred!r}")
+        return replace(
+            s, df=s.df.filter(pred_to_condition(pred, F.col(VAL), dtype=s.dtype))
+        )
 
     def _step_coin(self, s: Stream, p: float) -> Stream:
         return replace(s, df=s.df.sample(fraction=float(p), seed=self.seed))
@@ -759,13 +763,21 @@ class GremlinCompiler:
             ):
                 return self._where_side_effect(s, pred)
             lhs = s.val()
+            ldt = "bigint" if s.kind in ("V", "E") else s.dtype
         elif len(args) == 2 and isinstance(args[0], str):
             assert args[0] in s.history, f"where: unknown label '{args[0]}'"
             lhs, pred = F.col(s.history[args[0]]), args[1]
+            ldt = s.hist_dtype.get(args[0], "bigint")
         else:
             raise ValueError(f"where: bad args {args}")
         refs = [F.col(s.history[a]) for a in pred.args]
-        return replace(s, df=s.df.filter(pred_to_condition(pred, lhs, other=refs)))
+        rdts = [s.hist_dtype.get(a, "bigint") for a in pred.args]
+        return replace(
+            s,
+            df=s.df.filter(
+                pred_to_condition(pred, lhs, other=refs, dtype=ldt, other_dtypes=rdts)
+            ),
+        )
 
     def _where_side_effect(self, s: Stream, pred: Pred) -> Stream:
         # membership vs aggregate('x') store — semi/anti join
@@ -839,6 +851,10 @@ class GremlinCompiler:
 
     def _math(self, s: Stream, fn: str) -> Stream:
         assert s.kind == "S", f"{fn}() needs a scalar stream"
+        if s.dtype is not None and not s.dtype.startswith(self._NUM_DTYPES):
+            # io_type-style plan-time rejection (core/parser.cpp:161-215)
+            # instead of an ANSI cast failure mid-job
+            raise CompileError(f"{fn}() needs a numeric stream, got {s.dtype}")
         col = F.col(VAL)
         agg = {"sum": F.sum, "max": F.max, "min": F.min, "mean": F.avg}[fn](col)
         # reference MATH coerces to double

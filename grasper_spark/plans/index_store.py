@@ -60,6 +60,7 @@ class _Index:
     n_distinct: int
     local_counts: dict | None   # full value→count map (small domains)
     heavy: dict                 # value→count for count >= RATIO*total
+    dtype: str = "string"       # indexed value's spark type (predicate gating)
 
 
 def _local_match_count(counts: dict, pred: Pred) -> int | None:
@@ -112,6 +113,7 @@ class IndexStore:
                 raise KeyError(f"no vertex property '{key}'")
             src = graph.vertices
             val = F.col("label") if key == "label" else F.col(key)
+            dtype = "string" if key == "label" else graph.vertex_keys[key]
             pairs = src.select(
                 val.alias("_ixval"), F.col("vid").alias(_VCOL)
             ).filter(F.col("_ixval").isNotNull())
@@ -121,6 +123,7 @@ class IndexStore:
                 raise KeyError(f"no edge property '{key}'")
             src = graph.edges
             val = F.col("label") if key == "label" else F.col(key)
+            dtype = "string" if key == "label" else graph.edge_keys[key]
             cols = [
                 F.col("src").alias(_ESRC), F.col("dst").alias(_EDST),
                 F.col("label").alias(_ELAB),
@@ -145,7 +148,8 @@ class IndexStore:
                 for r in counts.filter(F.col("_cnt") >= RATIO * total).collect()
             }
         self._m[(element, key)] = _Index(
-            pairs, counts, total, with_key, kind, n_distinct, local, heavy
+            pairs, counts, total, with_key, kind, n_distinct, local, heavy,
+            dtype=dtype,
         )
 
     def drop(self, element: str, key: str) -> None:
@@ -175,7 +179,9 @@ class IndexStore:
             avg = idx.with_key // max(idx.n_distinct, 1)
             return sum(idx.heavy.get(v, avg) for v in vals)
         row = (
-            idx.counts.filter(pred_to_condition(pred, F.col("_ixval")))
+            idx.counts.filter(
+                pred_to_condition(pred, F.col("_ixval"), dtype=idx.dtype)
+            )
             .agg(F.coalesce(F.sum("_cnt"), F.lit(0)))
             .collect()
         )
@@ -198,5 +204,5 @@ class IndexStore:
         idx = self._m[(element, key)]
         df = idx.pairs
         if pred is not None:
-            df = df.filter(pred_to_condition(pred, F.col("_ixval")))
+            df = df.filter(pred_to_condition(pred, F.col("_ixval"), dtype=idx.dtype))
         return df.drop("_ixval")

@@ -104,12 +104,84 @@ class P:
     ANY = Pred("any", ())
 
 
-def pred_to_condition(pred: Pred, col: Column, other: Sequence[Column] | None = None) -> Column:
+_NUM_DTYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+
+_TEXT_OPS = ("containing", "notContaining", "startingWith", "endingWith")
+
+
+def _type_class(dtype: str | None) -> str | None:
+    """Coercibility class of a Spark simple-type string (None = unknown,
+    no gating)."""
+    if dtype is None:
+        return None
+    if dtype.startswith(_NUM_DTYPES):
+        return "num"
+    if dtype == "boolean":
+        return "bool"
+    if dtype == "string":
+        return "str"
+    return "other"
+
+
+def _lit_class(v: Any) -> str:
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, float)):
+        return "num"
+    if isinstance(v, str):
+        return "str"
+    return "other"
+
+
+def pred_to_condition(
+    pred: Pred,
+    col: Column,
+    other: Sequence[Column] | None = None,
+    dtype: str | None = None,
+    other_dtypes: Sequence[str | None] | None = None,
+) -> Column:
     """Compile a predicate against a column.
 
     ``other`` overrides literal args with Columns (the where-step form
     compares against history columns instead of literals).
-    """
+
+    ``dtype`` (the column's simple-type string), when known, type-gates
+    cross-class comparisons to the reference's behavior instead of
+    letting Spark's ANSI casts throw at runtime: values of different
+    classes are never `eq` and never ordered relative to each other
+    (predicate.cpp:28-44 falls back to raw-byte `content` compares for
+    mismatched types, i.e. equality is effectively always false there;
+    we define ordered mismatches as no-match rather than byte order),
+    so `eq`/`lt`/… → FALSE, `neq`/`without` → value-present, `within`
+    considers only same-class list members. ``other_dtypes`` does the
+    same for the column-vs-history form."""
+    cls = _type_class(dtype)
+    if cls is not None and pred.op not in ("any", "none"):
+        if pred.op in _TEXT_OPS:
+            if cls != "str":
+                raise TypeError(
+                    f"{pred.op}() needs a string operand, got {dtype}"
+                )
+        else:
+            arg_cls = (
+                [_type_class(d) for d in other_dtypes]
+                if other is not None and other_dtypes is not None
+                else [_lit_class(v) for v in pred.args] if other is None else []
+            )
+            mism = [c is not None and c != cls for c in arg_cls]
+            if pred.op in ("within", "without") and other is None and any(mism):
+                keep = [v for v, m in zip(pred.args, mism) if not m]
+                if pred.op == "within":
+                    return (
+                        col.isin(keep) if keep else F.lit(False)
+                    )
+                return col.isNotNull() & (~col.isin(keep) if keep else F.lit(True))
+            if any(mism):
+                if pred.op == "neq":
+                    return col.isNotNull()
+                if pred.op == "without":
+                    return col.isNotNull()
+                return F.lit(False)
     a = list(other) if other is not None else [F.lit(v) for v in pred.args]
     op = pred.op
     if op == "any":

@@ -89,8 +89,19 @@ def g(spark):
 # --------------------------------------------------------------------------
 
 
+def _cls(v):
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, float)):
+        return "num"
+    return type(v).__name__
+
+
 def _match(pred, v, hist=None):
-    """Predicate kernel twin (plans/predicates.py): null never matches."""
+    """Predicate kernel twin (plans/predicates.py): null never matches;
+    between is INCLUSIVE [a,b] (predicate.cpp:126-129); cross-class
+    comparisons are never eq and never ordered (neq of a present value
+    against a different class is true)."""
     op, args = pred
     if v is None:
         return False
@@ -99,18 +110,21 @@ def _match(pred, v, hist=None):
     if op in ("within", "without"):
         hit = v in args
         return hit if op == "within" else not hit
+    mism = any(_cls(a) != _cls(v) for a in args)
+    if op == "neq":
+        return True if mism else v != args[0]
+    if mism:
+        return False
     if op in ("between", "inside", "outside"):
         a, b = args
         if op == "between":
-            return a <= v < b
+            return a <= v <= b
         if op == "inside":
             return a < v < b
         return v < a or v > b
     (o,) = args
-    if o is None:
-        return False
     return {
-        "eq": v == o, "neq": v != o, "gt": v > o, "gte": v >= o,
+        "eq": v == o, "gt": v > o, "gte": v >= o,
         "lt": v < o, "lte": v <= o,
     }[op]
 
@@ -212,9 +226,11 @@ def interp(steps, ts=None, stores=None):
                 }[name](vals)
                 out = [("S", r, ())]
         elif name == "order_slice":
+            # range(a, b) is END-INCLUSIVE like the reference
+            # (core/parser.cpp:1244-1258: limit(n) → end = n-1)
             asc, a, b = args
             vals = sorted((t[1] for t in ts), reverse=not asc)
-            out = [("S", v, ()) for v in vals[a:b]]
+            out = [("S", v, ()) for v in vals[a:b + 1]]
         elif name == "groupCount":
             c = Counter(t[1] for t in ts)
             out = [("G", (k, n), ()) for k, n in c.items()]
@@ -270,7 +286,7 @@ def interp(steps, ts=None, stores=None):
             for _ in range(k):
                 out = interp(b, out, stores)
         elif name == "order_key_limit_values":
-            key, asc, n = args
+            key, asc, n = args  # limit(n) = range(0, n-1), n rows
             keyed = [(t, _elem_prop(t, key)) for t in ts]
             keyed = [(t, v) for t, v in keyed if v is not None]
             keyed.sort(key=lambda p: p[1], reverse=not asc)
@@ -413,7 +429,9 @@ def _num_pred(draw):
 
 @st.composite
 def _elem_filter(draw):
-    kind = draw(st.sampled_from(["hasLabel", "has_age", "hasNot", "has_name"]))
+    kind = draw(st.sampled_from(
+        ["hasLabel", "has_age", "hasNot", "has_name", "has_cross_type"]
+    ))
     if kind == "hasLabel":
         return ("hasLabel", draw(st.sampled_from(VLABELS)))
     if kind == "hasNot":
@@ -421,6 +439,10 @@ def _elem_filter(draw):
     if kind == "has_name":
         nm = draw(st.sampled_from(["alice", "bob", "book", "zzz"]))
         return ("has", "name", ("eq", (nm,)))
+    if kind == "has_cross_type":
+        # numeric predicate on the string property: never-match gating
+        return ("has", "name",
+                draw(_num_pred().filter(lambda p: p[0] != "any")))
     return ("has", "age", draw(_num_pred()))
 
 
@@ -445,13 +467,15 @@ def _branch(draw):
 @st.composite
 def _scalar_tail(draw):
     """values()/label() then scalar ops, ending the pipeline."""
-    first = draw(st.sampled_from(["values_age", "values_w_edge", "label"]))
+    first = draw(st.sampled_from(["values_age", "label"]))
     steps = [("values", "age") if first == "values_age" else ("label",)]
     tail_kind = draw(st.sampled_from(
         ["none", "is", "dedup", "order", "agg", "groupCount"]
     ))
-    if tail_kind == "is" and first != "label":
-        steps.append(("is", draw(_num_pred())))
+    if tail_kind == "is":
+        # is() on the label stream exercises cross-class gating (string
+        # vs numeric predicate → never-match, not an ANSI cast error)
+        steps.append(("is", draw(_num_pred().filter(lambda p: p[0] != "any"))))
         if draw(st.booleans()):
             steps.append(("count",))
     elif tail_kind == "dedup":

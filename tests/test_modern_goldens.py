@@ -457,6 +457,40 @@ def test_ill_typed_chain_raises_compile_error(g):
         g.V().select("nosuchlabel").df()
 
 
+def test_math_on_string_stream_raises_compile_error(g):
+    import pytest
+
+    from grasper_spark.plans.compiler import CompileError
+
+    with pytest.raises(CompileError, match="numeric"):
+        g.V().label().max_().df()
+    with pytest.raises(CompileError, match="numeric"):
+        g.V().values("name").sum_().df()
+
+
+def test_cross_class_predicates_never_match(g):
+    # numeric predicate on a string property / string stream: the
+    # reference's mismatched-type compare is never equal
+    # (base/predicate.cpp:28-44) — no ANSI cast error, no match;
+    # neq of a PRESENT value against a different class is true
+    from grasper_spark import P
+
+    assert g.V().has("name", P.eq(0)).df().count() == 0
+    assert g.V().has("name", P.gt(5)).df().count() == 0
+    assert g.V().has("name", P.between(1, 9)).df().count() == 0
+    n = g.V().has("name").df().count()
+    assert g.V().has("name", P.neq(0)).df().count() == n
+    assert g.V().label().is_(P.eq(3)).df().count() == 0
+    lbls = g.V().label().df().count()
+    assert g.V().label().is_(P.neq(3)).df().count() == lbls
+    # within considers only same-class members; without is its complement
+    assert g.V().has("name", P.within(1, "marko", 2)).to_list() != []
+    assert (
+        g.V().has("name", P.within(1, 2)).df().count() == 0
+    )
+    assert g.V().has("name", P.without(1, 2)).df().count() == n
+
+
 def test_union_branch_dtype_mismatch_raises_compile_error(g):
     import pytest
 
