@@ -688,6 +688,109 @@ def test_extension_pipelines_match_reference_interpreter(g, steps):
     _check(g, steps)
 
 
+# --------------------------------------------------------------------------
+# parser parity: render the spec to a Gremlin query STRING and compare the
+# parsed path against the fluent path (both engine executions)
+# --------------------------------------------------------------------------
+
+
+def _rv(v):
+    return f'"{v}"' if isinstance(v, str) else str(v)
+
+
+def _rpred(pred):
+    op, args = pred
+    if op == "any":
+        return None  # bare has(k)
+    return f"{op}({', '.join(_rv(a) for a in args)})"
+
+
+def _render(steps, start="g.V()"):
+    """Spec → query string, or None when the step has no string form
+    (relational groupCount, store-membership where)."""
+    parts = [start]
+    for step in steps:
+        name, *args = step
+        if name == "hasLabel":
+            parts.append(f'hasLabel({", ".join(_rv(a) for a in args)})')
+        elif name == "has":
+            key, pred = args
+            p = _rpred(pred)
+            parts.append(f'has("{key}")' if p is None else f'has("{key}", {p})')
+        elif name == "hasNot":
+            parts.append(f'hasNot("{args[0]}")')
+        elif name in ("out", "in", "both", "outE", "inE"):
+            parts.append(f'{name}({", ".join(_rv(a) for a in args[0])})')
+        elif name in ("outV", "inV", "dedup", "count", "label",
+                      "sum", "max", "min", "mean"):
+            parts.append(f"{name}()")
+        elif name == "values":
+            parts.append(f'values("{args[0]}")')
+        elif name == "as":
+            parts.append(f'as("{args[0]}")')
+        elif name == "where_hist":
+            op, lb = args
+            parts.append(f'where({op}("{lb}"))')
+        elif name == "dedup_hist_count":
+            parts.append(f'dedup("{args[0]}")')
+            parts.append("count()")
+        elif name == "is":
+            parts.append(f"is({_rpred(args[0])})")
+        elif name == "order_slice":
+            asc, a, b = args
+            parts.append("order()" if asc else "order(decr)")
+            parts.append(f"range({a}, {b})")
+        elif name == "union":
+            brs = ", ".join(_render(b, start="") for b in args[0])
+            parts.append(f"union({brs})")
+        elif name in ("and", "or", "not"):
+            brs = ", ".join(_render(b, start="") for b in args[0])
+            parts.append(f"{name}({brs})")
+        elif name == "select":
+            parts.append(f'select("{args[0]}")')
+        elif name == "aggregate":
+            parts.append(f'aggregate("{args[0]}")')
+        elif name == "where_store":
+            op, nm = args
+            parts.append(f'where({op}("{nm}"))')
+        elif name == "coalesce":
+            brs = ", ".join(_render(b, start="") for b in args[0])
+            parts.append(f"coalesce({brs})")
+        elif name == "optional":
+            parts.append(f"optional({_render(args[0], start='')})")
+        elif name == "choose":
+            pred, bt, bf = args
+            parts.append(
+                f"choose({_rpred(pred)}, {_render(bt, start='')}, "
+                f"{_render(bf, start='')})"
+            )
+        elif name == "repeat":
+            b, k = args
+            parts.append(f"repeat({_render(b, start='')}).times({k})")
+        elif name == "order_key_limit_values":
+            key, asc, n = args
+            parts.append(f'order("{key}")' if asc else f'order("{key}", decr)')
+            parts.append(f"limit({n})")
+            parts.append(f'values("{key}")')
+        else:
+            return None  # no string form (e.g. relational groupCount)
+    q = ".".join(p for p in parts if p)
+    return q.lstrip(".")
+
+
+@given(steps=st.one_of(pipeline(), ext_pipeline()))
+@settings(max_examples=60, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_parsed_string_matches_fluent(g, steps):
+    from hypothesis import assume
+
+    q = _render(steps)
+    assume(q is not None and "groupCount" not in q)
+    got_str = _got(g.query(q))
+    got_flu = _got(_apply(g.V(), steps).df())
+    assert got_str == got_flu, f"query {q}\n parsed {got_str}\n fluent {got_flu}"
+
+
 def test_interpreter_sanity():
     # the interpreter itself, pinned on hand-checked cases
     assert _expected(interp([("count",)])) == Counter([10])
