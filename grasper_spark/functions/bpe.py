@@ -157,6 +157,87 @@ def load_merges(spark, path: str) -> list[tuple[str, str]]:
     return [(r.a, r.b) for r in rows]
 
 
+def bpe_apply(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Segment arbitrary (possibly unseen) words with a TRAINED merge
+    table — the standard apply-BPE algorithm: repeatedly merge the
+    LOWEST-RANK adjacent pair present in the word (at every position it
+    occurs) until no listed pair remains.
+
+    Scale shape, per round: adjacent pairs explode → broadcast join
+    against the KB-sized merge table → min-rank per word → zero-shuffle
+    fold applying that one pair. A word with s symbols needs < s rounds
+    (each applied merge shrinks it), so rounds are bounded by the
+    longest word, not the vocab or merge count. Input is a DISTINCT-word
+    relation; join the result back to the corpus.
+
+    Returns (word, sym array<string>).
+    """
+    spark = words.sparkSession
+    rank_df = F.broadcast(
+        spark.createDataFrame(
+            [(a, b, i) for i, (a, b) in enumerate(merges)],
+            "a string, b string, rank long",
+        )
+    )
+    cur = (
+        words.select(F.col(word_col).alias("word"))
+        .distinct()
+        .withColumn("sym", _initial_symbols(F.col("word")))
+        .persist()
+    )
+    bound = max_rounds if max_rounds is not None else int(
+        (cur.agg(F.max(F.size("sym"))).first()[0] or 1)
+    )
+    a, b = F.col("a"), F.col("b")
+
+    def step(acc, x):
+        # merge THIS word's best pair (a per-row column) at every
+        # position, left-to-right non-overlapping; a/b NULL (no
+        # applicable pair) never matches, so finished words pass through
+        hit = (F.element_at(acc, -1) == a) & (x == b)
+        return F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(a, b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+        )
+
+    for rnd in range(bound):
+        pairs = cur.select(
+            "word", F.explode(_adjacent_pairs(F.col("sym"))).alias("p")
+        ).select("word", "p.a", "p.b")
+        best = (
+            pairs.join(rank_df, ["a", "b"])
+            .groupBy("word")
+            .agg(F.min("rank").alias("rk"))
+            .join(rank_df.withColumnRenamed("rank", "rk"), "rk")
+            .select("word", "a", "b")
+        )
+        if best.isEmpty():
+            break
+        merged = cur.join(best, "word", "left").select(
+            "word",
+            F.aggregate(F.col("sym"), F.array().cast("array<string>"), step).alias(
+                "sym"
+            ),
+        )
+        old = cur
+        cur = merged.persist()
+        if (rnd + 1) % 8 == 0:
+            cur = cur.localCheckpoint(eager=True)
+        else:
+            cur.count()
+        old.unpersist()
+    return cur.select("word", "sym")
+
+
 def bpe_segment(
     df: DataFrame, vocab: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

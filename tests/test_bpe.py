@@ -87,6 +87,47 @@ def test_bpe_token_count_and_oov_fallback(spark, docs):
     assert got[4] == len(ref_vocab["low"]) + 4
 
 
+def _ref_apply(word, merges):
+    rank = {p: i for i, p in enumerate(merges)}
+    syms = [*word, END]
+    while True:
+        cands = [
+            (rank[(syms[i], syms[i + 1])], i)
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in rank
+        ]
+        if not cands:
+            return syms
+        rk = min(cands)[0]
+        a, b = merges[rk]
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        syms = out
+
+
+def test_bpe_apply_matches_reference_on_unseen_words(spark, docs):
+    from grasper_spark.functions.bpe import bpe_apply
+
+    merges, vocab = train_bpe(docs, num_merges=10)
+    # mix of training words, unseen-but-mergeable words, and pure OOV
+    new_words = ["low", "lowest", "newest", "stow", "zzz", "w", "estest"]
+    wdf = spark.createDataFrame([(w,) for w in new_words], "word string")
+    got = {r.word: list(r.sym) for r in bpe_apply(wdf, merges).collect()}
+    want = {w: _ref_apply(w, merges) for w in new_words}
+    assert got == want
+    # on the training vocabulary itself, apply == the trained segmentation
+    got_train = {
+        r.word: list(r.sym)
+        for r in bpe_apply(vocab.select("word"), merges).collect()
+    }
+    want_train = {r.word: list(r.sym) for r in vocab.collect()}
+    assert got_train == want_train
+
+
 def test_merge_table_roundtrip(spark, docs, tmp_path):
     merges, _ = train_bpe(docs, num_merges=6)
     p = str(tmp_path / "merges")
