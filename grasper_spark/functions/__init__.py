@@ -13,6 +13,7 @@ results value-for-value.
 """
 
 from grasper_spark.functions import (  # noqa: F401
+    bpe,
     classifier,
     dedup,
     embeddings,

@@ -727,7 +727,7 @@ class GremlinCompiler:
         if len(branches) > len(keys):
             raise CompileError("project: more by() modulators than keys")
         branches = tuple(branches) + (None,) * (len(keys) - len(branches))
-        tagged, tcol = self._tagged(s)
+        tagged, tcol = self._tagged(s, unique=True)
         spine = tagged
         cols: list[tuple[str, str]] = []
         for k, b in zip(keys, branches):
@@ -888,8 +888,10 @@ class GremlinCompiler:
         one partial-aggregated groupBy on the tid + one join back.
         Multi-valued branches keep the MINIMUM value (deterministic
         stand-in for Gremlin's arbitrary 'first'); traversers whose
-        branch yields nothing drop (by()'s fast-nothing semantics)."""
-        tagged, tcol = self._tagged(s)
+        branch yields nothing drop (by()'s fast-nothing semantics).
+        unique=True: aggregating branches must not conflate duplicate
+        identical traversers (see _tagged)."""
+        tagged, tcol = self._tagged(s, unique=True)
         res = self.compile(list(steps), start=tagged)
         if res.kind == "G":
             raise CompileError("by(): sub-traversal must be element- or scalar-valued")
@@ -1323,13 +1325,24 @@ class GremlinCompiler:
                 break
         return self._align_union(collected)
 
-    def _tagged(self, s: Stream) -> tuple[Stream, str]:
+    def _tagged(self, s: Stream, unique: bool = False) -> tuple[Stream, str]:
         """Attach a content-hash traverser id for labelled branches.
 
         Two identical traversers get the same tid — semantically
-        interchangeable for existential tests, so this is safe, fully
-        deterministic, and needs no caching (unlike
+        interchangeable for EXISTENTIAL tests (and/or/not, choose,
+        optional, coalesce routing), so the plain content hash is safe,
+        fully deterministic, and needs no caching (unlike
         monotonically_increasing_id).
+
+        ``unique=True`` appends a row_number discriminator over the
+        content hash: callers whose branches AGGREGATE per traverser
+        (project/group by(sub.count()) etc.) need duplicate identical
+        traversers to keep distinct tids, or the per-tid aggregate
+        conflates them (count over k duplicates = k× the per-traverser
+        answer). Which duplicate gets which ordinal is arbitrary among
+        identical rows, so the tid MULTISET — all an aggregation can
+        observe — stays deterministic; costs one exchange on the hash,
+        paid only by the aggregating callers.
 
         Tid columns STACK for nested labelled branches (e.g. the
         where(not(…))→and([not(…)]) rewrite): each nesting level gets
@@ -1350,6 +1363,16 @@ class GremlinCompiler:
                 F.xxhash64(F.lit(1), *cols).alias("h2"),
             ),
         )
+        if unique:
+            w = Window.partitionBy(F.col(tcol)).orderBy(F.lit(1))
+            df = df.withColumn(
+                tcol,
+                F.struct(
+                    F.col(tcol)["h1"].alias("h1"),
+                    F.col(tcol)["h2"].alias("h2"),
+                    F.row_number().over(w).alias("rn"),
+                ),
+            )
         s2 = replace(s, df=df, history=dict(s.history), group_cols=list(s.group_cols))
         s2.history[tcol] = tcol
         s2.group_cols = s2.group_cols + [tcol]
@@ -1408,7 +1431,7 @@ class GremlinCompiler:
             true_s = replace(s, df=s.df.filter(c))
             false_s = replace(s, df=s.df.filter(~F.coalesce(c, F.lit(False))))
         else:  # existence of a sub-traversal
-            tagged, tcol = self._tagged(s)
+            tagged, tcol = self._tagged(s, unique=True)
             matched = self.compile(list(cond), start=tagged).df.select(tcol).distinct()
             hist = {k: v for k, v in tagged.history.items() if v != tcol}
             gcols = [g for g in tagged.group_cols if g != tcol]
@@ -1430,7 +1453,7 @@ class GremlinCompiler:
         """optional(q): per traverser, the branch results if any, else
         the input traverser unchanged (extension — not in the reference;
         built from the same labelled-branch machinery)."""
-        tagged, tcol = self._tagged(s)
+        tagged, tcol = self._tagged(s, unique=True)
         res = self.compile(list(branch), start=tagged)
         assert res.kind == s.kind, (
             f"optional: branch output kind {res.kind} must match input {s.kind}"
@@ -1459,7 +1482,7 @@ class GremlinCompiler:
         matches; outputs must align in kind/dtype like union's."""
         if not branches:
             raise CompileError("coalesce: needs at least one branch")
-        tagged, tcol = self._tagged(s)
+        tagged, tcol = self._tagged(s, unique=True)
         remaining = tagged
         outs = []
         for br in branches:

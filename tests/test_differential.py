@@ -291,6 +291,41 @@ def interp(steps, ts=None, stores=None):
             keyed = [(t, v) for t, v in keyed if v is not None]
             keyed.sort(key=lambda p: p[1], reverse=not asc)
             out = [("S", v, t[2]) for t, v in keyed[:n]]
+        elif name == "groupCount_key":
+            (key,) = args
+            c = Counter(
+                _elem_prop(t, key) if key != "label" else _elem_label(t)
+                for t in ts
+            )
+            out = [("G", (k, n), ()) for k, n in c.items() if k is not None]
+        elif name == "group_rel":
+            kkey, vkey = args
+            groups: dict = {}
+            for t in ts:
+                k = _elem_prop(t, kkey) if kkey != "label" else _elem_label(t)
+                v = _elem_prop(t, vkey) if vkey != "label" else _elem_label(t)
+                if k is None or v is None:
+                    continue
+                groups.setdefault(k, []).append(v)
+            out = [("G", (k, tuple(sorted(v))), ()) for k, v in groups.items()]
+        elif name == "project":
+            specs = args[0]
+            for t in ts:
+                row = []
+                for sp in specs:
+                    if sp is None:
+                        row.append(_cur_val(t))
+                    elif isinstance(sp, str):
+                        v = _elem_prop(t, sp)
+                        row.append(v)
+                    elif sp[0] == "sub_min":
+                        r = interp(sp[1], [t], stores)
+                        row.append(min((x[1] for x in r), default=None))
+                    else:  # sub_count
+                        r = interp(sp[1], [t], stores)
+                        row.append(len(r) if r else None)
+                if all(v is not None for v in row):
+                    out.append(("G", tuple(row), t[2]))
         else:  # pragma: no cover
             raise AssertionError(f"unknown step {name}")
         ts = out
@@ -395,6 +430,22 @@ def _apply(t, steps):
         elif name == "order_key_limit_values":
             key, asc, n = args
             t = t.order(key, Order.incr if asc else Order.decr).limit(n).values(key)
+        elif name == "groupCount_key":
+            t = t.groupCount(args[0], relational=True)
+        elif name == "group_rel":
+            t = t.group(args[0], args[1], relational=True)
+        elif name == "project":
+            specs = args[0]
+            t = t.project(*[f"k{i}" for i in range(len(specs))])
+            for sp in specs:
+                if sp is None:
+                    t = t.by()
+                elif isinstance(sp, str):
+                    t = t.by(sp)
+                elif sp[0] == "sub_min":
+                    t = t.by(_apply_anon(sp[1]))
+                else:
+                    t = t.by(_apply_anon(sp[1]).count())
         else:  # pragma: no cover
             raise AssertionError(f"unknown step {name}")
     return t
@@ -622,6 +673,33 @@ def ext_pipeline(draw):
     return steps
 
 
+@st.composite
+def rel_pipeline(draw):
+    """Relational outputs: keyed groupCount, group(k,v), project().by()."""
+    steps = []
+    if draw(st.booleans()):
+        steps.append(draw(_elem_filter()))
+    if draw(st.booleans()):
+        steps.append(draw(_hop()))
+    kind = draw(st.sampled_from(["groupCount_key", "group_rel", "project"]))
+    keyspace = ["age", "name", "label"]
+    if kind == "groupCount_key":
+        steps.append(("groupCount_key", draw(st.sampled_from(keyspace))))
+    elif kind == "group_rel":
+        steps.append(("group_rel", draw(st.sampled_from(keyspace)),
+                      draw(st.sampled_from(keyspace))))
+    else:
+        spec = st.one_of(
+            st.none(),
+            st.sampled_from(["age", "name"]),
+            st.tuples(st.sampled_from(["sub_min", "sub_count"]),
+                      st.lists(_hop(), min_size=1, max_size=2)),
+        )
+        # >= 2 keys so the relational row shape is unambiguous
+        steps.append(("project", draw(st.lists(spec, min_size=2, max_size=3))))
+    return steps
+
+
 # --------------------------------------------------------------------------
 # comparison
 # --------------------------------------------------------------------------
@@ -656,6 +734,10 @@ def _got(df):
             out.append((r[0], r[1]))
         elif cols == ["key", "cnt"]:
             out.append((r[0], r[1]))
+        elif cols == ["key", "vals"]:
+            out.append((r[0], tuple(r[1])))
+        elif len(cols) > 1:  # project(k0, k1, …) relational rows
+            out.append(tuple(_canon(v) for v in r))
         else:
             out.append(_canon(r[0]))
     return Counter(out)
@@ -789,6 +871,13 @@ def test_parsed_string_matches_fluent(g, steps):
     got_str = _got(g.query(q))
     got_flu = _got(_apply(g.V(), steps).df())
     assert got_str == got_flu, f"query {q}\n parsed {got_str}\n fluent {got_flu}"
+
+
+@given(steps=rel_pipeline())
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_relational_pipelines_match_reference_interpreter(g, steps):
+    _check(g, steps)
 
 
 def test_interpreter_sanity():
