@@ -149,6 +149,9 @@ class Traversal:
     def constant(self, v: Any) -> "Traversal":
         return self._add("constant", v)
 
+    def inject(self, *vals: Any) -> "Traversal":
+        return self._add("inject", *vals)
+
     def cyclicPath(self) -> "Traversal":
         return self._add("cyclicPath")
 

@@ -1271,6 +1271,45 @@ class GremlinCompiler:
         )
         return self._traversal_result(s, df, "S", keep_sort=True, dtype=dtype)
 
+    def _step_inject(self, s: Stream, *vals) -> Stream:
+        """inject(v…) (extension — TinkerPop semantics): append the
+        literals as NEW traversers to a scalar stream. Injected
+        traversers carry no history (NULL label columns), so history
+        steps (where/select/dedup('a')) treat them as label-less —
+        TinkerPop's injected-traverser behavior. Literal classes must
+        match the stream dtype (union typing rules)."""
+        if s.kind != "S":
+            raise CompileError("inject() applies to scalar streams")
+        if s.group_cols:
+            raise CompileError("inject() inside a labelled branch is not supported")
+        if not vals:
+            return s
+        num = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+        if s.dtype is not None:
+            want = "num" if s.dtype.startswith(num) else s.dtype
+            for v in vals:
+                got = (
+                    "num"
+                    if isinstance(v, (int, float)) and not isinstance(v, bool)
+                    else "string" if isinstance(v, str) else type(v).__name__
+                )
+                if got != want:
+                    raise CompileError(
+                        f"inject: literal {v!r} does not match stream dtype {s.dtype}"
+                    )
+        spark = s.df.sparkSession
+        cast = s.dtype or "string"
+        dtypes = dict(s.df.dtypes)
+        inj = spark.range(1).select(
+            *[
+                F.lit(None).cast(dtypes[c]).alias(c)
+                for c in s.df.columns
+                if c != VAL
+            ],
+            F.explode(F.array(*[F.lit(v).cast(cast) for v in vals])).alias(VAL),
+        )
+        return replace(s, df=s.df.unionByName(inj.select(*s.df.columns)))
+
     #: safety bound for repeat().until() loops (a cond no traverser ever
     #: satisfies must terminate; stragglers at the bound are discarded)
     _REPEAT_MAX_ROUNDS = 20

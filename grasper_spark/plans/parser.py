@@ -31,7 +31,7 @@ STEP_NAMES = {
     "repeat", "and", "or", "not", "optional", "choose", "project", "by",
     "match", "coalesce", "tail", "id", "valueMap", "elementMap",
     "simplePath", "cyclicPath", "until", "emit", "times", "fold",
-    "constant",
+    "constant", "inject",
 }
 
 # steps whose string args are python-reserved in the fluent API

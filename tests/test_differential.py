@@ -162,7 +162,7 @@ def interp(steps, ts=None, stores=None):
         elif name == "hasNot":
             (key,) = args
             out = [t for t in ts if _elem_prop(t, key) is None]
-        elif name in ("out", "in", "both", "outE", "inE"):
+        elif name in ("out", "in", "both", "outE", "inE", "bothE"):
             lbs = args[0]
             for kind, vid, h in ts:
                 for (s_, d_, lb, w) in EDGES:
@@ -177,10 +177,19 @@ def interp(steps, ts=None, stores=None):
                             out.append(("V", d_, h))
                         if d_ == vid:
                             out.append(("V", s_, h))
+                    elif name == "bothE":
+                        if s_ == vid:
+                            out.append(("E", (s_, d_), h))
+                        if d_ == vid:
+                            out.append(("E", (s_, d_), h))
         elif name == "outV":
             out = [("V", loc[0], h) for _, loc, h in ts]
         elif name == "inV":
             out = [("V", loc[1], h) for _, loc, h in ts]
+        elif name == "bothV":
+            for _, loc, h in ts:
+                out.append(("V", loc[0], h))
+                out.append(("V", loc[1], h))
         elif name == "values":
             (key,) = args
             for t in ts:
@@ -373,14 +382,16 @@ def _apply(t, steps):
             t = t.has(key) if p is None else t.has(key, p)
         elif name == "hasNot":
             t = t.hasNot(args[0])
-        elif name in ("out", "in", "both", "outE", "inE"):
+        elif name in ("out", "in", "both", "outE", "inE", "bothE"):
             m = {"out": t.out, "in": t.in_, "both": t.both,
-                 "outE": t.outE, "inE": t.inE}[name]
+                 "outE": t.outE, "inE": t.inE, "bothE": t.bothE}[name]
             t = m(*args[0])
         elif name == "outV":
             t = t.outV()
         elif name == "inV":
             t = t.inV()
+        elif name == "bothV":
+            t = t.bothV()
         elif name == "values":
             t = t.values(args[0])
         elif name == "label":
@@ -586,14 +597,14 @@ def edge_pipeline(draw):
     steps = []
     if draw(st.booleans()):
         steps.append(draw(_elem_filter()))
-    d = draw(st.sampled_from(["outE", "inE"]))
+    d = draw(st.sampled_from(["outE", "inE", "bothE"]))
     lbs = draw(st.sampled_from([(), ("knows",), ("likes",)]))
     steps.append((d, lbs))
     if draw(st.booleans()):
         steps.append(("has", "w", draw(_num_pred())))
     nxt = draw(st.sampled_from(["end", "V", "values", "label", "count"]))
     if nxt == "V":
-        steps.append((draw(st.sampled_from(["outV", "inV"])),))
+        steps.append((draw(st.sampled_from(["outV", "inV", "bothV"])),))
         if draw(st.booleans()):
             steps.append(("dedup",))
         if draw(st.booleans()):

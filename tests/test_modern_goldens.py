@@ -457,6 +457,33 @@ def test_ill_typed_chain_raises_compile_error(g):
         g.V().select("nosuchlabel").df()
 
 
+def test_inject_appends_scalar_traversers(g):
+    import pytest
+
+    from grasper_spark.plans.compiler import CompileError
+
+    # values + injected literals flow through downstream barriers
+    got = sorted(g.V().values("age").inject(99, 1).to_list())
+    base = sorted(g.V().values("age").to_list())
+    assert got == sorted(base + [99, 1])
+    assert g.V().values("age").inject(99).count().to_list() == [len(base) + 1]
+    # string-surface parity
+    assert sorted(
+        r.val for r in g.query('g.V().values("name").inject("zzz")').collect()
+    ) == sorted(g.V().values("name").to_list() + ["zzz"])
+    # injected traversers carry no history: where() drops them
+    aged = (
+        g.V().as_("a").values("age").inject(99)
+        .where(P.neq("a")).df().count()
+    )
+    assert aged == g.V().as_("a").values("age").where(P.neq("a")).df().count()
+    # union typing rules
+    with pytest.raises(CompileError, match="inject"):
+        g.V().values("age").inject("not-a-number").df()
+    with pytest.raises(CompileError, match="scalar"):
+        g.V().inject(1).df()
+
+
 def test_math_on_string_stream_raises_compile_error(g):
     import pytest
 
