@@ -71,6 +71,37 @@ def test_sql_udfs_are_python_free_and_codegen(spark, docs):
     assert df.count() == 7  # docs 2,3,8 drop (<2 tokens)
 
 
+def test_sql_udf_parity_on_adversarial_strings(spark, docs):
+    # seeded random corpus of nasty inputs: quotes, backslashes, regex
+    # metacharacters, unicode, control whitespace — the escaping in the
+    # SQL UDF bodies must agree with the Column builders on ALL of them
+    import random
+
+    rng = random.Random(7)
+    alphabet = (
+        "abc XYZ 012 .,;:!?'\"()[]{}-\\/|^$*+?~`@#%&=<>\t\n\r "
+        "äöü naïve 汉字 ёж ▁ 𝛼"
+    )
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("sqlfn_nasty")
+    for fn, builder in PAIRS:
+        got = {
+            r.doc_id: r.v
+            for r in spark.sql(
+                f"SELECT doc_id, {fn}(text) AS v FROM sqlfn_nasty"
+            ).collect()
+        }
+        want = {
+            r.doc_id: r.v
+            for r in df.select("doc_id", builder(F.col("text")).alias("v")).collect()
+        }
+        assert got == want, f"{fn} diverges on adversarial strings"
+
+
 def test_graph_views_sql_traversal(spark):
     v = spark.createDataFrame(
         [(1, "person", "alice"), (2, "person", "bob"), (3, "item", "pen")],
