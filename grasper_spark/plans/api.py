@@ -191,6 +191,10 @@ class Traversal:
     def aggregate(self, name: str) -> "Traversal":
         return self._add("aggregate", name)
 
+    def store(self, name: str) -> "Traversal":
+        # TinkerPop alias: lazy store ≡ aggregate under batch compilation
+        return self._add("aggregate", name)
+
     def cap(self, *names: str) -> "Traversal":
         return self._add("cap", *names)
 

@@ -35,7 +35,13 @@ STEP_NAMES = {
 }
 
 # steps whose string args are python-reserved in the fluent API
-_ALIASES = {"is_": "is", "in_": "in", "as_": "as", "and_": "and", "or_": "or", "not_": "not"}
+_ALIASES = {
+    "is_": "is", "in_": "in", "as_": "as", "and_": "and", "or_": "or",
+    "not_": "not",
+    # TinkerPop store(x) = lazy-collected aggregate(x); in a batch
+    # DataFrame compilation both snapshot the stream at that point
+    "store": "aggregate",
+}
 
 
 class ParseError(ValueError):
@@ -111,6 +117,7 @@ def _parse_step(tok: str) -> Step:
     if "(" not in tok:
         raise ParseError(f"malformed step: {tok!r}")
     name = tok.split("(", 1)[0].strip()
+    name = _ALIASES.get(name, name)
     if name not in STEP_NAMES:
         raise ParseError(f"unknown step: {name!r}")
     inner = tok[tok.index("(") + 1 : tok.rindex(")")].strip()

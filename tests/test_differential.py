@@ -61,6 +61,7 @@ EDGES = [
     (8, 9, "likes", 3),
     (5, 6, "rel", 1),      # item->item edge, third label
     (9, 5, "rel", 6),
+    (6, 6, "rel", 4),      # self-loop: both() visits 6 twice via one edge
 ]
 
 VLABELS = ["person", "item"]

@@ -202,3 +202,12 @@ def test_fold_constant_arity_errors(g):
         g.query("g.V().fold(3)")
     with pytest.raises(ParseError, match="exactly one literal"):
         g.query("g.V().constant()")
+
+
+def test_store_is_aggregate_alias(g):
+    # TinkerPop store(x) ≡ aggregate(x) under batch compilation — both
+    # string and fluent surfaces produce the same cap() snapshot
+    via_store = [r.val for r in g.query('g.V().values("age").store("x").cap("x")').collect()]
+    via_agg = [r.val for r in g.query('g.V().values("age").aggregate("x").cap("x")').collect()]
+    assert via_store == via_agg
+    assert g.V().values("age").store("x").cap("x").to_list() == via_agg
