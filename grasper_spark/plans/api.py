@@ -302,6 +302,39 @@ class Traversal:
         )
         return c, c.compile(list(self._steps))
 
+    def to_subgraph(self, name: str = "subgraph"):
+        """Materialize the current EDGE stream as a first-class
+        PropertyGraph (TinkerPop ``subgraph('x')``, Spark-first: no
+        side-effect store — the traversal IS the edge selection).
+
+        Edges = the stream's distinct (src, dst) rows with their
+        properties; vertices = the induced endpoints (semi-join against
+        the base vertex table, so properties ride along). The result is
+        a normal graph: run any query or algorithm on it.
+
+        Scale: one distinct on the edge key + one semi-join — both
+        shuffle on vid/src, the same keys a bucketed deployment
+        co-locates (SCALE.md §Graph engine)."""
+        from pyspark.sql import functions as F
+
+        from grasper_spark.graph import PropertyGraph
+        from grasper_spark.plans import compiler as C
+
+        c, stream = self._compile()
+        if stream.kind != "E":
+            raise C.CompileError("to_subgraph() needs an edge stream (outE/inE/E)")
+        g = self._graph
+        edges = stream.df.select(
+            F.col(C.ESRC).alias("src"), F.col(C.EDST).alias("dst"),
+            F.col(C.ELAB).alias("label"),
+            *[F.col(C.EP + k).alias(k) for k in g.edge_keys],
+        ).dropDuplicates(["src", "dst"])
+        ends = edges.select(F.col("src").alias("vid")).unionByName(
+            edges.select(F.col("dst").alias("vid"))
+        ).distinct()
+        vertices = g.vertices.join(ends, "vid", "left_semi")
+        return PropertyGraph(vertices, edges, name=name)
+
     def df(self) -> DataFrame:
         """Compile to the user-facing DataFrame (vid / (src,dst) / val)."""
         c, stream = self._compile()

@@ -211,3 +211,22 @@ def test_store_is_aggregate_alias(g):
     via_agg = [r.val for r in g.query('g.V().values("age").aggregate("x").cap("x")').collect()]
     assert via_store == via_agg
     assert g.V().values("age").store("x").cap("x").to_list() == via_agg
+
+
+def test_to_subgraph_extracts_queryable_graph(g):
+    from grasper_spark import G
+    from grasper_spark.plans.compiler import CompileError
+
+    sub = G(g.E().hasLabel("knows").to_subgraph("knows-only"))
+    # modern graph: marko-knows->vadas, marko-knows->josh
+    assert sorted(r.src for r in sub.graph.edges.collect()) == [1, 1]
+    assert sorted(r.vid for r in sub.graph.vertices.collect()) == [1, 2, 4]
+    # the subgraph is a normal graph: queries run on it
+    assert sub.V().count().to_list() == [3]
+    assert sorted(sub.query('g.V().out("knows").values("name")').toPandas().val) == [
+        "josh", "vadas"
+    ]
+    # vertex properties ride along through the induced semi-join
+    assert sorted(sub.V().has("name", "marko").out("knows").values("age").to_list()) == [27, 32]
+    with pytest.raises(CompileError, match="edge stream"):
+        g.V().to_subgraph()
