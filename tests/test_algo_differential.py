@@ -166,3 +166,27 @@ def test_label_propagation_produces_valid_partition(spark, seed):
     assert a == b
     assert set(a) == set(vids)
     assert set(a.values()) <= set(vids)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_pagerank_matches_python_power_iteration(spark, seed):
+    from grasper_spark.algos import pagerank
+
+    vids, edges, weights = _random_graph(seed, m=35)
+    g = _mk(spark, vids, edges, weights)
+    got = {r.vid: r.rank for r in pagerank(g, iterations=8).collect()}
+    out = {v: [] for v in vids}
+    for a, b in edges:
+        out[a].append(b)
+    d, n = 0.85, len(vids)
+    rank = {v: 1.0 for v in vids}
+    for _ in range(8):
+        dang = sum(rank[v] for v in vids if not out[v])
+        nxt = {v: 0.0 for v in vids}
+        for u in vids:
+            for w in out[u]:
+                nxt[w] += rank[u] / len(out[u])
+        rank = {v: (1 - d) + d * (nxt[v] + dang / n) for v in vids}
+    assert set(got) == set(vids)
+    for v in vids:
+        assert abs(got[v] - rank[v]) < 1e-6, (v, got[v], rank[v])
