@@ -190,3 +190,27 @@ def test_pagerank_matches_python_power_iteration(spark, seed):
     assert set(got) == set(vids)
     for v in vids:
         assert abs(got[v] - rank[v]) < 1e-6, (v, got[v], rank[v])
+
+
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_harmonic_centrality_exact_matches_python(spark, seed):
+    from grasper_spark.algos import harmonic_centrality
+
+    vids, edges, weights = _random_graph(seed, n=16, m=26)
+    g = _mk(spark, vids, edges, weights)
+    got = {r.vid: r.harmonic
+           for r in harmonic_centrality(g, n_seeds=len(vids), max_hops=20).collect()}
+    adj = _undirected_adj(vids, edges)
+    want = {}
+    for v in vids:
+        dist, q = {v: 0}, deque([v])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        want[v] = sum(1.0 / d for u, d in dist.items() if d > 0)
+    assert set(got) == set(want)
+    for v in vids:  # engine rounds the score to 6 dp
+        assert abs(got[v] - round(want[v], 6)) < 1e-9, (v, got[v], want[v])
