@@ -84,6 +84,20 @@ def _apply_merges(sym: F.Column, pairs: list[tuple[str, str]]) -> F.Column:
     return F.aggregate(sym, F.array().cast("array<string>"), step)
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of the RDD behind a localCheckpoint frame.
+
+    ``DataFrame.unpersist()`` cannot reach it — the checkpoint persists at
+    the RDD level, outside the SQL cache manager — so a superseded
+    checkpoint would otherwise occupy executor storage until the RDD is
+    garbage-collected. Safe once a NEWER eager checkpoint has
+    materialized (nothing recomputes through the old one)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # internal API shape changed — fall back to GC-driven cleanup
+
+
 def train_bpe(
     df: DataFrame,
     num_merges: int = 100,
@@ -109,6 +123,7 @@ def train_bpe(
     vocab.count()
     merges: list[tuple[str, str]] = []
     rounds = 0
+    prev_ckpt = None
     while len(merges) < num_merges:
         k = min(batch, num_merges - len(merges))
         top = (
@@ -139,7 +154,15 @@ def train_bpe(
         vocab = old.withColumn("sym", _apply_merges(F.col("sym"), picked)).persist()
         rounds += 1
         if rounds % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+            # keep a handle on the persisted pre-checkpoint frame so it can
+            # be unpersisted once the eager checkpoint has materialized —
+            # otherwise one cached copy leaks per checkpoint round.
+            tmp = vocab
+            vocab = tmp.localCheckpoint(eager=True)
+            tmp.unpersist()
+            if prev_ckpt is not None:
+                _free_local_checkpoint(prev_ckpt)
+            prev_ckpt = vocab
         else:
             vocab.count()
         old.unpersist()
@@ -194,6 +217,7 @@ def bpe_apply(
         (cur.agg(F.max(F.size("sym"))).first()[0] or 1)
     )
     a, b = F.col("a"), F.col("b")
+    prev_ckpt = None
 
     def step(acc, x):
         # merge THIS word's best pair (a per-row column) at every
@@ -231,7 +255,12 @@ def bpe_apply(
         old = cur
         cur = merged.persist()
         if (rnd + 1) % 8 == 0:
-            cur = cur.localCheckpoint(eager=True)
+            tmp = cur
+            cur = tmp.localCheckpoint(eager=True)
+            tmp.unpersist()
+            if prev_ckpt is not None:
+                _free_local_checkpoint(prev_ckpt)
+            prev_ckpt = cur
         else:
             cur.count()
         old.unpersist()

@@ -1285,12 +1285,15 @@ class GremlinCompiler:
         if not vals:
             return s
         num = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+        dtypes = dict(s.df.dtypes)
         if s.dtype is not None:
             want = "num" if s.dtype.startswith(num) else s.dtype
             for v in vals:
                 got = (
-                    "num"
-                    if isinstance(v, (int, float)) and not isinstance(v, bool)
+                    "boolean"
+                    if isinstance(v, bool)
+                    else "num"
+                    if isinstance(v, (int, float))
                     else "string" if isinstance(v, str) else type(v).__name__
                 )
                 if got != want:
@@ -1298,8 +1301,10 @@ class GremlinCompiler:
                         f"inject: literal {v!r} does not match stream dtype {s.dtype}"
                     )
         spark = s.df.sparkSession
-        cast = s.dtype or "string"
-        dtypes = dict(s.df.dtypes)
+        # cast target: the stream dtype when known, else the actual VAL
+        # column type (NOT a blanket 'string', which would poison a
+        # numeric unionByName).
+        cast = s.dtype or dtypes.get(VAL, "string")
         inj = spark.range(1).select(
             *[
                 F.lit(None).cast(dtypes[c]).alias(c)

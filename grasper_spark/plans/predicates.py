@@ -176,6 +176,19 @@ def pred_to_condition(
                         col.isin(keep) if keep else F.lit(False)
                     )
                 return col.isNotNull() & (~col.isin(keep) if keep else F.lit(True))
+            if pred.op in ("within", "without") and other is not None and any(mism):
+                # History-column form: drop mismatched-class refs and compare
+                # only the same-class ones, mirroring the literal keep-list.
+                keep_refs = [c for c, m in zip(other, mism) if not m]
+                if pred.op == "within":
+                    cond = F.lit(False)
+                    for x in keep_refs:
+                        cond = cond | (col == x)
+                    return cond
+                cond = col.isNotNull()
+                for x in keep_refs:
+                    cond = cond & (col != x)
+                return cond
             if any(mism):
                 if pred.op == "neq":
                     return col.isNotNull()
