@@ -1,0 +1,257 @@
+"""Prepared parameterized point queries — the serving layer behind the
+reference's high-QPS posture.
+
+The reference's emulator answers `g.V().has(k, $RAND)…` templates at
+13K q/s because the leading point filter is served from its in-heap
+index store (/root/reference/core/index_store.hpp:118-164) and the rest
+of the query runs on data already in memory. A per-query Spark job can
+never reach that: parse+compile+analysis alone is ~150 ms of driver
+work, and the smallest job pays scheduler latency.
+
+Spark-first equivalent: treat the template as ONE grouped query. The
+parameterized `has(key, eq($PARAM))` step is removed and replaced by a
+*passenger value column* (the property itself) registered as a history +
+group column, so every downstream step — traversals, filters, per-group
+barriers, even per-group range/order (the compiler's labelled-branch
+machinery) — computes the answer FOR EVERY PARAMETER VALUE in a single
+job. The keyed result is then:
+
+- collected into a driver-local hash map when it fits
+  (``max_local_rows``) — each query is a dict probe, microseconds, the
+  exact analogue of the reference's in-heap posting serve; or
+- kept as a CACHED DataFrame keyed by the parameter — each query is a
+  filter over in-memory data (no re-parse, no re-analysis of the full
+  template), the distributed tier for results that outgrow the driver.
+
+At 100 TB the same split holds: the one materialization job is a normal
+grouped query (shuffle keyed by the parameter value), and the serving
+tier is either an edge cache or the cached cluster relation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grasper_spark.plans.compiler import (
+    EDST,
+    ESRC,
+    TID,
+    VAL,
+    VCOL,
+    CompileError,
+    GremlinCompiler,
+    Step,
+)
+from grasper_spark.plans.parser import parse_query
+from grasper_spark.plans.predicates import Pred
+
+#: passenger column carrying the parameter value. TID-prefixed so the
+#: compiler's barrier machinery preserves it through aggregations
+#: (``_grouped_agg`` keeps TID-prefixed group columns as history).
+PQCOL = f"{TID}pq"
+
+#: sentinel literal substituted for the template marker before parsing
+_SENTINEL = "__GRASPER_PARAM_7f3a__"
+
+#: steps whose semantics are NOT per-traverser (global side-effect
+#: stores, sampling, path recording) — grouping by the parameter would
+#: silently change their meaning, so such templates fall back
+_UNSUPPORTED = frozenset(
+    ["aggregate", "store", "cap", "coin", "sample", "path", "simplePath",
+     "cyclicPath", "inject"]
+)
+
+
+class PrepareError(ValueError):
+    """Template not preparable (no/ambiguous marker, unsupported step)."""
+
+
+class PreparedQuery:
+    """One materialized template; serve values via :meth:`rows`.
+
+    Parameters
+    ----------
+    g : grasper_spark.plans.api.G
+        Graph handle (supplies graph, seed, index store, config).
+    template : str
+        Query string containing the marker exactly once, as the value of
+        a ``has(key, <marker>)`` step (quoted or bare).
+    marker : str
+        Parameter placeholder, default ``$RAND`` (the emu config form).
+    max_local_rows : int
+        Materialized results up to this size are collected into a
+        driver-local map; larger stay a cached keyed DataFrame.
+    """
+
+    def __init__(
+        self,
+        g: Any,
+        template: str,
+        marker: str = "$RAND",
+        max_local_rows: int = 2_000_000,
+    ):
+        self.template = template
+        self._g = g
+        steps = self._parse(template, marker)
+        idx, key = self._find_param_step(steps)
+        bad = sorted({st.name for st in steps if st.name in _UNSUPPORTED})
+        if bad:
+            raise PrepareError(f"template step(s) not preparable: {bad}")
+        self.key = key
+
+        c = GremlinCompiler(
+            g.graph,
+            seed=g._seed,
+            index_store=getattr(g, "_index_store", None),
+            config=getattr(g, "_config", None),
+        )
+        prefix = c.compile(steps[:idx])
+        if prefix.kind not in ("V", "E"):
+            raise PrepareError(f"parameter has() on a {prefix.kind} stream")
+        prefix, col, dtype = c._prop_col(prefix, key)
+        self.param_dtype = dtype
+        keyed = replace(
+            prefix,
+            df=prefix.df.withColumn(PQCOL, col).filter(col.isNotNull()),
+            history={**prefix.history, PQCOL: PQCOL},
+            hist_dtype={**prefix.hist_dtype, PQCOL: dtype},
+            group_cols=list(prefix.group_cols) + [PQCOL],
+        )
+        out = c.compile(steps[idx + 1:], start=keyed)
+        self._out_df = self._project(c, out)
+        self.columns = [col_ for col_ in self._out_df.columns if col_ != PQCOL]
+
+        self._local: Optional[dict] = None
+        self._rel: Optional[DataFrame] = None
+        n = self._out_df.count()
+        self.total_rows = n
+        if n <= max_local_rows:
+            rows = self._out_df.collect()
+            m: dict = {}
+            for r in rows:
+                m.setdefault(r[PQCOL], []).append(
+                    tuple(v for c2, v in zip(self._out_df.columns, r) if c2 != PQCOL)
+                )
+            self._local = m
+            self.mode = "local"
+        else:
+            # distributed tier: cache keyed by the parameter; each serve
+            # is a filter over the in-memory relation
+            self._rel = self._out_df.persist()
+            self._rel.count()
+            self.mode = "relation"
+
+    # ---- template surgery ----
+
+    @staticmethod
+    def _parse(template: str, marker: str) -> list[Step]:
+        # quoted marker ("$RAND" / '$RAND') and bare marker (numeric
+        # position) both become one quoted sentinel literal; the real
+        # value class comes from the property dtype, not the rendering
+        txt = template
+        for q in ('"', "'"):
+            txt = txt.replace(f"{q}{marker}{q}", f'"{_SENTINEL}"')
+        txt = txt.replace(marker, f'"{_SENTINEL}"')
+        try:
+            return list(parse_query(txt))
+        except Exception as ex:
+            raise PrepareError(f"template does not parse: {ex}") from ex
+
+    @staticmethod
+    def _find_param_step(steps: list[Step]) -> tuple[int, str]:
+        hits = [
+            (i, st.args[0])
+            for i, st in enumerate(steps)
+            if st.name == "has"
+            and len(st.args) == 2
+            and isinstance(st.args[1], Pred)
+            and st.args[1].op == "eq"
+            and st.args[1].args == (_SENTINEL,)
+        ]
+        # the sentinel anywhere else (another step, within(), …) is a
+        # shape this layer does not model
+        loose = sum(
+            1
+            for st in steps
+            for a in st.args
+            if (isinstance(a, Pred) and _SENTINEL in map(str, a.args))
+            or a == _SENTINEL
+        )
+        if len(hits) != 1 or loose != 1:
+            raise PrepareError(
+                f"template needs the marker exactly once as has(k, marker); "
+                f"found {len(hits)} (marker occurrences: {loose})"
+            )
+        return hits[0]
+
+    @staticmethod
+    def _project(c: GremlinCompiler, stream) -> DataFrame:
+        """result_df + the passenger key (kept first)."""
+        df = stream.df
+        if stream.sort:
+            df = df.orderBy(
+                *[F.col(x).asc() if asc else F.col(x).desc() for x, asc in stream.sort]
+            )
+        if stream.kind == "V":
+            return df.select(PQCOL, F.col(VCOL).alias("vid"))
+        if stream.kind == "E":
+            return df.select(PQCOL, F.col(ESRC).alias("src"), F.col(EDST).alias("dst"))
+        if stream.kind == "G":  # relational group output keeps its columns
+            keep = [c2 for c2 in df.columns if c2 != PQCOL]
+            return df.select(PQCOL, *keep)
+        return df.select(PQCOL, F.col(VAL).alias("val"))
+
+    # ---- serving ----
+
+    def _coerce(self, value: Any) -> Any:
+        if self.param_dtype.startswith(("int", "bigint", "smallint", "tinyint")):
+            return int(value)
+        if self.param_dtype.startswith(("double", "float", "decimal")):
+            return float(value)
+        return value
+
+    def rows(self, value: Any) -> list[tuple]:
+        """Answer the template for one parameter value."""
+        v = self._coerce(value)
+        if self._local is not None:
+            return self._local.get(v, [])
+        return [
+            tuple(r)[1:] for r in self._rel.filter(F.col(PQCOL) == v).collect()
+        ]
+
+    def df(self, value: Any) -> DataFrame:
+        """DataFrame form (relation tier; local tier parallelizes)."""
+        v = self._coerce(value)
+        if self._rel is not None:
+            return self._rel.filter(F.col(PQCOL) == v).drop(PQCOL)
+        spark = self._g.graph.spark
+        return spark.createDataFrame(
+            self.rows(v), self._out_df.drop(PQCOL).schema
+        )
+
+    def param_values(self) -> list:
+        """Distinct parameter values with at least one result row."""
+        if self._local is not None:
+            return list(self._local)
+        return [r[0] for r in self._rel.select(PQCOL).distinct().collect()]
+
+    def close(self) -> None:
+        if self._rel is not None:
+            self._rel.unpersist()
+            self._rel = None
+
+
+def prepare(g: Any, template: str, marker: str = "$RAND", **kw: Any) -> PreparedQuery:
+    """Build a :class:`PreparedQuery`; raises :class:`PrepareError` when
+    the template shape is out of scope (callers fall back to per-query
+    execution)."""
+    try:
+        return PreparedQuery(g, template, marker=marker, **kw)
+    except (PrepareError, CompileError):
+        raise
+    except Exception as ex:  # analysis errors surface as PrepareError
+        raise PrepareError(str(ex)) from ex

@@ -1,0 +1,97 @@
+"""Prepared parameterized point queries (plans/prepared.py): parity with
+the per-query path across template shapes, tier selection, and shape
+rejection (PrepareError → caller falls back)."""
+
+import pytest
+
+from grasper_spark.plans.prepared import PrepareError, PreparedQuery, prepare
+
+
+def _per_query(g, template, value):
+    if isinstance(value, str):
+        q = template.replace("$RAND", value)
+    else:
+        q = template.replace("$RAND", str(value))
+    return sorted(tuple(r) for r in g.query(q).collect())
+
+
+TEMPLATES = [
+    'g.V().has("name","$RAND").values("age")',
+    'g.V().hasLabel("person").has("age",$RAND).values("name")',
+    'g.V().has("name","$RAND").out("knows").values("name")',
+    'g.V().has("lang","$RAND").count()',
+    'g.V().has("lang","$RAND").values("name").order().limit(1)',
+    'g.V().has("name","$RAND").out("created").in("created").dedup().count()',
+]
+
+
+@pytest.mark.parametrize("template", TEMPLATES)
+def test_prepared_matches_per_query(g, template):
+    p = prepare(g, template)
+    assert p.mode == "local"
+    vals = p.param_values()
+    assert vals, template
+    for v in vals:
+        got = sorted(p.rows(v))
+        want = _per_query(g, template, v)
+        assert got == want, (template, v)
+
+
+def test_prepared_unseen_value_returns_empty(g):
+    # serving is defined over the OBSERVED parameter domain (like the
+    # reference's index store, which only holds present values)
+    p = prepare(g, 'g.V().has("name","$RAND").values("age")')
+    assert p.rows("no-such-name") == []
+
+
+def test_prepared_numeric_param_coercion(g):
+    p = prepare(g, 'g.V().has("age",$RAND).values("name")')
+    # int and float renderings of the same numeric value both hit
+    assert p.rows(29) == p.rows(29.0) == [("marko",)]
+
+
+def test_prepared_relation_tier(g):
+    p = PreparedQuery(
+        g, 'g.V().has("name","$RAND").values("age")', max_local_rows=1
+    )
+    try:
+        assert p.mode == "relation"
+        assert p.rows("marko") == [(29,)]
+        assert p.rows("no-such-name") == []
+        assert p.df("marko").collect()[0][0] == 29
+    finally:
+        p.close()
+
+
+@pytest.mark.parametrize(
+    "template",
+    [
+        'g.V().values("age")',                                  # no marker
+        'g.V().has("name","$RAND").has("lang","$RAND").count()',  # twice
+        'g.V().has("name",P.within("$RAND","x")).count()',      # not eq()
+        'g.V().has("name","$RAND").aggregate("x").cap("x")',    # side-effect
+        'g.V().has("name","$RAND").coin(0.5).count()',          # sampling
+    ],
+)
+def test_prepared_rejects_out_of_scope_shapes(g, template):
+    with pytest.raises(PrepareError):
+        prepare(g, template)
+
+
+def test_emu_uses_prepared_and_matches_fallback(g):
+    from grasper_spark.emu import run_emu
+
+    cfg = """
+    5 4
+    2
+    g.V().has("name","$RAND").properties("name")  name  20
+    g.V().hasLabel("person").has("age",$RAND).values("name")   age    10
+    """
+    res = run_emu(g, cfg, max_queries=12)
+    assert res.total_queries == 12
+    assert res.template_modes == {0: "prepared", 1: "prepared"}
+    assert res.warmup_s > 0
+    # fallback path still works end-to-end and agrees on counts
+    res2 = run_emu(g, cfg, max_queries=12, prepare_templates=False)
+    assert res2.total_queries == 12
+    assert res2.template_modes == {0: "per-query", 1: "per-query"}
