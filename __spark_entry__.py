@@ -58,21 +58,51 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
         tag = os.path.basename(sf_dir.rstrip("/"))
         cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  ".graph_cache", f"{ver}_{tag}")
-        prefix = "gb_" + f"{ver}_{tag}".replace(".", "_").replace("-", "_")
-        bdir = os.path.join(cache_dir, "bucketed")
+        # SIZE-GATED snapshot layout: below the threshold a plain parquet
+        # snapshot wins (bucketed scans cost fixed per-bucket task overhead
+        # that tiny queries feel); above it, bucketed V/E tables make
+        # traversal joins zero-exchange. Bucket count scales with source
+        # size (~32 MB/bucket, the same rule a 100 TB deployment applies
+        # per-partition), and exactly ONE snapshot copy is written — the
+        # plain copy exists only below the gate or as the failure path.
+        src_bytes = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        ) if os.path.isdir(sf_dir) else 0
+        BUCKET_GATE = 8 << 20
+        name = f"tpch-graph:{sf_dir}"
         try:
-            if not os.path.isdir(os.path.join(bdir, "e_dst")):
-                base = load_tpch_graph(spark, sf_dir)
-                write_parquet(base, cache_dir)
-                write_bucketed_external(
-                    read_parquet(spark, cache_dir), prefix, bdir
-                )
-            g = attach_bucketed_external(
-                spark, prefix, bdir, name=f"tpch-graph:{sf_dir}"
-            )
+            if src_bytes >= BUCKET_GATE:
+                # floor 16 keeps local[32] traversal joins parallel; the
+                # size term takes over once source data outgrows ~512 MB
+                buckets = max(16, min(256, -(-src_bytes // (32 << 20))))
+                prefix = ("gb_" + f"{ver}_{tag}_b{buckets}"
+                          .replace(".", "_").replace("-", "_"))
+                bdir = os.path.join(cache_dir, f"bucketed{buckets}")
+                if not os.path.isdir(os.path.join(bdir, "e_dst")):
+                    # checkpoint the edge projection for the write: the
+                    # edge table is written twice (src- and dst-bucketed)
+                    # and the lineitem aggregations must not run twice
+                    from grasper_spark.graph import PropertyGraph as _PG
+
+                    base = load_tpch_graph(spark, sf_dir)
+                    ck = _PG(
+                        base.vertices,
+                        base.edges.localCheckpoint(eager=True),
+                        name=base.name,
+                    )
+                    write_bucketed_external(ck, prefix, bdir, buckets=buckets)
+                g = attach_bucketed_external(spark, prefix, bdir, name=name)
+            else:
+                if not os.path.isdir(cache_dir):
+                    write_parquet(load_tpch_graph(spark, sf_dir), cache_dir)
+                g = read_parquet(spark, cache_dir, name=name)
         except Exception:
             try:
-                g = read_parquet(spark, cache_dir, name=f"tpch-graph:{sf_dir}")
+                if not os.path.isdir(cache_dir):
+                    write_parquet(load_tpch_graph(spark, sf_dir), cache_dir)
+                g = read_parquet(spark, cache_dir, name=name)
             except Exception:
                 g = load_tpch_graph(spark, sf_dir)  # read-only FS etc.
         _GRAPH_CACHE[key] = G(g.cache())
@@ -143,18 +173,46 @@ def _q_g_has_filters(spark, sf):
 
 
 def _q_g_traverse_values(spark, sf):
-    # in() and out() one-hop traversals, tagged and unioned
+    # every traversal form in one tagged union: in/out (value streams),
+    # both/inE/bothE/bothV (counts), outE→edge props, outE→inV, plus a
+    # seeded coin(p) count-bounds check (compiler.py:452-515,432)
     g = _graph(spark, sf)
-    a = (
-        g.V().has("name", "NATION_3").in_("from_nation")
-        .hasLabel("customer").values("acctbal").df()
-        .select(F.lit("in").alias("step"), "val")
+
+    def tag(t, df):
+        return df.select(
+            F.lit(t).alias("step"), F.col("val").cast("string").alias("val")
+        )
+
+    a = tag("in", g.V().has("name", "NATION_3").in_("from_nation")
+            .hasLabel("customer").values("acctbal").df())
+    b = tag("out", g.V().has("name", "Customer#000000005").out("placed")
+            .values("totalprice").df())
+    c = tag("both", g.V().has("name", "NATION_3")
+            .both("from_nation", "in_region").count().df())
+    d = tag("outE", g.V().has("name", "Customer#000000005").outE("placed")
+            .values("orderdate").df())
+    e = tag("inE", g.V().has("name", "NATION_3").inE("from_nation").count().df())
+    f = tag("bothE", g.V().has("name", "NATION_3").bothE().count().df())
+    h = tag("inV", g.V().has("name", "Customer#000000005").outE("placed")
+            .inV().values("orderpriority").df())
+    i = tag("bothV", g.E().hasLabel("in_region").bothV().count().df())
+    # coin(p) is seeded-random: the ledger row asserts the sampled count
+    # sits within 6σ of p·N (deterministic under the fixed seed; the
+    # oracle's expected value is the literal 'true')
+    n_total = g.V().count().df().select(F.col("val").alias("n"))
+    coin_cnt = g.V().coin(0.25).count().df()
+    j = coin_cnt.crossJoin(n_total).select(
+        F.lit("coin").alias("step"),
+        F.when(
+            F.abs(F.col("val") - 0.25 * F.col("n"))
+            <= 6.0 * F.sqrt(0.25 * 0.75 * F.col("n")),
+            F.lit("true"),
+        ).otherwise(F.lit("false")).alias("val"),
     )
-    b = (
-        g.V().has("name", "Customer#000000005").out("placed")
-        .values("totalprice").df().select(F.lit("out").alias("step"), "val")
-    )
-    return a.unionByName(b)
+    out = a
+    for part in (b, c, d, e, f, h, i, j):
+        out = out.unionByName(part)
+    return out
 
 
 def _q_g_q3_max(spark, sf):
@@ -1396,12 +1454,32 @@ SELECT 'hasvalue',
        (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING')::VARCHAR
 """,
         "g_traverse_values": """
-SELECT 'in' AS step, c_acctbal AS val
+WITH n3c AS (SELECT count(*) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey
+             WHERE n_name = 'NATION_3'),
+     n3s AS (SELECT count(*) AS c FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_name = 'NATION_3')
+SELECT 'in' AS step, c_acctbal::VARCHAR AS val
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 WHERE n_name = 'NATION_3'
 UNION ALL
-SELECT 'out', o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey
+SELECT 'out', o_totalprice::VARCHAR FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_name = 'Customer#000000005'
+UNION ALL
+SELECT 'both', ((SELECT c FROM n3c) + (SELECT c FROM n3s) + 1)::VARCHAR
+UNION ALL
+SELECT 'outE', strftime(o_orderdate, '%Y-%m-%d') FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_name = 'Customer#000000005'
+UNION ALL
+SELECT 'inE', ((SELECT c FROM n3c) + (SELECT c FROM n3s))::VARCHAR
+UNION ALL
+SELECT 'bothE', ((SELECT c FROM n3c) + (SELECT c FROM n3s) + 1)::VARCHAR
+UNION ALL
+SELECT 'inV', o_orderpriority FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_name = 'Customer#000000005'
+UNION ALL
+SELECT 'bothV', (2 * (SELECT count(*) FROM nation))::VARCHAR
+UNION ALL
+SELECT 'coin', 'true'
 """,
         "g_q3_max": """
 SELECT max(v)::DOUBLE AS val FROM (

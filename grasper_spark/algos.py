@@ -120,19 +120,43 @@ def connected_components(
 
 
 def triangle_count(graph: PropertyGraph) -> DataFrame:
-    """Global undirected triangle count — the canonical multi-way graph
-    join. Edges are canonicalized (a<b) then joined twice; each triangle
-    {a<b<c} is produced exactly once. One row, column `n_triangles`.
+    """Global undirected triangle count — compact-forward / degree-ordered
+    wedge join. One row, column `n_triangles`.
 
-    Scale: two shuffles on edge endpoints; the second join's build side
-    is the same canonical edge set — bucket it once at deployment."""
-    e = _undirected(graph.edges).distinct()
-    canon = e.filter(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
+    Edges are ORIENTED low→high by (degree, vid) — the compact-forward
+    ordering (Latapy 2008; also GraphX's triangleCount) — so every vertex's
+    forward out-degree is skew-bounded: a hub of degree d keeps only its
+    higher-degree neighbors as out-edges, making the wedge join's per-key
+    fan-out O(√m) amortized instead of d². Wedges a→b→c (a ≺ b ≺ c) are
+    closed against the oriented edge a→c; each triangle appears exactly
+    once, with its lowest-order vertex as `a`.
+
+    Scale: id-canonicalized orientation (the naive a<b) produces d² wedge
+    rows on ONE shuffle key for a hub with neighbors on both sides of its
+    id — a straight scale-killer at Twitter-scale max-degrees (reference
+    BASELINE Table 3). Degree ordering bounds Σ outdeg² by O(m^1.5)
+    regardless of skew; no salting needed because the orientation itself
+    removes the hot key."""
+    e = _undirected(graph.edges).distinct()  # both directions present
+    deg = e.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("deg")
     )
-    ab = canon
-    bc = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    ac = canon.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    # each undirected edge appears once per direction: keep the direction
+    # whose (deg, vid) source precedes its destination
+    withd = (
+        e.join(deg.withColumnRenamed("vid", "src"), "src")
+        .withColumnRenamed("deg", "ds")
+        .join(
+            deg.select(F.col("vid").alias("dst"), F.col("deg").alias("dd")),
+            "dst",
+        )
+    )
+    dir_e = withd.filter(
+        F.struct(F.col("ds"), F.col("src")) < F.struct(F.col("dd"), F.col("dst"))
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ab = dir_e
+    bc = dir_e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = dir_e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
     tri = (
         ab.join(bc, "b")
         .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")), "inner")

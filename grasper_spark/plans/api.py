@@ -366,11 +366,16 @@ A = _Anon()
 class G:
     """Graph handle: fluent start (V/E) + string queries + commands."""
 
-    #: SetConfig keys with wired behavior; the rest of the reference's
-    #: keys (core_bind, expert_division, stealing — thread/NUMA knobs,
+    #: SetConfig keys with wired behavior; core_bind / expert_division /
+    #: stealing / data_size (thread/NUMA/memory knobs,
     #: /root/reference/expert/config_expert.hpp:38-69) are N/A under
-    #: Spark's scheduler and accepted as inert.
-    WIRED_CONFIG = ("caching", "indexing", "seed")
+    #: Spark's scheduler and accepted as inert. Anything else is
+    #: rejected like the reference's whitelist (its else-branch help
+    #: text lists exactly these keys; `seed` is our extension).
+    WIRED_CONFIG = ("caching", "indexing", "seed", "step_reorder")
+    ACCEPTED_CONFIG = WIRED_CONFIG + (
+        "core_bind", "expert_division", "stealing", "data_size",
+    )
 
     def __init__(self, graph: PropertyGraph, seed: int = 42, cache_plans: bool = True):
         self.graph = graph
@@ -458,6 +463,14 @@ class G:
     def _set_config(self, q: str) -> DataFrame:
         inner = q[q.index("(") + 1 : q.rindex(")")]
         k, v = [x.strip().strip("'\"") for x in inner.split(",")]
+        if k not in self.ACCEPTED_CONFIG:
+            # the reference whitelists config names and answers unknown
+            # ones with its key list (config_expert.hpp:61-69); rejecting
+            # loudly beats silently storing a typo
+            raise ValueError(
+                f"unknown SetConfig key {k!r}; valid keys: "
+                + ", ".join(self.ACCEPTED_CONFIG)
+            )
         self._config[k] = v
         if k == "seed":
             self._seed = int(v)

@@ -166,7 +166,14 @@ class GremlinCompiler:
             # the same recorded locations.
             self._path_mode = True
             self._path_n = 0
-        steps = self._fuse_dedup_count(list(steps))
+        # plan-rewrite passes ride the reference's step_reorder switch
+        # (SetConfig('step_reorder', b) — expert/config_expert.hpp:47,
+        # applied at parse time in core/parser.cpp:496): disabling it
+        # yields the literal step-by-step plan for A/B comparison
+        if str(self.config.get("step_reorder", "true")).lower() != "false":
+            steps = self._fuse_dedup_count(list(steps))
+        else:
+            steps = list(steps)
         s = start
         # no conversion in path mode: stripping V()+has() would drop the
         # initial location from the recorded path (observable output)
@@ -1367,6 +1374,18 @@ class GremlinCompiler:
                 )
             if frontier.df.isEmpty():
                 break
+        else:
+            # implicit bound exhausted with live traversers: on a cyclic
+            # graph the loop would spin forever — fail pointedly instead
+            # of silently discarding the stragglers. An explicit
+            # times(k) bound keeps TinkerPop's whichever-first semantics.
+            if until is not None and times <= 1 and not frontier.df.isEmpty():
+                raise CompileError(
+                    f"repeat().until() still has live traversers after "
+                    f"{bound} rounds (cyclic graph, or a condition no "
+                    f"traverser satisfies); add times(k) to bound the "
+                    f"loop explicitly"
+                )
         return self._align_union(collected)
 
     def _tagged(self, s: Stream, unique: bool = False) -> tuple[Stream, str]:

@@ -106,7 +106,9 @@ def write_bucketed_external(
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
         )
     # persist the column DDL so attach skips three parquet-footer schema
-    # reads per session (the dominant cost of a warm re-attach)
+    # reads per session (the dominant cost of a warm re-attach); the
+    # bucket count rides along so attach always matches the layout
+    ddls["_buckets"] = buckets
     with open(os.path.join(base_dir, "_SCHEMAS.json"), "w") as fh:
         json.dump(ddls, fh)
 
@@ -123,6 +125,7 @@ def attach_bucketed_external(
     if os.path.exists(sfile):
         with open(sfile) as fh:
             ddls = json.load(fh)
+    buckets = int(ddls.get("_buckets", buckets))
     for suffix, sub, key in _BUCKET_SPECS:
         table = f"{table_prefix}{suffix}"
         path = os.path.join(base_dir, sub)

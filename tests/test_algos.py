@@ -100,6 +100,45 @@ def test_triangle_count_constructed(spark):
     assert triangle_count(PropertyGraph(v, e)).collect()[0]["n_triangles"] == 4
 
 
+def test_triangle_count_skewed_hub_bounded_wedges(spark):
+    """Degree-ordered orientation keeps the wedge join skew-bounded: a
+    hub with neighbors on BOTH sides of its id (the id-canonical worst
+    case, (n/2)² wedge rows on one key) must orient all hub edges
+    inward, so wedges through the hub are zero."""
+    from pyspark.sql import functions as F
+
+    from grasper_spark import PropertyGraph
+    from grasper_spark.algos import _undirected, triangle_count
+
+    n = 200
+    hub = n // 2  # ids on both sides of the hub
+    v = spark.createDataFrame(
+        [(i, "x") for i in range(n + 1)], "vid long, label string"
+    )
+    spokes = [(hub, i, "e") for i in range(n + 1) if i != hub]
+    # every extra edge {x,y} (x,y ≠ hub) closes a triangle with the hub
+    # (5 of them) + the hub-free triangle {10,11,12} = 6
+    extra = [(1, 2, "e"), (n - 1, n, "e"), (10, 11, "e"), (11, 12, "e"), (10, 12, "e")]
+    e = spark.createDataFrame(spokes + extra, "src long, dst long, label string")
+    g = PropertyGraph(v, e)
+    assert triangle_count(g).collect()[0]["n_triangles"] == 6
+
+    # wedge-mass probe: rebuild the oriented relation the same way and
+    # count join rows — must stay O(n), not (n/2)²
+    und = _undirected(g.edges).distinct()
+    deg = und.groupBy(F.col("src").alias("vid")).agg(F.count(F.lit(1)).alias("deg"))
+    withd = (
+        und.join(deg.withColumnRenamed("vid", "src"), "src")
+        .withColumnRenamed("deg", "ds")
+        .join(deg.select(F.col("vid").alias("dst"), F.col("deg").alias("dd")), "dst")
+    )
+    dir_e = withd.filter(
+        F.struct(F.col("ds"), F.col("src")) < F.struct(F.col("dd"), F.col("dst"))
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    wedges = dir_e.join(dir_e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b")
+    assert wedges.count() <= 4 * n  # id-canonical orientation gives ~(n/2)²
+
+
 def test_sssp_weighted_out(modern, spark):
     from grasper_spark.algos import sssp
 

@@ -442,6 +442,36 @@ def test_set_config_seed_rewires_coin(modern):
     assert gi.V()._seed == 7
 
 
+def test_set_config_rejects_unknown_key(modern):
+    import pytest
+
+    from grasper_spark import G
+
+    gi = G(modern)
+    with pytest.raises(ValueError, match="valid keys"):
+        gi.query("SetConfig('cachng', 'true')")  # typo must not be stored
+    assert "cachng" not in gi._config
+    # the reference's inert knobs are accepted without effect
+    gi.query("SetConfig('core_bind', 'true')")
+    assert gi._config["core_bind"] == "true"
+
+
+def test_set_config_step_reorder_observable(modern):
+    from grasper_spark import G
+
+    gi = G(modern)
+    fused = gi.V().dedup().count()
+    plan_on = fused.df()._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan_on  # dedup().count() fused to distinct
+    gi.query("SetConfig('step_reorder', 'false')")
+    plan_off = gi.V().dedup().count().df()._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan_off  # literal dedup survivor window kept
+    # same answer either way
+    assert gi.V().dedup().count().to_list() == [6]
+    gi.query("SetConfig('step_reorder', 'true')")
+    assert gi.V().dedup().count().to_list() == [6]
+
+
 def test_ill_typed_chain_raises_compile_error(g):
     import pytest
 

@@ -180,6 +180,25 @@ def test_repeat_until_no_match_terminates_empty(g):
     assert got == []
 
 
+def test_repeat_until_cycle_errors_at_bound(spark):
+    # a 2-cycle keeps traversers alive forever: the implicit bound must
+    # raise a pointed error, not spin or silently discard
+    from grasper_spark import G, PropertyGraph
+    from grasper_spark.plans.api import A
+    from grasper_spark.plans.compiler import CompileError
+
+    v = spark.createDataFrame([(1, "x"), (2, "x")], "vid long, label string")
+    e = spark.createDataFrame(
+        [(1, 2, "loop"), (2, 1, "loop")], "src long, dst long, label string"
+    )
+    gc = G(PropertyGraph(v, e))
+    with pytest.raises(CompileError, match="live traversers"):
+        gc.V().repeat(A.out("loop")).until(A.hasLabel("nosuch")).df()
+    # an explicit times(k) bound keeps whichever-first semantics: no error
+    got = gc.V().repeat(A.out("loop"), times=3).until(A.hasLabel("nosuch")).df()
+    assert got.count() == 0
+
+
 def test_fold_scalars(g):
     got = vals(g.V().hasLabel("person").values("age").fold())
     assert got == ["[27, 29, 32, 35]"]
