@@ -65,8 +65,16 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
         # size (~32 MB/bucket, the same rule a 100 TB deployment applies
         # per-partition), and exactly ONE snapshot copy is written — the
         # plain copy exists only below the gate or as the failure path.
+        def _psize(p):  # file, or a Spark-written parquet directory
+            if os.path.isfile(p):
+                return os.path.getsize(p)
+            return sum(
+                os.path.getsize(os.path.join(r, f2))
+                for r, _, fs in os.walk(p) for f2 in fs
+            )
+
         src_bytes = sum(
-            os.path.getsize(os.path.join(sf_dir, f))
+            _psize(os.path.join(sf_dir, f))
             for f in os.listdir(sf_dir)
             if f.endswith(".parquet")
         ) if os.path.isdir(sf_dir) else 0

@@ -221,15 +221,14 @@ def write_ivfpq_index(
     seed: int = 42,
 ) -> None:
     """Persist the IVF-PQ layout: PQ codes partitioned by IVF cluster
-    (+ centroids and codebooks as small JSON sidecars).
+    (+ the shared versioned manifest holding centroids and codebooks,
+    ann_index.py).
 
     The faiss IVF-PQ architecture as a parquet layout: a probe reads
     only its clusters' FILES (Spark partition pruning) and those files
     hold m-byte codes, not vectors — probed bytes shrink by
     (corpus/probed clusters) × (vector bytes/m)."""
-    import json
-    import os
-
+    from grasper_spark.functions.ann_index import data_dir, write_manifest
     from grasper_spark.functions.similarity import ivf_index
 
     assigned, centroids = ivf_index(
@@ -241,12 +240,12 @@ def write_ivfpq_index(
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
     coded = assigned.select(id_col, "cluster").join(codes, id_col)
     coded.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(path, "codes")
+        data_dir(path, "ivfpq")
     )
-    with open(os.path.join(path, "centroids.json"), "w") as fh:
-        json.dump(centroids, fh)
-    with open(os.path.join(path, "codebooks.json"), "w") as fh:
-        json.dump(books, fh)
+    write_manifest(
+        path, "ivfpq", centroids=centroids, codebooks=books,
+        n_clusters=n_clusters, m=m, nbits=nbits, dim=dim, vec_col=vec_col,
+    )
 
 
 def ivfpq_topk(
@@ -268,15 +267,12 @@ def ivfpq_topk(
     The cluster filter is an `isin` over the partition column, so the
     scan's PartitionFilters prune unprobed files (plan-asserted in
     tests)."""
-    import json
-    import os
-
     import numpy as np
 
-    with open(os.path.join(path, "centroids.json")) as fh:
-        centroids = [(int(c), v) for c, v in json.load(fh)]
-    with open(os.path.join(path, "codebooks.json")) as fh:
-        books = json.load(fh)
+    from grasper_spark.functions.ann_index import data_dir, read_manifest
+
+    doc = read_manifest(path, expect_kind="ivfpq")
+    centroids, books = doc["centroids"], doc["codebooks"]
     cents = np.asarray([v for _, v in centroids])
     cent_ids = [c for c, _ in centroids]
     q_rows = queries.select(
@@ -290,7 +286,7 @@ def ivfpq_topk(
         )
         for i in np.argsort(-sims)[:n_probe]:
             probed.add(cent_ids[int(i)])
-    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+    codes = spark.read.parquet(data_dir(path, "ivfpq")).filter(
         F.col("cluster").isin(sorted(probed))
     )
     return pq_topk(
@@ -303,6 +299,44 @@ def ivfpq_topk(
         rerank_with=rerank_with,
         shortlist=shortlist,
     )
+
+
+def ivfpq_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incrementally ingest vectors into a persisted IVF-PQ index:
+    nearest stored centroid (broadcast argmax, same rule as
+    `similarity.ivf_append`) + PQ-encode with the STORED codebooks, then
+    append to the cluster-partitioned code relation. Codebooks and
+    centroids drift only on an explicit re-train (`write_ivfpq_index`).
+    Returns the new rows' (id, cluster, codes)."""
+    from grasper_spark.functions.ann_index import data_dir, read_manifest
+    from grasper_spark.functions.similarity import cosine
+
+    doc = read_manifest(path, expect_kind="ivfpq")
+    cent_df = spark.createDataFrame(doc["centroids"], ["cluster", "centroid"])
+    scored = (
+        new_vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            id_col, vec_col, "cluster",
+            cosine(F.col(vec_col), F.col("centroid").cast("array<double>")).alias("csim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cluster"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, vec_col, "cluster")
+    )
+    coded = pq_encode(assigned, doc["codebooks"], id_col=id_col, vec_col=vec_col)
+    out = assigned.select(id_col, "cluster").join(coded, id_col)
+    out.write.mode("append").partitionBy("cluster").parquet(data_dir(path, "ivfpq"))
+    return out
 
 
 def pq_reconstruct(

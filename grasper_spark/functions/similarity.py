@@ -353,28 +353,29 @@ def write_ivf_index(
     """Persist an IVF index: the assignment parquet PARTITIONED BY
     cluster (each probe then reads only its clusters' files — Spark
     partition pruning, not a filter over the whole corpus) + the
-    centroid table as one small JSON next to it."""
-    import json
-    import os
+    shared versioned manifest (ann_index.py) holding the centroid
+    table."""
+    from grasper_spark.functions.ann_index import data_dir, write_manifest
 
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(path, "assigned")
+        data_dir(path, "ivf")
     )
-    with open(os.path.join(path, "centroids.json"), "w") as fh:
-        json.dump(centroids, fh)
+    write_manifest(
+        path, "ivf", centroids=centroids, n_clusters=len(centroids),
+        vec_col=vec_col,
+    )
 
 
 def read_ivf_index(spark, path: str):
-    """(assigned_df, centroids) — inverse of write_ivf_index. The
-    returned assignment is the partition-pruned read path: pass it
-    straight to ivf_topk."""
-    import json
-    import os
+    """(assigned_df, centroids) — inverse of write_ivf_index, with
+    manifest validation (pointed errors on a missing/alien/newer
+    index). The returned assignment is the partition-pruned read path:
+    pass it straight to ivf_topk."""
+    from grasper_spark.functions.ann_index import data_dir, read_manifest
 
-    assigned = spark.read.parquet(os.path.join(path, "assigned"))
-    with open(os.path.join(path, "centroids.json")) as fh:
-        centroids = [(int(c), v) for c, v in json.load(fh)]
-    return assigned, centroids
+    doc = read_manifest(path, expect_kind="ivf")
+    assigned = spark.read.parquet(data_dir(path, "ivf"))
+    return assigned, doc["centroids"]
 
 
 def ivf_append(
@@ -387,11 +388,9 @@ def ivf_append(
     partitioned assignment. Centroids drift only on an explicit
     re-train (`ivf_index` + `write_ivf_index`) — the standard IVF
     ingest/retrain split. Returns the new rows' assignment."""
-    import json
-    import os
+    from grasper_spark.functions.ann_index import data_dir, read_manifest
 
-    with open(os.path.join(path, "centroids.json")) as fh:
-        centroids = [(int(c), v) for c, v in json.load(fh)]
+    centroids = read_manifest(path, expect_kind="ivf")["centroids"]
     cent_df = spark.createDataFrame(centroids, ["cluster", "centroid"])
     scored = (
         new_vectors.select(id_col, vec_col)
@@ -408,7 +407,7 @@ def ivf_append(
         .select(id_col, vec_col, "cluster")
     )
     assigned.write.mode("append").partitionBy("cluster").parquet(
-        os.path.join(path, "assigned")
+        data_dir(path, "ivf")
     )
     return assigned
 
