@@ -377,6 +377,29 @@ class G:
         "core_bind", "expert_division", "stealing", "data_size",
     )
 
+    #: auto-prepare: a repeated single-literal point-query SHAPE (same
+    #: steps, different literal) is materialized through
+    #: plans/prepared.py after this many sightings and served from the
+    #: keyed result — the reference's index-store serving for ad-hoc
+    #: repeated traffic, without an explicit prepare() call.
+    AUTO_PREPARE_AFTER = 2
+    AUTO_PREPARE_MAX = 16          # live auto-prepared templates
+    AUTO_PREPARE_MAX_ROWS = 500_000
+
+    #: steps whose per-parameter grouped execution is INDISTINGUISHABLE
+    #: from per-query execution (pure per-traverser semantics). Barriers
+    #: (count/sum/…) are excluded — an empty parameter group would drop
+    #: the row where per-query returns 0 — as are positional slices
+    #: (limit/range/…), whose arbitrary-pick tie-breaks may differ.
+    _AUTO_STEPS = frozenset(
+        ["V", "E", "has", "hasNot", "hasKey", "hasValue", "hasLabel", "is",
+         "out", "in", "both", "outE", "inE", "bothE", "outV", "inV",
+         "bothV", "values", "properties", "key", "label", "id", "valueMap",
+         "elementMap", "select", "as", "where", "dedup", "union", "and",
+         "or", "not", "match", "optional", "coalesce", "choose",
+         "constant", "project"]
+    )
+
     def __init__(self, graph: PropertyGraph, seed: int = 42, cache_plans: bool = True):
         self.graph = graph
         self._seed = seed
@@ -388,6 +411,8 @@ class G:
         # templates with repeated parameters) skip parse+compile+analyze
         self._cache_plans = cache_plans
         self._plan_cache: dict[str, DataFrame] = {}
+        self._auto_prepared: dict[str, Any] = {}  # shape -> PreparedQuery|None
+        self._shape_seen: dict[str, int] = {}
 
     def V(self, *ids: int) -> Traversal:
         return Traversal(self.graph, (Step("V", tuple(ids)),), self._seed, ctx=self)
@@ -414,10 +439,84 @@ class G:
             return self._set_config(q)
         if self._caching_on() and q in self._plan_cache:
             return self._plan_cache[q]
-        df = self.traversal(parse_query(q)).df()
+        steps = parse_query(q)
+        if self._caching_on():
+            served = self._try_auto_prepared(steps)
+            if served is not None:
+                return served
+        df = self.traversal(steps).df()
         if self._caching_on() and len(self._plan_cache) < 4096:
             self._plan_cache[q] = df
         return df
+
+    def prepare(self, template: str, marker: str = "$RAND", **kw: Any):
+        """Explicitly prepare a parameterized point-query template
+        (plans/prepared.py): one grouped materialization job, then
+        `.rows(value)` / `.df(value)` serve each parameter from the
+        keyed result — the reference index store's serving posture."""
+        from grasper_spark.plans.prepared import prepare as _prep
+
+        return _prep(self, template, marker=marker, **kw)
+
+    def _point_shape(self, steps) -> Optional[tuple]:
+        """(shape_key, param_idx, value) when `steps` is a supported
+        single-literal point query, else None."""
+        hits = [
+            (i, st)
+            for i, st in enumerate(steps)
+            if st.name == "has" and len(st.args) == 2
+            and isinstance(st.args[1], Pred) and st.args[1].op == "eq"
+            and len(st.args[1].args) == 1
+            and isinstance(st.args[1].args[0], (str, int, float))
+            and not isinstance(st.args[1].args[0], bool)
+        ]
+        if len(hits) != 1:
+            return None
+        i, st = hits[0]
+        if i == 0 or steps[0].name not in ("V", "E") or steps[0].args:
+            return None
+        names = {s2.name for j, s2 in enumerate(steps) if j != i}
+        if not names <= self._AUTO_STEPS:
+            return None
+        shape = (
+            repr(list(steps[:i]))
+            + f"|has({st.args[0]!r},eq(?))|"
+            + repr(list(steps[i + 1:]))
+        )
+        return shape, i, st.args[1].args[0]
+
+    def _try_auto_prepared(self, steps) -> Optional[DataFrame]:
+        from grasper_spark.plans.prepared import PreparedQuery
+
+        ps = self._point_shape(steps)
+        if ps is None:
+            return None
+        shape, idx, value = ps
+        if shape in self._auto_prepared:
+            rec = self._auto_prepared[shape]
+            return rec.df(value) if rec is not None else None
+        n = self._shape_seen.get(shape, 0) + 1
+        self._shape_seen[shape] = n
+        live = sum(1 for v in self._auto_prepared.values() if v is not None)
+        if n <= self.AUTO_PREPARE_AFTER or live >= self.AUTO_PREPARE_MAX:
+            return None
+        try:
+            rec = PreparedQuery(
+                self, steps=list(steps), param_idx=idx,
+                max_local_rows=self.AUTO_PREPARE_MAX_ROWS,
+            )
+        except Exception:
+            rec = None  # shape out of scope — remembered, no retries
+        self._auto_prepared[shape] = rec
+        return rec.df(value) if rec is not None else None
+
+    def _invalidate_caches(self) -> None:
+        self._plan_cache.clear()
+        for rec in self._auto_prepared.values():
+            if rec is not None:
+                rec.close()
+        self._auto_prepared.clear()
+        self._shape_seen.clear()
 
     def profile(self, query: str) -> DataFrame:
         """Per-step execution profile of a query string: one row per
@@ -457,7 +556,7 @@ class G:
         if str(self._config.get("indexing", "true")).lower() == "false":
             return spark.createDataFrame([("Index is disabled",)], ["val"])
         self._index_store.build(self.graph, target, key)
-        self._plan_cache.clear()  # cached plans predate the index
+        self._invalidate_caches()  # cached plans predate the index
         return spark.createDataFrame([("Index is enabled",)], ["val"])
 
     def _set_config(self, q: str) -> DataFrame:
@@ -474,7 +573,7 @@ class G:
         self._config[k] = v
         if k == "seed":
             self._seed = int(v)
-        # cached plans bake in the previous config (index conversion,
-        # coin seed) — invalidate on every change
-        self._plan_cache.clear()
+        # cached plans and prepared templates bake in the previous
+        # config (index conversion, coin seed) — invalidate on change
+        self._invalidate_caches()
         return self.graph.spark.createDataFrame([("Config modified",)], ["val"])

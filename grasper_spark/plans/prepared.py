@@ -90,14 +90,23 @@ class PreparedQuery:
     def __init__(
         self,
         g: Any,
-        template: str,
+        template: str | None = None,
         marker: str = "$RAND",
         max_local_rows: int = 2_000_000,
+        steps: list | None = None,
+        param_idx: int | None = None,
     ):
+        """Build from a marker template, OR from pre-parsed ``steps``
+        with ``param_idx`` pointing at the parameterized has() step
+        (the auto-prepare path — G.query shape detection)."""
         self.template = template
         self._g = g
-        steps = self._parse(template, marker)
-        idx, key = self._find_param_step(steps)
+        if steps is None:
+            steps = self._parse(template, marker)
+            idx, key = self._find_param_step(steps)
+        else:
+            idx = param_idx
+            key = steps[idx].args[0]
         bad = sorted({st.name for st in steps if st.name in _UNSUPPORTED})
         if bad:
             raise PrepareError(f"template step(s) not preparable: {bad}")
@@ -126,11 +135,15 @@ class PreparedQuery:
         self.columns = [col_ for col_ in self._out_df.columns if col_ != PQCOL]
 
         self._local: Optional[dict] = None
-        self._rel: Optional[DataFrame] = None
-        n = self._out_df.count()
+        # the keyed relation is cached in BOTH tiers: rows() serves from
+        # the driver map when it fits, while df() always filters the
+        # in-memory relation (a createDataFrame from driver rows would
+        # cost more per query than the cached filter)
+        self._rel: Optional[DataFrame] = self._out_df.persist()
+        n = self._rel.count()
         self.total_rows = n
         if n <= max_local_rows:
-            rows = self._out_df.collect()
+            rows = self._rel.collect()
             m: dict = {}
             for r in rows:
                 m.setdefault(r[PQCOL], []).append(
@@ -139,10 +152,6 @@ class PreparedQuery:
             self._local = m
             self.mode = "local"
         else:
-            # distributed tier: cache keyed by the parameter; each serve
-            # is a filter over the in-memory relation
-            self._rel = self._out_df.persist()
-            self._rel.count()
             self.mode = "relation"
 
     # ---- template surgery ----
@@ -224,14 +233,9 @@ class PreparedQuery:
         ]
 
     def df(self, value: Any) -> DataFrame:
-        """DataFrame form (relation tier; local tier parallelizes)."""
+        """DataFrame form: a filter over the cached keyed relation."""
         v = self._coerce(value)
-        if self._rel is not None:
-            return self._rel.filter(F.col(PQCOL) == v).drop(PQCOL)
-        spark = self._g.graph.spark
-        return spark.createDataFrame(
-            self.rows(v), self._out_df.drop(PQCOL).schema
-        )
+        return self._rel.filter(F.col(PQCOL) == v).drop(PQCOL)
 
     def param_values(self) -> list:
         """Distinct parameter values with at least one result row."""

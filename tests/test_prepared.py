@@ -78,6 +78,69 @@ def test_prepared_rejects_out_of_scope_shapes(g, template):
         prepare(g, template)
 
 
+def test_auto_prepare_serves_repeated_point_shapes(modern):
+    from grasper_spark import G
+
+    gi = G(modern)
+    names = ["marko", "vadas", "josh", "peter", "lop"]
+    base = {
+        n: sorted(r.val for r in gi.query(
+            f'g.V().has("name","{n}").out("created").values("name")'
+        ).collect())
+        for n in names[:2]
+    }
+    # 3rd sighting of the shape (different literal) trips auto-prepare
+    gi.query('g.V().has("name","josh").out("created").values("name")').collect()
+    assert len(gi._auto_prepared) == 1
+    rec = next(iter(gi._auto_prepared.values()))
+    assert rec is not None and rec.mode == "local"
+    # served results match the per-query path exactly
+    for n in names:
+        got = sorted(r.val for r in gi.query(
+            f'g.V().has("name","{n}").out("created").values("name")'
+        ).collect())
+        fresh = sorted(r.val for r in gi.traversal(
+            __import__("grasper_spark.plans.parser", fromlist=["parse_query"])
+            .parse_query(f'g.V().has("name","{n}").out("created").values("name")')
+        ).df().collect())
+        assert got == fresh, n
+    assert base["marko"] == ["lop"]
+
+
+def test_auto_prepare_skips_barrier_and_multi_literal_shapes(modern):
+    from grasper_spark import G
+
+    gi = G(modern)
+    for n in ("marko", "vadas", "josh", "peter"):
+        # count() is a barrier: the empty-group collapse makes grouped
+        # execution distinguishable — must never auto-prepare
+        assert gi.query(f'g.V().has("name","{n}").count()').collect()[0][0] == 1
+        # two literals: out of scope
+        gi.query(
+            f'g.V().has("name","{n}").has("age",29).values("name")'
+        ).collect()
+    assert gi._auto_prepared == {}
+    # per-query count semantics survive: absent value still answers 0
+    assert gi.query('g.V().has("name","nobody").count()').collect()[0][0] == 0
+
+
+def test_auto_prepare_invalidated_by_config_change(modern):
+    from grasper_spark import G
+
+    gi = G(modern)
+    q = 'g.V().has("name","{}").values("age")'
+    for n in ("marko", "vadas", "josh"):
+        gi.query(q.format(n)).collect()
+    assert len(gi._auto_prepared) == 1
+    gi.query("SetConfig('seed', '7')")
+    assert gi._auto_prepared == {} and gi._shape_seen == {}
+
+
+def test_g_prepare_public_api(g):
+    p = g.prepare('g.V().has("name","$RAND").values("age")')
+    assert p.rows("marko") == [(29,)]
+
+
 def test_emu_uses_prepared_and_matches_fallback(g):
     from grasper_spark.emu import run_emu
 
