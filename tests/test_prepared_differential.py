@@ -1,0 +1,115 @@
+"""Differential property test for the prepared serving layer: for random
+supported point-query shapes, PreparedQuery.rows(v) must equal the
+per-query compile for EVERY parameter value in the domain (plus a value
+absent from it). This is the parity contract auto-prepare relies on
+(plans/api.G._try_auto_prepared serves user queries from it)."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from grasper_spark import G, P, PropertyGraph
+from grasper_spark.plans.compiler import Step
+from grasper_spark.plans.prepared import PreparedQuery
+
+VERTS = [
+    (1, "person", 29, "alice"),
+    (2, "person", 27, "bob"),
+    (3, "person", None, "carol"),
+    (4, "person", 32, None),
+    (5, "item", 29, "book"),
+    (6, "item", 3, "pen"),
+    (7, "item", None, None),
+    (8, "person", 27, "dave"),
+    (9, "item", 100, "rock"),
+    (10, "person", 27, "erin"),
+]
+EDGES = [
+    (1, 2, "knows", 1),
+    (1, 5, "owns", 2),
+    (2, 5, "owns", 1),
+    (2, 6, "owns", 3),
+    (4, 1, "knows", 1),
+    (8, 9, "owns", 5),
+    (3, 6, "owns", 2),
+    (8, 1, "knows", 2),
+    (9, 9, "self", 1),
+]
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def gd(spark):
+    v = spark.createDataFrame(VERTS, "vid long, label string, age long, name string")
+    e = spark.createDataFrame(EDGES, "src long, dst long, label string, w long")
+    pg = PropertyGraph(v, e)
+    pg.vertices.cache().count()
+    pg.edges.cache().count()
+    return G(pg)
+
+
+@st.composite
+def point_shape(draw):
+    """(steps, param_idx): a supported single-literal point query."""
+    steps = []
+    steps.append(Step("V", ()))
+    if draw(st.booleans()):
+        steps.append(Step("hasLabel", (draw(st.sampled_from(["person", "item"])),)))
+    key = draw(st.sampled_from(["name", "age"]))
+    idx = len(steps)
+    steps.append(Step("has", (key, P.eq("__PLACEHOLDER__"))))
+    kind = "V"
+    for _ in range(draw(st.integers(min_value=0, max_value=2))):
+        if kind == "E":
+            steps.append(Step(draw(st.sampled_from(["outV", "inV"])), ()))
+            kind = "V"
+        else:
+            hop = draw(st.sampled_from(["out", "in", "both", "outE", "inE"]))
+            lbl = draw(st.sampled_from([(), ("knows",), ("owns",)]))
+            steps.append(Step(hop, lbl))
+            kind = "E" if hop in ("outE", "inE") else "V"
+    tail = draw(st.sampled_from(["none", "values", "label", "dedup", "dedup_values"]))
+    if kind == "E" and tail in ("values", "dedup_values"):
+        # edge streams carry only the 'w' property in this graph
+        steps.append(Step("values", ("w",)))
+        return steps, idx
+    if tail == "values":
+        steps.append(Step("values", (draw(st.sampled_from(["name", "age"])),)))
+    elif tail == "label":
+        steps.append(Step("label", ()))
+    elif tail == "dedup":
+        steps.append(Step("dedup", ()))
+    elif tail == "dedup_values":
+        steps.append(Step("dedup", ()))
+        steps.append(Step("values", (draw(st.sampled_from(["name", "age"])),)))
+    return steps, idx
+
+
+def _per_query(gd, steps, idx, key, value):
+    concrete = list(steps)
+    concrete[idx] = Step("has", (key, P.eq(value)))
+    return sorted(
+        tuple(r) for r in gd.traversal(concrete).df().collect()
+    )
+
+
+@given(shape=point_shape())
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prepared_matches_per_query_on_every_domain_value(gd, shape):
+    steps, idx = shape
+    key = steps[idx].args[0]
+    p = PreparedQuery(gd, steps=list(steps), param_idx=idx)
+    domain = sorted(
+        {v[3] for v in VERTS if v[3] is not None}
+        if key == "name"
+        else {v[2] for v in VERTS if v[2] is not None}
+    )
+    for val in domain:
+        got = sorted(p.rows(val))
+        want = _per_query(gd, steps, idx, key, val)
+        assert got == want, (steps, key, val, got, want)
+    missing = "zzz" if key == "name" else 10**9
+    assert p.rows(missing) == []
+    assert _per_query(gd, steps, idx, key, missing) == []
+    p.close()
