@@ -22,6 +22,12 @@ TEMPLATES = [
     'g.V().has("lang","$RAND").count()',
     'g.V().has("lang","$RAND").values("name").order().limit(1)',
     'g.V().has("name","$RAND").out("created").in("created").dedup().count()',
+    # labelled-branch machinery under the param group column
+    'g.V().has("age",$RAND).union(out("knows").values("name"), out("created").values("name"))',
+    'g.V().has("age",$RAND).and(out("created")).values("name")',
+    'g.V().has("age",$RAND).not(out("knows")).values("name")',
+    # history column + where(neq) rides with the param passenger
+    'g.V().has("lang","$RAND").as("a").in("created").out("created").where(neq("a")).values("name")',
 ]
 
 
