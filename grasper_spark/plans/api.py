@@ -413,6 +413,9 @@ class G:
         self._plan_cache: dict[str, DataFrame] = {}
         self._auto_prepared: dict[str, Any] = {}  # shape -> PreparedQuery|None
         self._shape_seen: dict[str, int] = {}
+        import threading
+
+        self._prepare_lock = threading.Lock()  # emu-style threaded query()
 
     def V(self, *ids: int) -> Traversal:
         return Traversal(self.graph, (Step("V", tuple(ids)),), self._seed, ctx=self)
@@ -492,22 +495,29 @@ class G:
         if ps is None:
             return None
         shape, idx, value = ps
-        if shape in self._auto_prepared:
-            rec = self._auto_prepared[shape]
+        rec = self._auto_prepared.get(shape, False)
+        if rec is not False:
             return rec.df(value) if rec is not None else None
-        n = self._shape_seen.get(shape, 0) + 1
-        self._shape_seen[shape] = n
-        live = sum(1 for v in self._auto_prepared.values() if v is not None)
-        if n <= self.AUTO_PREPARE_AFTER or live >= self.AUTO_PREPARE_MAX:
-            return None
-        try:
-            rec = PreparedQuery(
-                self, steps=list(steps), param_idx=idx,
-                max_local_rows=self.AUTO_PREPARE_MAX_ROWS,
-            )
-        except Exception:
-            rec = None  # shape out of scope — remembered, no retries
-        self._auto_prepared[shape] = rec
+        with self._prepare_lock:
+            # re-check under the lock: a concurrent query() thread may
+            # have materialized (or rejected) the shape already —
+            # double-building would leak the loser's persisted relation
+            rec = self._auto_prepared.get(shape, False)
+            if rec is not False:
+                return rec.df(value) if rec is not None else None
+            n = self._shape_seen.get(shape, 0) + 1
+            self._shape_seen[shape] = n
+            live = sum(1 for v in self._auto_prepared.values() if v is not None)
+            if n <= self.AUTO_PREPARE_AFTER or live >= self.AUTO_PREPARE_MAX:
+                return None
+            try:
+                rec = PreparedQuery(
+                    self, steps=list(steps), param_idx=idx,
+                    max_local_rows=self.AUTO_PREPARE_MAX_ROWS,
+                )
+            except Exception:
+                rec = None  # shape out of scope — remembered, no retries
+            self._auto_prepared[shape] = rec
         return rec.df(value) if rec is not None else None
 
     def _invalidate_caches(self) -> None:
