@@ -43,6 +43,17 @@ def test_prepared_matches_per_query(g, template):
         assert got == want, (template, v)
 
 
+def test_prepared_edge_stream_template(g):
+    # parameterized has() on an EDGE stream (g.E() start)
+    p = prepare(g, 'g.E().has("weight",$RAND).outV().values("name")')
+    for v in p.param_values():
+        got = sorted(p.rows(v))
+        want = _per_query(g, 'g.E().has("weight",$RAND).outV().values("name")', v)
+        assert got == want, v
+    assert 0.5 in p.param_values()
+    assert p.rows(0.5) == [("marko",)]
+
+
 def test_prepared_unseen_value_returns_empty(g):
     # serving is defined over the OBSERVED parameter domain (like the
     # reference's index store, which only holds present values)
