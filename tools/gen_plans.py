@@ -170,6 +170,17 @@ def main() -> None:
             "filter — no extra shuffle beyond the traversal joins themselves.",
         ),
         (
+            "Prepared template materialization (plans/prepared.py)",
+            'prepare(g, \'g.V().has("mktsegment","$RAND").out("placed").values("totalprice")\')',
+            g.prepare(
+                'g.V().has("mktsegment","$RAND").out("placed").values("totalprice")'
+            )._out_df,
+            "The parameterized has() becomes a passenger value column riding the "
+            "SAME traversal joins — the answer for EVERY parameter value computes "
+            "in one job with no parameter-keyed exchange added; serving is then a "
+            "driver map probe or a filter on this cached relation.",
+        ),
+        (
             "Q8 shape: aggregate('x') + where(without('x'))",
             'g.V().hasLabel("order").has("totalprice", gt(200000)).aggregate("big").in("placed").out("placed").where(without("big")).dedup().count()',
             g.V().hasLabel("order").has("totalprice", P.gt(200000.0)).aggregate("big")
