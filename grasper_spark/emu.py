@@ -106,13 +106,19 @@ def run_emu(
     prepared: list = [None] * len(templates)
     modes: dict[int, str] = {}
     pools: list[list] = []
+    if prepare_templates and templates:
+        # materializations are independent Spark jobs — run them
+        # concurrently (FAIR scheduler), warm-up cost ≈ max, not sum
+        def _prep(t):
+            try:
+                return prepare(g, t.query)
+            except PrepareError:
+                return None
+
+        with ThreadPoolExecutor(max_workers=min(4, len(templates))) as wex:
+            prepared = list(wex.map(_prep, templates))
     for i, t in enumerate(templates):
         element = "E" if t.query.lstrip().startswith("g.E()") else "V"
-        if prepare_templates:
-            try:
-                prepared[i] = prepare(g, t.query)
-            except PrepareError:
-                prepared[i] = None
         if prepared[i] is not None:
             modes[i] = "prepared"
             # sample parameters from the materialized domain — the
