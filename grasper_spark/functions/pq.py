@@ -339,6 +339,21 @@ def ivfpq_append(
     return out
 
 
+def ivfpq_append_stream(path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """foreachBatch processor for STREAMING ingest into a persisted
+    IVF-PQ index — the IVF-PQ twin of `similarity.ivf_append_stream`:
+    each micro-batch assigns against the stored centroids, encodes with
+    the stored codebooks, and appends its partitioned code parquet.
+    Exactly-once per batch rides the streaming checkpoint."""
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivfpq_append(batch_df.sparkSession, path, batch_df, id_col, vec_col)
+
+    return process
+
+
 def pq_reconstruct(
     codes_df: DataFrame,
     codebooks: list[list[list[float]]],

@@ -71,6 +71,29 @@ def test_legacy_sidecar_layout_still_reads(spark, emb, tmp_path):
     assert out.count() == 3
 
 
+def test_ivfpq_append_stream_ingests_microbatches(spark, emb, tmp_path):
+    from pyspark.sql import functions as F
+
+    from grasper_spark.functions.ann_index import data_dir
+    from grasper_spark.functions.pq import ivfpq_append_stream, write_ivfpq_index
+
+    base = emb.filter(F.col("vec_id") >= 10)
+    path = str(tmp_path / "ivfpq_s")
+    write_ivfpq_index(base, path, n_clusters=4, m=8, nbits=4)
+    src = str(tmp_path / "src")
+    emb.filter(F.col("vec_id") < 10).write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(ivfpq_append_stream(path))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    codes = spark.read.parquet(data_dir(path, "ivfpq"))
+    assert codes.count() == emb.count()
+
+
 def test_ivfpq_roundtrip_and_append_through_manifest(spark, emb, tmp_path):
     from grasper_spark.functions.ann_index import read_manifest
     from grasper_spark.functions.pq import (
