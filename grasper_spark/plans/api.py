@@ -416,6 +416,7 @@ class G:
         import threading
 
         self._prepare_lock = threading.Lock()  # emu-style threaded query()
+        self._serve_clock = 0  # LRU clock for auto-prepared eviction
 
     def V(self, *ids: int) -> Traversal:
         return Traversal(self.graph, (Step("V", tuple(ids)),), self._seed, ctx=self)
@@ -497,19 +498,25 @@ class G:
         shape, idx, value = ps
         rec = self._auto_prepared.get(shape, False)
         if rec is not False:
-            return rec.df(value) if rec is not None else None
+            return self._serve(shape, rec, value)
         with self._prepare_lock:
             # re-check under the lock: a concurrent query() thread may
             # have materialized (or rejected) the shape already —
             # double-building would leak the loser's persisted relation
             rec = self._auto_prepared.get(shape, False)
             if rec is not False:
-                return rec.df(value) if rec is not None else None
+                return self._serve(shape, rec, value)
             n = self._shape_seen.get(shape, 0) + 1
             self._shape_seen[shape] = n
-            live = sum(1 for v in self._auto_prepared.values() if v is not None)
-            if n <= self.AUTO_PREPARE_AFTER or live >= self.AUTO_PREPARE_MAX:
+            if n <= self.AUTO_PREPARE_AFTER:
                 return None
+            live = {k: v for k, v in self._auto_prepared.items() if v is not None}
+            if len(live) >= self.AUTO_PREPARE_MAX:
+                # evict the least-recently-served template (close its
+                # cached relation) so hot new shapes still prepare
+                victim = min(live, key=lambda k: getattr(live[k], "_last_served", 0))
+                live[victim].close()
+                del self._auto_prepared[victim]
             try:
                 rec = PreparedQuery(
                     self, steps=list(steps), param_idx=idx,
@@ -518,7 +525,14 @@ class G:
             except Exception:
                 rec = None  # shape out of scope — remembered, no retries
             self._auto_prepared[shape] = rec
-        return rec.df(value) if rec is not None else None
+        return self._serve(shape, rec, value)
+
+    def _serve(self, shape: str, rec, value) -> Optional[DataFrame]:
+        if rec is None:
+            return None
+        self._serve_clock += 1
+        rec._last_served = self._serve_clock
+        return rec.df(value)
 
     def _invalidate_caches(self) -> None:
         self._plan_cache.clear()

@@ -141,6 +141,31 @@ def test_auto_prepare_skips_barrier_and_multi_literal_shapes(modern):
     assert gi.query('g.V().has("name","nobody").count()').collect()[0][0] == 0
 
 
+def test_auto_prepare_lru_eviction(modern):
+    from grasper_spark import G
+
+    gi = G(modern)
+    gi.AUTO_PREPARE_MAX = 2
+    shapes = [
+        'g.V().has("name","{}").values("age")',
+        'g.V().has("name","{}").values("name")',
+        'g.V().has("name","{}").label()',
+    ]
+    for q in shapes[:2]:
+        for n in ("marko", "vadas", "josh"):
+            gi.query(q.format(n)).collect()
+    assert sum(1 for v in gi._auto_prepared.values() if v) == 2
+    first = next(iter(gi._auto_prepared))
+    # keep shape 2 hot so shape 1 is the LRU victim
+    gi.query(shapes[1].format("peter")).collect()
+    for n in ("marko", "vadas", "josh"):
+        gi.query(shapes[2].format(n)).collect()
+    assert sum(1 for v in gi._auto_prepared.values() if v) == 2
+    assert first not in gi._auto_prepared  # evicted, relation closed
+    # evicted shape still answers correctly through the normal path
+    assert sorted(r.val for r in gi.query(shapes[0].format("marko")).collect()) == [29]
+
+
 def test_auto_prepare_invalidated_by_config_change(modern):
     from grasper_spark import G
 
