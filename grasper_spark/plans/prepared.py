@@ -181,15 +181,20 @@ class PreparedQuery:
             and st.args[1].op == "eq"
             and st.args[1].args == (_SENTINEL,)
         ]
-        # the sentinel anywhere else (another step, within(), …) is a
-        # shape this layer does not model
-        loose = sum(
-            1
-            for st in steps
-            for a in st.args
-            if (isinstance(a, Pred) and _SENTINEL in map(str, a.args))
-            or a == _SENTINEL
-        )
+        # the sentinel anywhere else (another step, within(), a branch
+        # sub-traversal, …) is a shape this layer does not model —
+        # recurse through nested branch step tuples so a marker inside
+        # union()/and()/by() cannot silently compile as a literal
+        def _count(obj) -> int:
+            if isinstance(obj, Step):
+                return sum(_count(a) for a in obj.args)
+            if isinstance(obj, Pred):
+                return sum(str(a) == _SENTINEL for a in obj.args)
+            if isinstance(obj, (list, tuple)):
+                return sum(_count(x) for x in obj)
+            return 1 if obj == _SENTINEL else 0
+
+        loose = sum(_count(st) for st in steps)
         if len(hits) != 1 or loose != 1:
             raise PrepareError(
                 f"template needs the marker exactly once as has(k, marker); "

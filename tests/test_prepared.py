@@ -88,6 +88,10 @@ def test_prepared_relation_tier(g):
         'g.V().has("name",P.within("$RAND","x")).count()',      # not eq()
         'g.V().has("name","$RAND").aggregate("x").cap("x")',    # side-effect
         'g.V().has("name","$RAND").coin(0.5).count()',          # sampling
+        # marker nested in a branch sub-traversal must be rejected, not
+        # silently compiled as a literal string
+        'g.V().union(has("name","$RAND").values("age"), values("age"))',
+        'g.V().has("name","$RAND").and(has("lang","$RAND")).count()',
     ],
 )
 def test_prepared_rejects_out_of_scope_shapes(g, template):
