@@ -2078,7 +2078,10 @@ FROM events GROUP BY ROLLUP (date_trunc('day', ts), hour(ts))
 UNION ALL
 SELECT 'resample', k1, '', n, v FROM (
   WITH e AS (
-    SELECT (epoch(ts)::BIGINT // 86400) * 86400 AS bk, value FROM events
+    -- floor() before the cast: epoch() returns fractional seconds and
+    -- a bare ::BIGINT ROUNDS, shifting sub-second events at a bucket
+    -- boundary into the wrong day (the engine's window() floors)
+    SELECT (floor(epoch(ts))::BIGINT // 86400) * 86400 AS bk, value FROM events
   ), agg AS (
     SELECT bk, count(*)::BIGINT AS n, round(sum(value), 4) AS s
     FROM e GROUP BY bk
