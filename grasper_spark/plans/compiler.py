@@ -1375,11 +1375,12 @@ class GremlinCompiler:
             if frontier.df.isEmpty():
                 break
         else:
-            # implicit bound exhausted with live traversers: on a cyclic
-            # graph the loop would spin forever — fail pointedly instead
-            # of silently discarding the stragglers. An explicit
-            # times(k) bound keeps TinkerPop's whichever-first semantics.
-            if until is not None and times <= 1 and not frontier.df.isEmpty():
+            # implicit bound exhausted with live traversers (the loop
+            # completes without break only when the last isEmpty() was
+            # false): on a cyclic graph it would spin forever — fail
+            # pointedly instead of silently discarding the stragglers.
+            # An explicit times(k) keeps whichever-first semantics.
+            if until is not None and times <= 1:
                 raise CompileError(
                     f"repeat().until() still has live traversers after "
                     f"{bound} rounds (cyclic graph, or a condition no "
