@@ -65,6 +65,7 @@ def main() -> None:
     src.add_argument("--graph", help="Grasper text-format directory")
     src.add_argument("--tpch", help="testdata sf dir to project into a graph")
     ap.add_argument("-q", "--query", help="one-shot query (else interactive)")
+    ap.add_argument("--emu", help="run throughput mode on this config file")
     ap.add_argument("--explain", action="store_true", help="print plans too")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -74,6 +75,9 @@ def main() -> None:
     spark = get_spark("grasper-console", master=args.master)
     g = G(_build_graph(args, spark))
 
+    if args.emu:
+        _run_one(g, f"emu {args.emu}", args.explain)
+        return
     if args.query:
         _run_one(g, args.query.strip(), args.explain)
         return
