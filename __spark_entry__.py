@@ -62,9 +62,12 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
         # snapshot wins (bucketed scans cost fixed per-bucket task overhead
         # that tiny queries feel); above it, bucketed V/E tables make
         # traversal joins zero-exchange. Bucket count scales with source
-        # size (~32 MB/bucket, the same rule a 100 TB deployment applies
-        # per-partition), and exactly ONE snapshot copy is written — the
-        # plain copy exists only below the gate or as the failure path.
+        # size at ~32 MB/bucket; the [16, 256] clamp is the LOCAL
+        # instantiation of that rule — a 100 TB deployment applies the
+        # same bytes-per-bucket target with a cluster-sized cap
+        # (thousands of buckets, SCALE.md §Graph engine). Exactly ONE
+        # snapshot copy is written — the plain copy exists only below
+        # the gate or as the failure path.
         def _psize(p):  # file, or a Spark-written parquet directory
             if os.path.isfile(p):
                 return os.path.getsize(p)
