@@ -119,7 +119,8 @@ def generate_sf(spark, out_dir: str, sf: float = 1.0,
         ).alias("o_orderdate"),
         _pick("o_pr", OPRIO, i).alias("o_orderpriority"),
     ).withColumn(
-        "o_orderdate", F.date_trunc("day", F.col("o_orderdate"))
+        "o_orderdate",
+        F.date_trunc("day", F.col("o_orderdate")).cast("timestamp_ntz"),
     )
     write(orders, "orders")
 
@@ -152,7 +153,7 @@ def generate_sf(spark, out_dir: str, sf: float = 1.0,
                     F.unix_timestamp(F.lit("1995-01-02 00:00:00"))
                     + _h("l_sd", ok, ln) % (2497 * 86400)
                 ),
-            ).alias("l_shipdate"),
+            ).cast("timestamp_ntz").alias("l_shipdate"),
         ),
         "lineitem",
     )
@@ -163,7 +164,7 @@ def generate_sf(spark, out_dir: str, sf: float = 1.0,
             F.timestamp_seconds(
                 F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
                 + (_h("e_ts", i) % (30 * 86400 * 1000)).cast("double") / 1000.0
-            ).alias("ts"),
+            ).cast("timestamp_ntz").alias("ts"),
             (_h("e_us", i) % int(15_000 * sf)).alias("user_id"),
             _pick("e_ty", EVTYPES, i).alias("event_type"),
             # right-skewed like the source (median ~35, mean ~50)
