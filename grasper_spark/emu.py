@@ -91,6 +91,7 @@ def run_emu(
     max_queries: int = 200,
     seed: int = 42,
     prepare_templates: bool = True,
+    prepare_cache_dir: str | None = None,
 ) -> EmuResult:
     """Run the emulator; stops at `seconds` (from config) or
     `max_queries`, whichever first. Warm-up (template preparation /
@@ -111,7 +112,7 @@ def run_emu(
         # concurrently (FAIR scheduler), warm-up cost ≈ max, not sum
         def _prep(t):
             try:
-                return prepare(g, t.query)
+                return prepare(g, t.query, cache_dir=prepare_cache_dir)
             except PrepareError:
                 return None
 

@@ -95,10 +95,20 @@ class PreparedQuery:
         max_local_rows: int = 2_000_000,
         steps: list | None = None,
         param_idx: int | None = None,
+        cache_dir: str | None = None,
     ):
         """Build from a marker template, OR from pre-parsed ``steps``
         with ``param_idx`` pointing at the parameterized has() step
-        (the auto-prepare path — G.query shape detection)."""
+        (the auto-prepare path — G.query shape detection).
+
+        ``cache_dir`` persists the materialized keyed relation as
+        parquet under a fingerprint of (steps, graph name, seed) — the
+        reference's MPISnapshot pattern (storage/mpi_snapshot.hpp:20-44:
+        keyed read-through/write-through disk cache), so a NEW session
+        warm-starts the serving tier from disk instead of recomputing.
+        Staleness is the caller's contract, as in the reference: the key
+        is the graph NAME, so rewriting a graph's data under the same
+        name requires clearing the cache dir."""
         self.template = template
         self._g = g
         if steps is None:
@@ -112,26 +122,40 @@ class PreparedQuery:
             raise PrepareError(f"template step(s) not preparable: {bad}")
         self.key = key
 
-        c = GremlinCompiler(
-            g.graph,
-            seed=g._seed,
-            index_store=getattr(g, "_index_store", None),
-            config=getattr(g, "_config", None),
-        )
-        prefix = c.compile(steps[:idx])
-        if prefix.kind not in ("V", "E"):
-            raise PrepareError(f"parameter has() on a {prefix.kind} stream")
-        prefix, col, dtype = c._prop_col(prefix, key)
-        self.param_dtype = dtype
-        keyed = replace(
-            prefix,
-            df=prefix.df.withColumn(PQCOL, col).filter(col.isNotNull()),
-            history={**prefix.history, PQCOL: PQCOL},
-            hist_dtype={**prefix.hist_dtype, PQCOL: dtype},
-            group_cols=list(prefix.group_cols) + [PQCOL],
-        )
-        out = c.compile(steps[idx + 1:], start=keyed)
-        self._out_df = self._project(c, out)
+        snap = None
+        if cache_dir is not None:
+            import hashlib
+            import os
+
+            fp = hashlib.md5(
+                f"{list(steps)!r}|{idx}|{getattr(g.graph, 'name', '')}|{g._seed}".encode()
+            ).hexdigest()[:16]
+            snap = os.path.join(cache_dir, f"pq_{fp}")
+        if snap is not None and self._load_snapshot(snap):
+            pass  # _out_df / param_dtype / columns restored from disk
+        else:
+            c = GremlinCompiler(
+                g.graph,
+                seed=g._seed,
+                index_store=getattr(g, "_index_store", None),
+                config=getattr(g, "_config", None),
+            )
+            prefix = c.compile(steps[:idx])
+            if prefix.kind not in ("V", "E"):
+                raise PrepareError(f"parameter has() on a {prefix.kind} stream")
+            prefix, col, dtype = c._prop_col(prefix, key)
+            self.param_dtype = dtype
+            keyed = replace(
+                prefix,
+                df=prefix.df.withColumn(PQCOL, col).filter(col.isNotNull()),
+                history={**prefix.history, PQCOL: PQCOL},
+                hist_dtype={**prefix.hist_dtype, PQCOL: dtype},
+                group_cols=list(prefix.group_cols) + [PQCOL],
+            )
+            out = c.compile(steps[idx + 1:], start=keyed)
+            self._out_df = self._project(c, out)
+            if snap is not None:
+                self._write_snapshot(snap)
         self.columns = [col_ for col_ in self._out_df.columns if col_ != PQCOL]
 
         self._local: Optional[dict] = None
@@ -153,6 +177,45 @@ class PreparedQuery:
             self.mode = "local"
         else:
             self.mode = "relation"
+
+    # ---- disk snapshot (MPISnapshot pattern) ----
+
+    def _load_snapshot(self, snap: str) -> bool:
+        import json
+        import os
+
+        if not os.path.exists(os.path.join(snap, "_SNAP_OK")):
+            return False
+        try:
+            with open(os.path.join(snap, "manifest.json")) as fh:
+                mf = json.load(fh)
+            self.param_dtype = mf["param_dtype"]
+            self._out_df = self._g.graph.spark.read.parquet(
+                os.path.join(snap, "data")
+            )
+            return True
+        except Exception:
+            return False  # unreadable snapshot — rebuild and overwrite
+
+    def _write_snapshot(self, snap: str) -> None:
+        import json
+        import os
+
+        self._out_df.write.mode("overwrite").parquet(os.path.join(snap, "data"))
+        with open(os.path.join(snap, "manifest.json"), "w") as fh:
+            json.dump(
+                {
+                    "template": self.template,
+                    "key": self.key,
+                    "param_dtype": self.param_dtype,
+                },
+                fh,
+            )
+        with open(os.path.join(snap, "_SNAP_OK"), "w") as fh:
+            fh.write("ok\n")
+        # read the persisted copy back: the tiering below then scans
+        # parquet instead of re-running the materialization plan
+        self._out_df = self._g.graph.spark.read.parquet(os.path.join(snap, "data"))
 
     # ---- template surgery ----
 

@@ -182,6 +182,38 @@ def test_auto_prepare_invalidated_by_config_change(modern):
     assert gi._auto_prepared == {} and gi._shape_seen == {}
 
 
+def test_prepared_snapshot_roundtrip(g, tmp_path):
+    # MPISnapshot pattern: second construction warm-starts from disk
+    # (no recompute) and serves identical results
+    import os
+
+    cache = str(tmp_path / "pqcache")
+    t = 'g.V().has("name","$RAND").out("created").values("name")'
+    p1 = PreparedQuery(g, t, cache_dir=cache)
+    snaps = [d for d in os.listdir(cache) if d.startswith("pq_")]
+    assert len(snaps) == 1
+    want = {v: sorted(p1.rows(v)) for v in p1.param_values()}
+    p1.close()
+    p2 = PreparedQuery(g, t, cache_dir=cache)
+    assert {v: sorted(p2.rows(v)) for v in p2.param_values()} == want
+    p2.close()
+    # a DIFFERENT template gets its own snapshot (keyed fingerprint)
+    p3 = PreparedQuery(g, 'g.V().has("name","$RAND").values("age")', cache_dir=cache)
+    assert len([d for d in os.listdir(cache) if d.startswith("pq_")]) == 2
+    p3.close()
+
+
+def test_emu_with_prepare_cache(g, tmp_path):
+    from grasper_spark.emu import run_emu
+
+    cfg = "5 4\n1\n" + 'g.V().has("name","$RAND").values("age")  name  20\n'
+    cache = str(tmp_path / "emucache")
+    r1 = run_emu(g, cfg, max_queries=8, prepare_cache_dir=cache)
+    r2 = run_emu(g, cfg, max_queries=8, prepare_cache_dir=cache)
+    assert r1.template_modes == r2.template_modes == {0: "prepared"}
+    assert r1.total_queries == r2.total_queries == 8
+
+
 def test_g_prepare_public_api(g):
     p = g.prepare('g.V().has("name","$RAND").values("age")')
     assert p.rows("marko") == [(29,)]
