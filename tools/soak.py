@@ -86,6 +86,36 @@ def main() -> int:
         fails.append("parse")
         print("parse: FAILURE")
 
+    # prepared serving parity (plans/prepared.py) — fresh random shapes,
+    # every domain value compared against the per-query compile, on the
+    # module's OWN graph (its edge labels differ from td's)
+    import test_prepared_differential as tpd
+
+    v2 = spark.createDataFrame(tpd.VERTS, "vid long, label string, age long, name string")
+    e2 = spark.createDataFrame(tpd.EDGES, "src long, dst long, label string, w long")
+    pg2 = PropertyGraph(v2, e2)
+    pg2.vertices.cache().count()
+    pg2.edges.cache().count()
+    g2 = G(pg2)
+
+    pd_examples = max(10, args.examples // 5)  # each example checks ~15 values
+
+    @given(shape=tpd.point_shape())
+    @settings(
+        max_examples=pd_examples, deadline=None, derandomize=False,
+        print_blob=True, suppress_health_check=list(HealthCheck),
+    )
+    def run_prepared(shape):
+        tpd.test_prepared_matches_per_query_on_every_domain_value.hypothesis.inner_test(g2, shape)
+
+    try:
+        run_prepared()
+        print(f"prepared: OK ({pd_examples})")
+    except Exception:
+        traceback.print_exc()
+        fails.append("prepared")
+        print("prepared: FAILURE")
+
     print("DONE fails:", fails)
     return 1 if fails else 0
 
