@@ -106,12 +106,14 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
                     write_bucketed_external(ck, prefix, bdir, buckets=buckets)
                 g = attach_bucketed_external(spark, prefix, bdir, name=name)
             else:
-                if not os.path.isdir(cache_dir):
+                if not os.path.isdir(os.path.join(cache_dir, "vertices")):
                     write_parquet(load_tpch_graph(spark, sf_dir), cache_dir)
                 g = read_parquet(spark, cache_dir, name=name)
         except Exception:
             try:
-                if not os.path.isdir(cache_dir):
+                # the guard must test the plain snapshot itself, not the
+                # cache_dir (a failed bucketed write already created it)
+                if not os.path.isdir(os.path.join(cache_dir, "vertices")):
                     write_parquet(load_tpch_graph(spark, sf_dir), cache_dir)
                 g = read_parquet(spark, cache_dir, name=name)
             except Exception:

@@ -39,6 +39,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from grasper_spark.plans.api import G
+from grasper_spark.plans.compiler import CompileError
 
 _RAND = re.compile(r"\$RAND")
 
@@ -113,7 +114,9 @@ def run_emu(
         def _prep(t):
             try:
                 return prepare(g, t.query, cache_dir=prepare_cache_dir)
-            except PrepareError:
+            except (PrepareError, CompileError):
+                # out-of-scope shape OR a template that only fails under
+                # grouped compilation — fall back to per-query mode
                 return None
 
         with ThreadPoolExecutor(max_workers=min(4, len(templates))) as wex:
@@ -121,10 +124,17 @@ def run_emu(
     for i, t in enumerate(templates):
         element = "E" if t.query.lstrip().startswith("g.E()") else "V"
         if prepared[i] is not None:
-            modes[i] = "prepared"
             # sample parameters from the materialized domain — the
             # reference samples $RAND from its index store the same way
             vals = prepared[i].param_values()
+            if not vals:
+                # template yields zero rows for EVERY value: the
+                # materialized domain is empty, but the per-query path
+                # can still run it (empty results per query)
+                prepared[i].close()
+                prepared[i] = None
+        if prepared[i] is not None:
+            modes[i] = "prepared"
         else:
             modes[i] = "per-query"
             # at least convert the leading point filter to an index scan

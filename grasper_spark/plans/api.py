@@ -479,15 +479,32 @@ class G:
         i, st = hits[0]
         if i == 0 or steps[0].name not in ("V", "E") or steps[0].args:
             return None
-        names = {s2.name for j, s2 in enumerate(steps) if j != i}
+        # DEEP name check: branch sub-traversals ride along inside step
+        # args, and a barrier nested in a union() branch (which the
+        # compiler does not per-traverser-tag) would change semantics
+        # under the parameter grouping
+        from grasper_spark.plans.prepared import _walk_names
+
+        names = {
+            n
+            for j, s2 in enumerate(steps)
+            if j != i
+            for n in _walk_names(s2)
+        }
         if not names <= self._AUTO_STEPS:
             return None
+        value = st.args[1].args[0]
+        # the literal's CLASS is part of the shape: a string literal on a
+        # numeric-keyed template is a DIFFERENT query (the predicate
+        # kernel type-gates it to empty) and must not be served from the
+        # numeric materialization
+        lit_cls = "num" if isinstance(value, (int, float)) else "str"
         shape = (
             repr(list(steps[:i]))
-            + f"|has({st.args[0]!r},eq(?))|"
+            + f"|has({st.args[0]!r},eq(?:{lit_cls}))|"
             + repr(list(steps[i + 1:]))
         )
-        return shape, i, st.args[1].args[0]
+        return shape, i, value
 
     def _try_auto_prepared(self, steps) -> Optional[DataFrame]:
         from grasper_spark.plans.prepared import PreparedQuery
@@ -508,6 +525,15 @@ class G:
                 return self._serve(shape, rec, value)
             n = self._shape_seen.get(shape, 0) + 1
             self._shape_seen[shape] = n
+            # bound the bookkeeping: long-lived sessions with endlessly
+            # varied shapes must not grow driver memory without limit
+            if len(self._shape_seen) > 8192:
+                for k in list(self._shape_seen)[:4096]:
+                    del self._shape_seen[k]
+            rejected = [k for k, v in self._auto_prepared.items() if v is None]
+            if len(rejected) > 1024:
+                for k in rejected[:512]:
+                    del self._auto_prepared[k]
             if n <= self.AUTO_PREPARE_AFTER:
                 return None
             live = {k: v for k, v in self._auto_prepared.items() if v is not None}

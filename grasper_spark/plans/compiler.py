@@ -1322,8 +1322,10 @@ class GremlinCompiler:
         )
         return replace(s, df=s.df.unionByName(inj.select(*s.df.columns)))
 
-    #: safety bound for repeat().until() loops (a cond no traverser ever
-    #: satisfies must terminate; stragglers at the bound are discarded)
+    #: safety bound for repeat().until() loops; exhausting it with LIVE
+    #: traversers raises a pointed CompileError (see _step_repeat).
+    #: A never-satisfied condition still exits cleanly whenever the
+    #: frontier empties within the bound (acyclic reachability)
     _REPEAT_MAX_ROUNDS = 20
 
     def _step_repeat(

@@ -66,6 +66,48 @@ _UNSUPPORTED = frozenset(
 )
 
 
+#: barrier steps whose EMPTY-group behavior differs between grouped and
+#: per-query execution (df.agg() on empty input yields one row; a
+#: grouped agg drops the group). Top-level they are supported with the
+#: observed-domain caveat; nested inside a UNION branch (the one branch
+#: construct the compiler does not per-traverser-tag) they would change
+#: results silently, so such templates are rejected.
+_BARRIERS = frozenset(
+    ["count", "sum", "max", "min", "mean", "fold", "group", "groupCount",
+     "dedupCount"]
+)
+
+
+def _walk_names(obj):
+    """Yield every step name in a step tree (branch args included)."""
+    if isinstance(obj, Step):
+        yield obj.name
+        for a in obj.args:
+            yield from _walk_names(a)
+    elif isinstance(obj, (list, tuple)):
+        for x in obj:
+            yield from _walk_names(x)
+
+
+def _validate_steps(steps) -> None:
+    bad = sorted(_UNSUPPORTED.intersection(_walk_names(steps)))
+    if bad:
+        raise PrepareError(f"template step(s) not preparable: {bad}")
+    for st in steps:
+        if st.name == "union":
+            nested = sorted(
+                _BARRIERS.intersection(
+                    n for a in st.args for n in _walk_names(a)
+                )
+            )
+            if nested:
+                raise PrepareError(
+                    f"barrier step(s) {nested} inside a union() branch are "
+                    f"not preparable (empty parameter groups would drop "
+                    f"the branch's 0-row aggregate)"
+                )
+
+
 class PrepareError(ValueError):
     """Template not preparable (no/ambiguous marker, unsupported step)."""
 
@@ -117,9 +159,7 @@ class PreparedQuery:
         else:
             idx = param_idx
             key = steps[idx].args[0]
-        bad = sorted({st.name for st in steps if st.name in _UNSUPPORTED})
-        if bad:
-            raise PrepareError(f"template step(s) not preparable: {bad}")
+        _validate_steps(steps)
         self.key = key
 
         snap = None
@@ -284,16 +324,40 @@ class PreparedQuery:
 
     # ---- serving ----
 
-    def _coerce(self, value: Any) -> Any:
-        if self.param_dtype.startswith(("int", "bigint", "smallint", "tinyint")):
-            return int(value)
-        if self.param_dtype.startswith(("double", "float", "decimal")):
-            return float(value)
+    def _coerce(self, value: Any):
+        """Parameter → the materialized key's Python type; None when the
+        value's CLASS cannot match (the predicate kernel's type gate:
+        a mismatched-class literal matches nothing — predicates.py
+        `_lit_class`/`_type_class`). Within-class conversions (int↔float
+        on numeric columns) mirror Spark's numeric coercion."""
+        dt = self.param_dtype
+        if dt.startswith(("int", "bigint", "smallint", "tinyint",
+                          "double", "float", "decimal")):
+            if isinstance(value, bool) or not isinstance(value, (int, float)):
+                return None
+            try:
+                if dt.startswith(("double", "float")):
+                    return float(value)
+                if dt.startswith("decimal"):
+                    # local-tier dict keys collected from a decimal
+                    # column are decimal.Decimal — float() never hits
+                    from decimal import Decimal
+
+                    return Decimal(str(value))
+                return int(value)
+            except (ValueError, TypeError, ArithmeticError):
+                return None
+        if dt == "string":
+            return value if isinstance(value, str) else None
+        if dt == "boolean":
+            return value if isinstance(value, bool) else None
         return value
 
     def rows(self, value: Any) -> list[tuple]:
         """Answer the template for one parameter value."""
         v = self._coerce(value)
+        if v is None:
+            return []
         if self._local is not None:
             return self._local.get(v, [])
         return [
@@ -301,8 +365,10 @@ class PreparedQuery:
         ]
 
     def df(self, value: Any) -> DataFrame:
-        """DataFrame form: a filter over the cached keyed relation."""
+        """DataFrame form: a filter over the keyed relation."""
         v = self._coerce(value)
+        if v is None:
+            return self._rel.filter(F.lit(False)).drop(PQCOL)
         return self._rel.filter(F.col(PQCOL) == v).drop(PQCOL)
 
     def param_values(self) -> list:
@@ -312,9 +378,11 @@ class PreparedQuery:
         return [r[0] for r in self._rel.select(PQCOL).distinct().collect()]
 
     def close(self) -> None:
+        """Release executor cache. The relation HANDLE stays valid — an
+        evicted/closed instance still serves (uncached scan), which a
+        concurrent thread holding the reference relies on."""
         if self._rel is not None:
             self._rel.unpersist()
-            self._rel = None
 
 
 def prepare(g: Any, template: str, marker: str = "$RAND", **kw: Any) -> PreparedQuery:
