@@ -112,6 +112,28 @@ class PrepareError(ValueError):
     """Template not preparable (no/ambiguous marker, unsupported step)."""
 
 
+_ENGINE_VERSION: Optional[str] = None
+
+
+def _engine_version() -> str:
+    """Hash of the compiling code — part of the snapshot fingerprint."""
+    global _ENGINE_VERSION
+    if _ENGINE_VERSION is None:
+        import hashlib
+
+        import grasper_spark.plans.compiler as _c
+
+        h = hashlib.md5()
+        for mod in (_c, __import__(__name__, fromlist=["x"])):
+            try:
+                with open(mod.__file__, "rb") as fh:
+                    h.update(fh.read())
+            except OSError:
+                h.update(b"?")
+        _ENGINE_VERSION = h.hexdigest()[:8]
+    return _ENGINE_VERSION
+
+
 class PreparedQuery:
     """One materialized template; serve values via :meth:`rows`.
 
@@ -167,8 +189,13 @@ class PreparedQuery:
             import hashlib
             import os
 
+            # the fingerprint also covers the ENGINE source (compiler +
+            # this module), so a code change invalidates old snapshots —
+            # same precedent as the graph snapshot cache keying on the
+            # projection source hash (__spark_entry__._graph)
             fp = hashlib.md5(
-                f"{list(steps)!r}|{idx}|{getattr(g.graph, 'name', '')}|{g._seed}".encode()
+                f"{list(steps)!r}|{idx}|{getattr(g.graph, 'name', '')}|"
+                f"{g._seed}|{_engine_version()}".encode()
             ).hexdigest()[:16]
             snap = os.path.join(cache_dir, f"pq_{fp}")
         if snap is not None and self._load_snapshot(snap):
