@@ -56,8 +56,6 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
         with open(_tg.__file__, "rb") as fh:
             ver = hashlib.md5(fh.read()).hexdigest()[:8]
         tag = os.path.basename(sf_dir.rstrip("/"))
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".graph_cache", f"{ver}_{tag}")
         # SIZE-GATED snapshot layout: below the threshold a plain parquet
         # snapshot wins (bucketed scans cost fixed per-bucket task overhead
         # that tiny queries feel); above it, bucketed V/E tables make
@@ -81,6 +79,11 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
             for f in os.listdir(sf_dir)
             if f.endswith(".parquet")
         ) if os.path.isdir(sf_dir) else 0
+        # the snapshot key carries the SOURCE byte count: regenerated
+        # inputs (bench's .bench_data/sf1) then get a fresh snapshot
+        # instead of silently attaching a stale one
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".graph_cache", f"{ver}_{tag}_{src_bytes}")
         BUCKET_GATE = 8 << 20
         name = f"tpch-graph:{sf_dir}"
         try:
@@ -88,7 +91,7 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
                 # floor 16 keeps local[32] traversal joins parallel; the
                 # size term takes over once source data outgrows ~512 MB
                 buckets = max(16, min(256, -(-src_bytes // (32 << 20))))
-                prefix = ("gb_" + f"{ver}_{tag}_b{buckets}"
+                prefix = ("gb_" + f"{ver}_{tag}_{src_bytes}_b{buckets}"
                           .replace(".", "_").replace("-", "_"))
                 bdir = os.path.join(cache_dir, f"bucketed{buckets}")
                 if not os.path.isdir(os.path.join(bdir, "e_dst")):
