@@ -474,11 +474,11 @@ class G:
             and isinstance(st.args[1].args[0], (str, int, float))
             and not isinstance(st.args[1].args[0], bool)
         ]
-        if len(hits) != 1:
+        if len(hits) not in (1, 2):
             return None
-        i, st = hits[0]
-        if i == 0 or steps[0].name not in ("V", "E") or steps[0].args:
+        if hits[0][0] == 0 or steps[0].name not in ("V", "E") or steps[0].args:
             return None
+        hit_idx = {i for i, _ in hits}
         # DEEP name check: branch sub-traversals ride along inside step
         # args, and a barrier nested in a union() branch (which the
         # compiler does not per-traverser-tag) would change semantics
@@ -488,23 +488,33 @@ class G:
         names = {
             n
             for j, s2 in enumerate(steps)
-            if j != i
+            if j not in hit_idx
             for n in _walk_names(s2)
         }
         if not names <= self._AUTO_STEPS:
             return None
-        value = st.args[1].args[0]
         # the literal's CLASS is part of the shape: a string literal on a
         # numeric-keyed template is a DIFFERENT query (the predicate
         # kernel type-gates it to empty) and must not be served from the
         # numeric materialization
-        lit_cls = "num" if isinstance(value, (int, float)) else "str"
-        shape = (
-            repr(list(steps[:i]))
-            + f"|has({st.args[0]!r},eq(?:{lit_cls}))|"
-            + repr(list(steps[i + 1:]))
+        parts = []
+        prev = 0
+        values = []
+        for i, st in hits:
+            value = st.args[1].args[0]
+            values.append(value)
+            lit_cls = "num" if isinstance(value, (int, float)) else "str"
+            parts.append(repr(list(steps[prev:i])))
+            parts.append(f"|has({st.args[0]!r},eq(?:{lit_cls}))|")
+            prev = i + 1
+        parts.append(repr(list(steps[prev:])))
+        shape = "".join(parts)
+        idxs = [i for i, _ in hits]
+        return (
+            shape,
+            idxs[0] if len(idxs) == 1 else idxs,
+            values[0] if len(values) == 1 else tuple(values),
         )
-        return shape, i, value
 
     def _try_auto_prepared(self, steps) -> Optional[DataFrame]:
         from grasper_spark.plans.prepared import PreparedQuery

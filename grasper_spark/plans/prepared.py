@@ -177,12 +177,17 @@ class PreparedQuery:
         self._g = g
         if steps is None:
             steps = self._parse(template, marker)
-            idx, key = self._find_param_step(steps)
+            idxs = self._find_param_steps(steps, marker)
         else:
-            idx = param_idx
-            key = steps[idx].args[0]
+            idxs = (
+                sorted(param_idx)
+                if isinstance(param_idx, (list, tuple))
+                else [param_idx]
+            )
         _validate_steps(steps)
-        self.key = key
+        self.keys = [steps[i].args[0] for i in idxs]
+        self.key = self.keys[0]
+        self._pqcols = [PQCOL if j == 0 else f"{PQCOL}{j + 1}" for j in range(len(idxs))]
 
         snap = None
         if cache_dir is not None:
@@ -194,12 +199,12 @@ class PreparedQuery:
             # same precedent as the graph snapshot cache keying on the
             # projection source hash (__spark_entry__._graph)
             fp = hashlib.md5(
-                f"{list(steps)!r}|{idx}|{getattr(g.graph, 'name', '')}|"
+                f"{list(steps)!r}|{idxs}|{getattr(g.graph, 'name', '')}|"
                 f"{g._seed}|{_engine_version()}".encode()
             ).hexdigest()[:16]
             snap = os.path.join(cache_dir, f"pq_{fp}")
         if snap is not None and self._load_snapshot(snap):
-            pass  # _out_df / param_dtype / columns restored from disk
+            pass  # _out_df / param_dtypes / columns restored from disk
         else:
             c = GremlinCompiler(
                 g.graph,
@@ -207,23 +212,37 @@ class PreparedQuery:
                 index_store=getattr(g, "_index_store", None),
                 config=getattr(g, "_config", None),
             )
-            prefix = c.compile(steps[:idx])
-            if prefix.kind not in ("V", "E"):
-                raise PrepareError(f"parameter has() on a {prefix.kind} stream")
-            prefix, col, dtype = c._prop_col(prefix, key)
-            self.param_dtype = dtype
-            keyed = replace(
-                prefix,
-                df=prefix.df.withColumn(PQCOL, col).filter(col.isNotNull()),
-                history={**prefix.history, PQCOL: PQCOL},
-                hist_dtype={**prefix.hist_dtype, PQCOL: dtype},
-                group_cols=list(prefix.group_cols) + [PQCOL],
-            )
-            out = c.compile(steps[idx + 1:], start=keyed)
+            # walk the step list once, attaching a passenger value
+            # column at EVERY parameterized has() position — the answer
+            # for every parameter COMBINATION computes in one job
+            self.param_dtypes = []
+            cur = None
+            prev = 0
+            for j, ix in enumerate(idxs):
+                cur = c.compile(steps[prev:ix], start=cur)
+                if cur.kind not in ("V", "E"):
+                    raise PrepareError(
+                        f"parameter has() on a {cur.kind} stream"
+                    )
+                cur, col, dtype = c._prop_col(cur, self.keys[j])
+                self.param_dtypes.append(dtype)
+                pq = self._pqcols[j]
+                cur = replace(
+                    cur,
+                    df=cur.df.withColumn(pq, col).filter(col.isNotNull()),
+                    history={**cur.history, pq: pq},
+                    hist_dtype={**cur.hist_dtype, pq: dtype},
+                    group_cols=list(cur.group_cols) + [pq],
+                )
+                prev = ix + 1
+            out = c.compile(steps[prev:], start=cur)
             self._out_df = self._project(c, out)
             if snap is not None:
                 self._write_snapshot(snap)
-        self.columns = [col_ for col_ in self._out_df.columns if col_ != PQCOL]
+        self.param_dtype = self.param_dtypes[0]
+        self.columns = [
+            col_ for col_ in self._out_df.columns if col_ not in self._pqcols
+        ]
 
         self._local: Optional[dict] = None
         # the keyed relation is cached in BOTH tiers: rows() serves from
@@ -236,9 +255,15 @@ class PreparedQuery:
         if n <= max_local_rows:
             rows = self._rel.collect()
             m: dict = {}
+            single = len(self._pqcols) == 1
             for r in rows:
-                m.setdefault(r[PQCOL], []).append(
-                    tuple(v for c2, v in zip(self._out_df.columns, r) if c2 != PQCOL)
+                k = r[PQCOL] if single else tuple(r[pq] for pq in self._pqcols)
+                m.setdefault(k, []).append(
+                    tuple(
+                        v
+                        for c2, v in zip(self._out_df.columns, r)
+                        if c2 not in self._pqcols
+                    )
                 )
             self._local = m
             self.mode = "local"
@@ -256,7 +281,9 @@ class PreparedQuery:
         try:
             with open(os.path.join(snap, "manifest.json")) as fh:
                 mf = json.load(fh)
-            self.param_dtype = mf["param_dtype"]
+            self.param_dtypes = mf.get(
+                "param_dtypes", [mf.get("param_dtype", "string")]
+            )
             self._out_df = self._g.graph.spark.read.parquet(
                 os.path.join(snap, "data")
             )
@@ -273,8 +300,8 @@ class PreparedQuery:
             json.dump(
                 {
                     "template": self.template,
-                    "key": self.key,
-                    "param_dtype": self.param_dtype,
+                    "keys": self.keys,
+                    "param_dtypes": self.param_dtypes,
                 },
                 fh,
             )
@@ -287,21 +314,43 @@ class PreparedQuery:
     # ---- template surgery ----
 
     @staticmethod
-    def _parse(template: str, marker: str) -> list[Step]:
+    def _parse(template: str, marker) -> list[Step]:
         # quoted marker ("$RAND" / '$RAND') and bare marker (numeric
-        # position) both become one quoted sentinel literal; the real
-        # value class comes from the property dtype, not the rendering
+        # position) both become quoted sentinel literals; the real
+        # value class comes from the property dtype, not the rendering.
+        # `marker` may be a SEQUENCE for multi-parameter templates —
+        # each marker binds one parameter position, in sequence order.
         txt = template
-        for q in ('"', "'"):
-            txt = txt.replace(f"{q}{marker}{q}", f'"{_SENTINEL}"')
-        txt = txt.replace(marker, f'"{_SENTINEL}"')
+        markers = [marker] if isinstance(marker, str) else list(marker)
+        for mi, mk in enumerate(markers):
+            sent = _SENTINEL if len(markers) == 1 else f"{_SENTINEL}{mi}"
+            for q in ('"', "'"):
+                txt = txt.replace(f"{q}{mk}{q}", f'"{sent}"')
+            txt = txt.replace(mk, f'"{sent}"')
         try:
             return list(parse_query(txt))
         except Exception as ex:
             raise PrepareError(f"template does not parse: {ex}") from ex
 
+    @classmethod
+    def _find_param_steps(cls, steps: list[Step], marker) -> list[int]:
+        """Ordered param positions; one per marker."""
+        markers = [marker] if isinstance(marker, str) else list(marker)
+        sents = (
+            [_SENTINEL]
+            if len(markers) == 1
+            else [f"{_SENTINEL}{mi}" for mi in range(len(markers))]
+        )
+        idxs = []
+        for sent in sents:
+            i = cls._find_one_param(steps, sent)
+            idxs.append(i)
+        if sorted(idxs) != idxs:
+            raise PrepareError("markers must appear in query order")
+        return idxs
+
     @staticmethod
-    def _find_param_step(steps: list[Step]) -> tuple[int, str]:
+    def _find_one_param(steps: list[Step], sent: str) -> int:
         hits = [
             (i, st.args[0])
             for i, st in enumerate(steps)
@@ -309,7 +358,7 @@ class PreparedQuery:
             and len(st.args) == 2
             and isinstance(st.args[1], Pred)
             and st.args[1].op == "eq"
-            and st.args[1].args == (_SENTINEL,)
+            and st.args[1].args == (sent,)
         ]
         # the sentinel anywhere else (another step, within(), a branch
         # sub-traversal, …) is a shape this layer does not model —
@@ -319,45 +368,45 @@ class PreparedQuery:
             if isinstance(obj, Step):
                 return sum(_count(a) for a in obj.args)
             if isinstance(obj, Pred):
-                return sum(str(a) == _SENTINEL for a in obj.args)
+                return sum(str(a) == sent for a in obj.args)
             if isinstance(obj, (list, tuple)):
                 return sum(_count(x) for x in obj)
-            return 1 if obj == _SENTINEL else 0
+            return 1 if obj == sent else 0
 
         loose = sum(_count(st) for st in steps)
         if len(hits) != 1 or loose != 1:
             raise PrepareError(
-                f"template needs the marker exactly once as has(k, marker); "
+                f"template needs each marker exactly once as has(k, marker); "
                 f"found {len(hits)} (marker occurrences: {loose})"
             )
-        return hits[0]
+        return hits[0][0]
 
-    @staticmethod
-    def _project(c: GremlinCompiler, stream) -> DataFrame:
-        """result_df + the passenger key (kept first)."""
+    def _project(self, c: GremlinCompiler, stream) -> DataFrame:
+        """result_df + the passenger keys (kept first)."""
         df = stream.df
         if stream.sort:
             df = df.orderBy(
                 *[F.col(x).asc() if asc else F.col(x).desc() for x, asc in stream.sort]
             )
+        pq = self._pqcols
         if stream.kind == "V":
-            return df.select(PQCOL, F.col(VCOL).alias("vid"))
+            return df.select(*pq, F.col(VCOL).alias("vid"))
         if stream.kind == "E":
-            return df.select(PQCOL, F.col(ESRC).alias("src"), F.col(EDST).alias("dst"))
+            return df.select(*pq, F.col(ESRC).alias("src"), F.col(EDST).alias("dst"))
         if stream.kind == "G":  # relational group output keeps its columns
-            keep = [c2 for c2 in df.columns if c2 != PQCOL]
-            return df.select(PQCOL, *keep)
-        return df.select(PQCOL, F.col(VAL).alias("val"))
+            keep = [c2 for c2 in df.columns if c2 not in pq]
+            return df.select(*pq, *keep)
+        return df.select(*pq, F.col(VAL).alias("val"))
 
     # ---- serving ----
 
-    def _coerce(self, value: Any):
+    def _coerce(self, value: Any, dt: str | None = None):
         """Parameter → the materialized key's Python type; None when the
         value's CLASS cannot match (the predicate kernel's type gate:
         a mismatched-class literal matches nothing — predicates.py
         `_lit_class`/`_type_class`). Within-class conversions (int↔float
         on numeric columns) mirror Spark's numeric coercion."""
-        dt = self.param_dtype
+        dt = dt or self.param_dtype
         if dt.startswith(("int", "bigint", "smallint", "tinyint",
                           "double", "float", "decimal")):
             if isinstance(value, bool) or not isinstance(value, (int, float)):
@@ -380,29 +429,52 @@ class PreparedQuery:
             return value if isinstance(value, bool) else None
         return value
 
+    def _coerce_all(self, value: Any):
+        """Normalize a scalar (1-param) or tuple (n-param) to the
+        materialized key; None when any component's class mismatches."""
+        if len(self._pqcols) == 1:
+            vals = (value,)
+        else:
+            if not isinstance(value, (list, tuple)) or len(value) != len(self._pqcols):
+                return None
+            vals = tuple(value)
+        out = tuple(
+            self._coerce(v, dt) for v, dt in zip(vals, self.param_dtypes)
+        )
+        if any(v is None for v in out):
+            return None
+        return out[0] if len(self._pqcols) == 1 else out
+
     def rows(self, value: Any) -> list[tuple]:
-        """Answer the template for one parameter value."""
-        v = self._coerce(value)
+        """Answer the template for one parameter value (a scalar, or a
+        tuple for multi-parameter templates)."""
+        v = self._coerce_all(value)
         if v is None:
             return []
         if self._local is not None:
             return self._local.get(v, [])
-        return [
-            tuple(r)[1:] for r in self._rel.filter(F.col(PQCOL) == v).collect()
-        ]
+        return [tuple(r) for r in self.df(value).collect()]
 
     def df(self, value: Any) -> DataFrame:
         """DataFrame form: a filter over the keyed relation."""
-        v = self._coerce(value)
+        v = self._coerce_all(value)
         if v is None:
-            return self._rel.filter(F.lit(False)).drop(PQCOL)
-        return self._rel.filter(F.col(PQCOL) == v).drop(PQCOL)
+            return self._rel.filter(F.lit(False)).drop(*self._pqcols)
+        vt = (v,) if len(self._pqcols) == 1 else v
+        cond = F.lit(True)
+        for pq, x in zip(self._pqcols, vt):
+            cond = cond & (F.col(pq) == x)
+        return self._rel.filter(cond).drop(*self._pqcols)
 
     def param_values(self) -> list:
-        """Distinct parameter values with at least one result row."""
+        """Distinct parameter values (scalars, or tuples for
+        multi-parameter templates) with at least one result row."""
         if self._local is not None:
             return list(self._local)
-        return [r[0] for r in self._rel.select(PQCOL).distinct().collect()]
+        rows = self._rel.select(*self._pqcols).distinct().collect()
+        if len(self._pqcols) == 1:
+            return [r[0] for r in rows]
+        return [tuple(r) for r in rows]
 
     def close(self) -> None:
         """Release executor cache. The relation HANDLE stays valid — an

@@ -54,6 +54,31 @@ def test_prepared_edge_stream_template(g):
     assert p.rows(0.5) == [("marko",)]
 
 
+def test_prepared_two_marker_template(g):
+    # explicit two-parameter template via a marker sequence
+    p = prepare(
+        g,
+        'g.V().has("age",$P1).out("created").has("lang","$P2").values("name")',
+        marker=("$P1", "$P2"),
+    )
+    assert len(p._pqcols) == 2 and p.keys == ["age", "lang"]
+    assert p.rows((29, "java")) == [("lop",)]
+    assert p.rows((32, "java")) == [("lop",), ("ripple",)] or sorted(
+        p.rows((32, "java"))
+    ) == [("lop",), ("ripple",)]
+    assert p.rows((29, "nosuch")) == []
+    assert p.rows(("x", "java")) == []   # class gate on the first param
+    assert p.rows(29) == []              # arity mismatch never crashes
+    # parity for every materialized combination
+    for (age, lang) in p.param_values():
+        want = sorted(
+            tuple(r) for r in g.query(
+                f'g.V().has("age",{age}).out("created").has("lang","{lang}").values("name")'
+            ).collect()
+        )
+        assert sorted(p.rows((age, lang))) == want
+
+
 def test_prepared_unseen_value_returns_empty(g):
     # serving is defined over the OBSERVED parameter domain (like the
     # reference's index store, which only holds present values)
@@ -128,7 +153,7 @@ def test_auto_prepare_serves_repeated_point_shapes(modern):
     assert base["marko"] == ["lop"]
 
 
-def test_auto_prepare_skips_barrier_and_multi_literal_shapes(modern):
+def test_auto_prepare_skips_barrier_shapes(modern):
     from grasper_spark import G
 
     gi = G(modern)
@@ -136,13 +161,37 @@ def test_auto_prepare_skips_barrier_and_multi_literal_shapes(modern):
         # count() is a barrier: the empty-group collapse makes grouped
         # execution distinguishable — must never auto-prepare
         assert gi.query(f'g.V().has("name","{n}").count()').collect()[0][0] == 1
-        # two literals: out of scope
-        gi.query(
-            f'g.V().has("name","{n}").has("age",29).values("name")'
-        ).collect()
     assert gi._auto_prepared == {}
     # per-query count semantics survive: absent value still answers 0
     assert gi.query('g.V().has("name","nobody").count()').collect()[0][0] == 0
+
+
+def test_auto_prepare_two_literal_shapes(modern):
+    from grasper_spark import G
+
+    gi = G(modern)
+    q = 'g.V().has("age",{}).out("created").has("lang","{}").values("name")'
+    base = {}
+    for age in (29, 32, 35):
+        base[age] = sorted(
+            r.val for r in gi.query(q.format(age, "java")).collect()
+        )
+    rec = [v for v in gi._auto_prepared.values() if v is not None]
+    assert len(rec) == 1 and len(rec[0]._pqcols) == 2
+    # served results equal per-query for every combination, including
+    # values absent from the domain and mismatched classes
+    for age in (29, 32, 35, 27, 99):
+        for lang in ("java", "nosuch"):
+            got = sorted(r.val for r in gi.query(q.format(age, lang)).collect())
+            fresh = sorted(
+                r.val
+                for r in gi.traversal(
+                    __import__("grasper_spark.plans.parser", fromlist=["parse_query"])
+                    .parse_query(q.format(age, lang))
+                ).df().collect()
+            )
+            assert got == fresh, (age, lang)
+    assert base[29] == ["lop"]
 
 
 def test_auto_prepare_lru_eviction(modern):

@@ -50,7 +50,7 @@ def gd(spark):
 
 @st.composite
 def point_shape(draw):
-    """(steps, param_idx): a supported single-literal point query."""
+    """(steps, param_idxs): a supported 1- or 2-literal point query."""
     steps = []
     steps.append(Step("V", ()))
     if draw(st.booleans()):
@@ -58,6 +58,9 @@ def point_shape(draw):
     key = draw(st.sampled_from(["name", "age"]))
     idx = len(steps)
     steps.append(Step("has", (key, P.eq("__PLACEHOLDER__"))))
+    idxs = [idx]
+    keys = [key]
+    second = draw(st.booleans())
     kind = "V"
     for _ in range(draw(st.integers(min_value=0, max_value=2))):
         if kind == "E":
@@ -68,11 +71,17 @@ def point_shape(draw):
             lbl = draw(st.sampled_from([(), ("knows",), ("owns",)]))
             steps.append(Step(hop, lbl))
             kind = "E" if hop in ("outE", "inE") else "V"
+            if second and kind == "V":
+                k2 = draw(st.sampled_from(["name", "age"]))
+                idxs.append(len(steps))
+                keys.append(k2)
+                steps.append(Step("has", (k2, P.eq("__PLACEHOLDER__"))))
+                second = False
     tail = draw(st.sampled_from(["none", "values", "label", "dedup", "dedup_values"]))
     if kind == "E" and tail in ("values", "dedup_values"):
         # edge streams carry only the 'w' property in this graph
         steps.append(Step("values", ("w",)))
-        return steps, idx
+        return steps, idxs
     if tail == "values":
         steps.append(Step("values", (draw(st.sampled_from(["name", "age"])),)))
     elif tail == "label":
@@ -82,12 +91,13 @@ def point_shape(draw):
     elif tail == "dedup_values":
         steps.append(Step("dedup", ()))
         steps.append(Step("values", (draw(st.sampled_from(["name", "age"])),)))
-    return steps, idx
+    return steps, idxs
 
 
-def _per_query(gd, steps, idx, key, value):
+def _per_query(gd, steps, idxs, keys, values):
     concrete = list(steps)
-    concrete[idx] = Step("has", (key, P.eq(value)))
+    for i, k, v in zip(idxs, keys, values):
+        concrete[i] = Step("has", (k, P.eq(v)))
     return sorted(
         tuple(r) for r in gd.traversal(concrete).df().collect()
     )
@@ -97,19 +107,37 @@ def _per_query(gd, steps, idx, key, value):
 @settings(max_examples=40, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_prepared_matches_per_query_on_every_domain_value(gd, shape):
-    steps, idx = shape
-    key = steps[idx].args[0]
-    p = PreparedQuery(gd, steps=list(steps), param_idx=idx)
-    domain = sorted(
-        {v[3] for v in VERTS if v[3] is not None}
-        if key == "name"
-        else {v[2] for v in VERTS if v[2] is not None}
+    steps, idxs = shape
+    keys = [steps[i].args[0] for i in idxs]
+    p = PreparedQuery(
+        gd, steps=list(steps), param_idx=idxs if len(idxs) > 1 else idxs[0]
     )
-    for val in domain:
-        got = sorted(p.rows(val))
-        want = _per_query(gd, steps, idx, key, val)
-        assert got == want, (steps, key, val, got, want)
-    missing = "zzz" if key == "name" else 10**9
-    assert p.rows(missing) == []
-    assert _per_query(gd, steps, idx, key, missing) == []
+
+    def dom(key):
+        return sorted(
+            {v[3] for v in VERTS if v[3] is not None}
+            if key == "name"
+            else {v[2] for v in VERTS if v[2] is not None}
+        )
+
+    if len(idxs) == 1:
+        combos = [(v,) for v in dom(keys[0])]
+    else:
+        # full cross product is too big per example: the materialized
+        # domain plus a sample of absent combos
+        combos = list(p.param_values())[:20] + [
+            (dom(keys[0])[0], dom(keys[1])[-1]),
+            (dom(keys[0])[-1], dom(keys[1])[0]),
+        ]
+    for vals in combos:
+        probe = vals[0] if len(idxs) == 1 else tuple(vals)
+        got = sorted(p.rows(probe))
+        want = _per_query(gd, steps, idxs, keys, vals)
+        assert got == want, (steps, keys, vals, got, want)
+    missing = tuple(
+        "zzz" if k == "name" else 10**9 for k in keys
+    )
+    probe = missing[0] if len(idxs) == 1 else missing
+    assert p.rows(probe) == []
+    assert _per_query(gd, steps, idxs, keys, missing) == []
     p.close()
