@@ -64,6 +64,20 @@ class Traversal:
             pred = P.eq(pred)
         return self._add("has", key, pred) if pred is not None else self._add("has", key)
 
+    def hasId(self, *args: Any) -> "Traversal":
+        """hasId(id…) / hasId(pred) — element-id filter (TinkerPop
+        parity; the reference reaches ids only via g.V(id) starts).
+        Non-integer literals match nothing (ids are bigint; the
+        predicate kernel class-gates them)."""
+        from grasper_spark.plans.parser import ParseError
+
+        if len(args) == 1 and isinstance(args[0], Pred):
+            return self._add("hasId", args[0])
+        if not args:
+            raise ParseError("hasId() takes ids or one predicate")
+        pred = P.eq(args[0]) if len(args) == 1 else P.within(*args)
+        return self._add("hasId", pred)
+
     def hasNot(self, key: str) -> "Traversal":
         return self._add("hasNot", key)
 
@@ -394,7 +408,7 @@ class G:
     _AUTO_STEPS = frozenset(
         ["V", "E", "has", "hasNot", "hasKey", "hasValue", "hasLabel", "is",
          "out", "in", "both", "outE", "inE", "bothE", "outV", "inV",
-         "bothV", "values", "properties", "key", "label", "id", "valueMap",
+         "bothV", "hasId", "values", "properties", "key", "label", "id", "valueMap",
          "elementMap", "select", "as", "where", "dedup", "union", "and",
          "or", "not", "match", "optional", "coalesce", "choose",
          "constant", "project"]
@@ -463,16 +477,34 @@ class G:
         return _prep(self, template, marker=marker, **kw)
 
     def _point_shape(self, steps) -> Optional[tuple]:
-        """(shape_key, param_idx, value) when `steps` is a supported
-        single-literal point query, else None."""
+        """(shape_key, steps, param_idx, value) when `steps` is a
+        supported 1-/2-literal point query, else None. A `g.V(id)` point
+        start is rewritten to `V().hasId(eq(id))` so repeated id lookups
+        — the reference's KV point-get workload — hit the serving tier
+        too."""
+        steps = list(steps)
+        if (
+            steps
+            and steps[0].name == "V"
+            and len(steps[0].args) == 1
+            and isinstance(steps[0].args[0], int)
+            and not isinstance(steps[0].args[0], bool)
+        ):
+            steps[0:1] = [Step("V"), Step("hasId", (P.eq(steps[0].args[0]),))]
+
+        def _eq_lit(pred):
+            return (
+                isinstance(pred, Pred) and pred.op == "eq"
+                and len(pred.args) == 1
+                and isinstance(pred.args[0], (str, int, float))
+                and not isinstance(pred.args[0], bool)
+            )
+
         hits = [
             (i, st)
             for i, st in enumerate(steps)
-            if st.name == "has" and len(st.args) == 2
-            and isinstance(st.args[1], Pred) and st.args[1].op == "eq"
-            and len(st.args[1].args) == 1
-            and isinstance(st.args[1].args[0], (str, int, float))
-            and not isinstance(st.args[1].args[0], bool)
+            if (st.name == "has" and len(st.args) == 2 and _eq_lit(st.args[1]))
+            or (st.name == "hasId" and len(st.args) == 1 and _eq_lit(st.args[0]))
         ]
         if len(hits) not in (1, 2):
             return None
@@ -501,17 +533,23 @@ class G:
         prev = 0
         values = []
         for i, st in hits:
-            value = st.args[1].args[0]
+            if st.name == "hasId":
+                value = st.args[0].args[0]
+                slot = "hasId(eq(?))"
+            else:
+                value = st.args[1].args[0]
+                lit_cls = "num" if isinstance(value, (int, float)) else "str"
+                slot = f"has({st.args[0]!r},eq(?:{lit_cls}))"
             values.append(value)
-            lit_cls = "num" if isinstance(value, (int, float)) else "str"
             parts.append(repr(list(steps[prev:i])))
-            parts.append(f"|has({st.args[0]!r},eq(?:{lit_cls}))|")
+            parts.append(f"|{slot}|")
             prev = i + 1
         parts.append(repr(list(steps[prev:])))
         shape = "".join(parts)
         idxs = [i for i, _ in hits]
         return (
             shape,
+            steps,
             idxs[0] if len(idxs) == 1 else idxs,
             values[0] if len(values) == 1 else tuple(values),
         )
@@ -522,7 +560,7 @@ class G:
         ps = self._point_shape(steps)
         if ps is None:
             return None
-        shape, idx, value = ps
+        shape, steps, idx, value = ps
         rec = self._auto_prepared.get(shape, False)
         if rec is not False:
             return self._serve(shape, rec, value)

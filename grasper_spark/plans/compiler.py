@@ -393,6 +393,17 @@ class GremlinCompiler:
         s, col, dt = self._prop_col(s, key)
         return replace(s, df=s.df.filter(pred_to_condition(pred, col, dtype=dt)))
 
+    def _step_hasId(self, s: Stream, pred: Pred) -> Stream:
+        """hasId(pred) — filter by element id (vid for vertices, the
+        packed (src,dst) eid for edges). TinkerPop-parity extension:
+        the reference restricts ids to g.V(id…) starts
+        (core/parser.cpp:1136-1160); here the id is just a column."""
+        assert s.kind in ("V", "E"), "hasId() applies to elements"
+        col = F.col(VCOL) if s.kind == "V" else s.val()
+        return replace(
+            s, df=s.df.filter(pred_to_condition(pred, col, dtype="bigint"))
+        )
+
     def _step_hasNot(self, s: Stream, key: str) -> Stream:
         s, col, _ = self._prop_col(s, key)
         return replace(s, df=s.df.filter(col.isNull()))

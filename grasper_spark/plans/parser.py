@@ -23,7 +23,7 @@ PRED_NAMES = {
 }
 
 STEP_NAMES = {
-    "V", "E", "has", "hasNot", "hasKey", "hasValue", "hasLabel", "is",
+    "V", "E", "has", "hasId", "hasNot", "hasKey", "hasValue", "hasLabel", "is",
     "where", "coin", "sample", "out", "in", "both", "outE", "inE", "bothE", "outV",
     "inV", "bothV", "values", "label", "key", "properties", "as", "select",
     "aggregate", "cap", "count", "sum", "max", "min", "mean", "group",
@@ -155,6 +155,18 @@ def _parse_step(tok: str) -> Step:
         return Step("and", (raw_args[0],))
     if name == "has" and len(raw_args) == 2 and not isinstance(raw_args[1], Pred):
         return Step("has", (raw_args[0], P.eq(raw_args[1])))
+    if name == "hasId":
+        if len(raw_args) == 1 and isinstance(raw_args[0], Pred):
+            return Step("hasId", (raw_args[0],))
+        if not raw_args:
+            raise ParseError("hasId() takes ids or one predicate")
+        # non-integer literals are legal and match nothing (ids are
+        # bigint; the predicate kernel's class gate handles it) — the
+        # TinkerPop behavior, and what template-marker substitution needs
+        return Step(
+            "hasId",
+            (P.eq(raw_args[0]) if len(raw_args) == 1 else P.within(*raw_args),),
+        )
     if name == "project":
         if not raw_args or not all(isinstance(a, str) for a in raw_args):
             raise ParseError("project() takes one or more string keys")

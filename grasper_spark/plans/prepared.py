@@ -185,7 +185,10 @@ class PreparedQuery:
                 else [param_idx]
             )
         _validate_steps(steps)
-        self.keys = [steps[i].args[0] for i in idxs]
+        self.keys = [
+            "__id__" if steps[i].name == "hasId" else steps[i].args[0]
+            for i in idxs
+        ]
         self.key = self.keys[0]
         self._pqcols = [PQCOL if j == 0 else f"{PQCOL}{j + 1}" for j in range(len(idxs))]
 
@@ -224,7 +227,11 @@ class PreparedQuery:
                     raise PrepareError(
                         f"parameter has() on a {cur.kind} stream"
                     )
-                cur, col, dtype = c._prop_col(cur, self.keys[j])
+                if steps[ix].name == "hasId":
+                    # parameterized element id: the key IS the id column
+                    col, dtype = cur.val(), "bigint"
+                else:
+                    cur, col, dtype = c._prop_col(cur, self.keys[j])
                 self.param_dtypes.append(dtype)
                 pq = self._pqcols[j]
                 cur = replace(
@@ -351,15 +358,18 @@ class PreparedQuery:
 
     @staticmethod
     def _find_one_param(steps: list[Step], sent: str) -> int:
-        hits = [
-            (i, st.args[0])
-            for i, st in enumerate(steps)
-            if st.name == "has"
-            and len(st.args) == 2
-            and isinstance(st.args[1], Pred)
-            and st.args[1].op == "eq"
-            and st.args[1].args == (sent,)
-        ]
+        def _is_param(st: Step) -> bool:
+            if (st.name == "has" and len(st.args) == 2
+                    and isinstance(st.args[1], Pred)
+                    and st.args[1].op == "eq" and st.args[1].args == (sent,)):
+                return True
+            return (
+                st.name == "hasId" and len(st.args) == 1
+                and isinstance(st.args[0], Pred)
+                and st.args[0].op == "eq" and st.args[0].args == (sent,)
+            )
+
+        hits = [(i, st) for i, st in enumerate(steps) if _is_param(st)]
         # the sentinel anywhere else (another step, within(), a branch
         # sub-traversal, …) is a shape this layer does not model —
         # recurse through nested branch step tuples so a marker inside

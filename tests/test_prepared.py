@@ -79,6 +79,40 @@ def test_prepared_two_marker_template(g):
         assert sorted(p.rows((age, lang))) == want
 
 
+def test_prepared_by_id_template(g):
+    # the reference's KV point-get: parameterized element id
+    p = prepare(g, 'g.V().hasId($RAND).out("knows").values("name")')
+    assert p.keys == ["__id__"] and p.param_dtype == "bigint"
+    assert sorted(p.rows(1)) == [("josh",), ("vadas",)]
+    assert p.rows(999) == [] and p.rows("zz") == []
+
+
+def test_auto_prepare_v_id_point_starts(modern):
+    from grasper_spark import G
+
+    gi = G(modern)
+    q = 'g.V({}).out("created").values("name")'
+    base = {}
+    for vid in (1, 4, 6):
+        base[vid] = sorted(r.val for r in gi.query(q.format(vid)).collect())
+    rec = [v for v in gi._auto_prepared.values() if v is not None]
+    assert len(rec) == 1 and rec[0].keys == ["__id__"]
+    for vid in (1, 2, 4, 6, 999):
+        got = sorted(r.val for r in gi.query(q.format(vid)).collect())
+        fresh = sorted(
+            r.val for r in gi.traversal(
+                __import__("grasper_spark.plans.parser", fromlist=["parse_query"])
+                .parse_query(q.format(vid))
+            ).df().collect()
+        )
+        assert got == fresh, vid
+    assert base[1] == ["lop"]
+    # V(id1, id2) multi-id starts are NOT rewritten (stay per-query)
+    assert sorted(
+        r.val for r in gi.query('g.V(1,4).out("created").values("name")').collect()
+    ) == ["lop", "lop", "ripple"]
+
+
 def test_prepared_unseen_value_returns_empty(g):
     # serving is defined over the OBSERVED parameter domain (like the
     # reference's index store, which only holds present values)

@@ -199,6 +199,26 @@ def test_repeat_until_cycle_errors_at_bound(spark):
     assert got.count() == 0
 
 
+def test_hasid_forms(g):
+    from grasper_spark import P
+
+    # id filter: ints, multiple ids, predicates, and string literals
+    # (class-gated to nothing — ids are bigint)
+    assert vals(g.V().hasId(1).values("name")) == ["marko"]
+    assert sorted(vals(g.V().hasId(1, 4).values("name"))) == ["josh", "marko"]
+    assert vals(g.V().hasId(P.gt(4)).count()) == [2]
+    assert [r.val for r in g.query("g.V().hasId(3).label()").collect()] == ["software"]
+    assert g.query('g.V().hasId("zz").count()').collect()[0][0] == 0
+    # edge ids are the packed (src,dst) pair
+    assert g.E().hasId(P.gt(0)).count().to_list() == [6]
+    import pytest as _pt
+
+    from grasper_spark.plans.parser import ParseError
+
+    with _pt.raises(ParseError, match="hasId"):
+        g.query("g.V().hasId()")
+
+
 def test_fold_scalars(g):
     got = vals(g.V().hasLabel("person").values("age").fold())
     assert got == ["[27, 29, 32, 35]"]
