@@ -55,9 +55,12 @@ def point_shape(draw):
     steps.append(Step("V", ()))
     if draw(st.booleans()):
         steps.append(Step("hasLabel", (draw(st.sampled_from(["person", "item"])),)))
-    key = draw(st.sampled_from(["name", "age"]))
+    key = draw(st.sampled_from(["name", "age", "__id__"]))
     idx = len(steps)
-    steps.append(Step("has", (key, P.eq("__PLACEHOLDER__"))))
+    if key == "__id__":
+        steps.append(Step("hasId", (P.eq("__PLACEHOLDER__"),)))
+    else:
+        steps.append(Step("has", (key, P.eq("__PLACEHOLDER__"))))
     idxs = [idx]
     keys = [key]
     second = draw(st.booleans())
@@ -97,7 +100,10 @@ def point_shape(draw):
 def _per_query(gd, steps, idxs, keys, values):
     concrete = list(steps)
     for i, k, v in zip(idxs, keys, values):
-        concrete[i] = Step("has", (k, P.eq(v)))
+        if k == "__id__":
+            concrete[i] = Step("hasId", (P.eq(v),))
+        else:
+            concrete[i] = Step("has", (k, P.eq(v)))
     return sorted(
         tuple(r) for r in gd.traversal(concrete).df().collect()
     )
@@ -108,12 +114,17 @@ def _per_query(gd, steps, idxs, keys, values):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_prepared_matches_per_query_on_every_domain_value(gd, shape):
     steps, idxs = shape
-    keys = [steps[i].args[0] for i in idxs]
+    keys = [
+        "__id__" if steps[i].name == "hasId" else steps[i].args[0]
+        for i in idxs
+    ]
     p = PreparedQuery(
         gd, steps=list(steps), param_idx=idxs if len(idxs) > 1 else idxs[0]
     )
 
     def dom(key):
+        if key == "__id__":
+            return sorted(v[0] for v in VERTS)
         return sorted(
             {v[3] for v in VERTS if v[3] is not None}
             if key == "name"
@@ -136,7 +147,7 @@ def test_prepared_matches_per_query_on_every_domain_value(gd, shape):
         assert got == want, (steps, keys, vals, got, want)
     missing = tuple(
         "zzz" if k == "name" else 10**9 for k in keys
-    )
+    )  # 10**9 covers both age and __id__ (absent bigint)
     probe = missing[0] if len(idxs) == 1 else missing
     assert p.rows(probe) == []
     assert _per_query(gd, steps, idxs, keys, missing) == []
