@@ -58,6 +58,14 @@ ORD = "_ord_"
 _uid = itertools.count()
 
 
+def eid_col() -> Column:
+    """The synthetic edge id: src<<32 | dst — the reference's eid_t
+    bit-pack (/root/reference/base/type.hpp:156-184). The ONE packing
+    shared by Stream.val(), id(), elementMap, and hasId (a second
+    packing would make ids from id() unmatchable by hasId())."""
+    return F.shiftleft(F.col(ESRC), 32).bitwiseOR(F.col(EDST))
+
+
 class CompileError(ValueError):
     """Ill-typed or invalid step chain (plan-time, before execution)."""
 
@@ -86,9 +94,7 @@ class Stream:
         if self.kind == "V":
             return F.col(VCOL)
         if self.kind == "E":
-            # packed edge id — reference eid_t is the endpoint pair
-            # (/root/reference/base/type.hpp:156-184)
-            return F.shiftleft(F.col(ESRC), 33) + F.col(EDST)
+            return eid_col()
         return F.col(VAL)
 
     def core_cols(self) -> list[str]:
@@ -612,7 +618,7 @@ class GremlinCompiler:
         if s.kind == "V":
             col = F.col(VCOL).cast("bigint")
         elif s.kind == "E":
-            col = F.shiftleft(F.col(ESRC), 32).bitwiseOR(F.col(EDST))
+            col = eid_col()
         else:
             raise CompileError("id() applies to vertex or edge streams")
         df = s.df.select(*s.hist_cols(), *s.sort_cols(), col.alias(VAL))
@@ -658,7 +664,7 @@ class GremlinCompiler:
             ident = F.col(VCOL).cast("string")
             lab = F.col(VLAB)
         elif s.kind == "E":
-            ident = F.shiftleft(F.col(ESRC), 32).bitwiseOR(F.col(EDST)).cast("string")
+            ident = eid_col().cast("string")
             lab = F.col(ELAB)
         else:
             raise CompileError("elementMap() applies to vertex or edge streams")

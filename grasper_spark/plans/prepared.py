@@ -114,6 +114,12 @@ class PrepareError(ValueError):
 
 _ENGINE_VERSION: Optional[str] = None
 
+#: serializes snapshot writes within a process (emu prepares templates
+#: concurrently; identical templates share a fingerprint)
+import threading as _threading
+
+_SNAP_LOCK = _threading.Lock()
+
 
 def _engine_version() -> str:
     """Hash of the compiling code — part of the snapshot fingerprint."""
@@ -121,10 +127,13 @@ def _engine_version() -> str:
     if _ENGINE_VERSION is None:
         import hashlib
 
+        import grasper_spark.plans.api as _a
         import grasper_spark.plans.compiler as _c
+        import grasper_spark.plans.parser as _p
+        import grasper_spark.plans.predicates as _pr
 
         h = hashlib.md5()
-        for mod in (_c, __import__(__name__, fromlist=["x"])):
+        for mod in (_c, _pr, _p, _a, __import__(__name__, fromlist=["x"])):
             try:
                 with open(mod.__file__, "rb") as fh:
                     h.update(fh.read())
@@ -206,46 +215,22 @@ class PreparedQuery:
                 f"{g._seed}|{_engine_version()}".encode()
             ).hexdigest()[:16]
             snap = os.path.join(cache_dir, f"pq_{fp}")
-        if snap is not None and self._load_snapshot(snap):
-            pass  # _out_df / param_dtypes / columns restored from disk
-        else:
-            c = GremlinCompiler(
-                g.graph,
-                seed=g._seed,
-                index_store=getattr(g, "_index_store", None),
-                config=getattr(g, "_config", None),
-            )
-            # walk the step list once, attaching a passenger value
-            # column at EVERY parameterized has() position — the answer
-            # for every parameter COMBINATION computes in one job
-            self.param_dtypes = []
-            cur = None
-            prev = 0
-            for j, ix in enumerate(idxs):
-                cur = c.compile(steps[prev:ix], start=cur)
-                if cur.kind not in ("V", "E"):
-                    raise PrepareError(
-                        f"parameter has() on a {cur.kind} stream"
-                    )
-                if steps[ix].name == "hasId":
-                    # parameterized element id: the key IS the id column
-                    col, dtype = cur.val(), "bigint"
+        loaded = snap is not None and self._load_snapshot(snap)
+        if not loaded and snap is not None:
+            # serialize same-fingerprint builds in-process and re-check
+            # under the lock: a concurrent prepare() (emu warms templates
+            # in a thread pool; identical templates share a fingerprint)
+            # may have just written this snapshot — two jobs overwriting
+            # one parquet dir could mark a corrupt snapshot _SNAP_OK
+            with _SNAP_LOCK:
+                if self._load_snapshot(snap):
+                    loaded = True
                 else:
-                    cur, col, dtype = c._prop_col(cur, self.keys[j])
-                self.param_dtypes.append(dtype)
-                pq = self._pqcols[j]
-                cur = replace(
-                    cur,
-                    df=cur.df.withColumn(pq, col).filter(col.isNotNull()),
-                    history={**cur.history, pq: pq},
-                    hist_dtype={**cur.hist_dtype, pq: dtype},
-                    group_cols=list(cur.group_cols) + [pq],
-                )
-                prev = ix + 1
-            out = c.compile(steps[prev:], start=cur)
-            self._out_df = self._project(c, out)
-            if snap is not None:
-                self._write_snapshot(snap)
+                    self._build(g, steps, idxs)
+                    self._write_snapshot(snap)
+                    loaded = True
+        if not loaded:
+            self._build(g, steps, idxs)
         self.param_dtype = self.param_dtypes[0]
         self.columns = [
             col_ for col_ in self._out_df.columns if col_ not in self._pqcols
@@ -277,6 +262,44 @@ class PreparedQuery:
         else:
             self.mode = "relation"
 
+    def _build(self, g, steps, idxs) -> None:
+        """Compile + materialize the keyed relation (no snapshot)."""
+        c = GremlinCompiler(
+            g.graph,
+            seed=g._seed,
+            index_store=getattr(g, "_index_store", None),
+            config=getattr(g, "_config", None),
+        )
+        # walk the step list once, attaching a passenger value
+        # column at EVERY parameterized has() position — the answer
+        # for every parameter COMBINATION computes in one job
+        self.param_dtypes = []
+        cur = None
+        prev = 0
+        for j, ix in enumerate(idxs):
+            cur = c.compile(steps[prev:ix], start=cur)
+            if cur.kind not in ("V", "E"):
+                raise PrepareError(
+                    f"parameter has() on a {cur.kind} stream"
+                )
+            if steps[ix].name == "hasId":
+                # parameterized element id: the key IS the id column
+                col, dtype = cur.val(), "bigint"
+            else:
+                cur, col, dtype = c._prop_col(cur, self.keys[j])
+            self.param_dtypes.append(dtype)
+            pq = self._pqcols[j]
+            cur = replace(
+                cur,
+                df=cur.df.withColumn(pq, col).filter(col.isNotNull()),
+                history={**cur.history, pq: pq},
+                hist_dtype={**cur.hist_dtype, pq: dtype},
+                group_cols=list(cur.group_cols) + [pq],
+            )
+            prev = ix + 1
+        out = c.compile(steps[prev:], start=cur)
+        self._out_df = self._project(c, out)
+
     # ---- disk snapshot (MPISnapshot pattern) ----
 
     def _load_snapshot(self, snap: str) -> bool:
@@ -301,8 +324,22 @@ class PreparedQuery:
     def _write_snapshot(self, snap: str) -> None:
         import json
         import os
+        import shutil
+        import threading
 
-        self._out_df.write.mode("overwrite").parquet(os.path.join(snap, "data"))
+        # cross-PROCESS atomicity (the in-process race is held off by
+        # _SNAP_LOCK): write to a unique temp dir, then rename into
+        # place — rename onto an existing dir fails, so exactly one
+        # writer wins and losers discard their copy
+        data = os.path.join(snap, "data")
+        tmp = os.path.join(
+            snap, f"data.tmp.{os.getpid()}.{threading.get_ident()}"
+        )
+        self._out_df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, data)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another writer won
         with open(os.path.join(snap, "manifest.json"), "w") as fh:
             json.dump(
                 {
@@ -416,10 +453,14 @@ class PreparedQuery:
         a mismatched-class literal matches nothing — predicates.py
         `_lit_class`/`_type_class`). Within-class conversions (int↔float
         on numeric columns) mirror Spark's numeric coercion."""
+        from decimal import Decimal
+
         dt = dt or self.param_dtype
         if dt.startswith(("int", "bigint", "smallint", "tinyint",
                           "double", "float", "decimal")):
-            if isinstance(value, bool) or not isinstance(value, (int, float)):
+            if isinstance(value, bool) or not isinstance(
+                value, (int, float, Decimal)
+            ):
                 return None
             try:
                 if dt.startswith(("double", "float")):
@@ -427,9 +468,12 @@ class PreparedQuery:
                 if dt.startswith("decimal"):
                     # local-tier dict keys collected from a decimal
                     # column are decimal.Decimal — float() never hits
-                    from decimal import Decimal
-
-                    return Decimal(str(value))
+                    return value if isinstance(value, Decimal) else Decimal(str(value))
+                # integer key: a FRACTIONAL float matches nothing
+                # (int() would truncate 29.9 -> 29 and return the wrong
+                # rows where per-query evaluates age==29.9 -> empty)
+                if isinstance(value, (float, Decimal)) and value != int(value):
+                    return None
                 return int(value)
             except (ValueError, TypeError, ArithmeticError):
                 return None

@@ -90,6 +90,73 @@ def test_decimal_param_keys_roundtrip(spark):
     assert p.rows(99.99) == []
 
 
+def test_fractional_float_on_integer_key_matches_nothing(g):
+    p = prepare(g, 'g.V().has("age",$RAND).values("name")')
+    assert p.rows(29.9) == []       # was: int(29.9) -> 29 -> wrong rows
+    assert p.rows(29.0) == [("marko",)]
+    assert p.rows(29) == [("marko",)]
+    pid = prepare(g, 'g.V().hasId($RAND).values("name")')
+    assert pid.rows(1.5) == []
+    assert pid.rows(1.0) == [("marko",)]
+
+
+def test_edge_id_packing_round_trips_through_hasid(g):
+    # the eid id() EXPOSES must be matchable by hasId (one shared
+    # packing: src<<32 | dst)
+    eids = [r.val for r in g.E().hasLabel("knows").id().df().collect()]
+    assert (1 << 32) | 2 in eids
+    for e in eids:
+        got = g.E().hasId(int(e)).count().to_list()
+        assert got == [1], e
+    # the other packing (src<<33 + dst) must NOT match
+    assert g.E().hasId((1 << 33) + 2).count().to_list() == [0]
+
+
+def test_decimal_param_values_roundtrip_through_rows(spark):
+    # param_values() keys (Decimal) must be servable straight back —
+    # the emu warm-up samples exactly those values
+    from pyspark.sql import functions as F
+
+    v = spark.createDataFrame(
+        [(1, "x", "5694.03"), (2, "x", "11.50")],
+        "vid long, label string, bal string",
+    ).withColumn("bal", F.col("bal").cast("decimal(12,2)"))
+    e = spark.createDataFrame([], "src long, dst long, label string")
+    gd = G(PropertyGraph(v, e))
+    p = PreparedQuery(gd, 'g.V().has("bal",$RAND)')
+    for val in p.param_values():
+        assert p.rows(val) != [], val
+
+
+def test_concurrent_same_template_snapshot_write(g, tmp_path):
+    # emu-style concurrent prepare() of the SAME template with a shared
+    # cache dir: exactly one consistent snapshot, correct serving
+    from concurrent.futures import ThreadPoolExecutor
+
+    cache = str(tmp_path / "race")
+    t = 'g.V().has("name","$RAND").values("age")'
+
+    def build(_):
+        return prepare(g, t, cache_dir=cache)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        ps = list(ex.map(build, range(4)))
+    for p in ps:
+        assert p.rows("marko") == [(29,)]
+    import os
+
+    snaps = [d for d in os.listdir(cache) if d.startswith("pq_")]
+    assert len(snaps) == 1
+    leftovers = [
+        d for d in os.listdir(os.path.join(cache, snaps[0]))
+        if d.startswith("data.tmp")
+    ]
+    assert leftovers == []
+    # a fresh load serves the same answers
+    p2 = prepare(g, t, cache_dir=cache)
+    assert p2.rows("marko") == [(29,)]
+
+
 def test_shape_bookkeeping_bounded(modern):
     gi = G(modern)
     gi.AUTO_PREPARE_AFTER = 10**9  # count only, never materialize
