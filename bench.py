@@ -2,8 +2,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line LAST (the driver tails stdout and parses
+the final line — round 3 proved a line carrying the nested sf1/emu
+sections outgrows that window, BENCH_r03 "parsed": null):
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The FULL document (scaling / sf1 / emu sections) is written to
+BENCH_FULL.json next to this script.
 
 value = sum of per-query wall seconds (graph projection build/cache time
 is reported separately under "load" and not counted — at scale the
@@ -281,7 +286,21 @@ def main() -> None:
     except Exception as ex:  # emu is informational — never fail the bench
         print(f"# emu skipped: {ex}", file=sys.stderr)
 
-    print(json.dumps(result))
+    # full document (nested sections) → disk; compact headline line →
+    # stdout LAST, small enough for the driver's tail window
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+        print(f"# full bench document: {full_path}", file=sys.stderr)
+    except OSError as ex:
+        print(f"# BENCH_FULL.json not written: {ex}", file=sys.stderr)
+    compact = {
+        k: result[k] for k in ("metric", "value", "unit", "queries", "sf")
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
