@@ -52,9 +52,16 @@ def write_manifest(path: str, kind: str, **meta: Any) -> None:
         json.dump(doc, fh)
 
 
-def read_manifest(path: str, expect_kind: str | None = None) -> dict:
+def read_manifest(
+    path: str, expect_kind: str | None = None, upgrade: bool = False
+) -> dict:
     """Validated manifest load; understands the legacy sidecar layout
-    (centroids.json / codebooks.json, no manifest) as version 0."""
+    (centroids.json / codebooks.json, no manifest) as version 0.
+
+    With ``upgrade=True`` a legacy layout is rewritten as a current
+    manifest in place (the append paths pass this, so any write-visit
+    to a legacy index leaves it versioned; the old sidecars stay as
+    harmless leftovers — the manifest takes precedence)."""
     mf = os.path.join(path, MANIFEST)
     if os.path.exists(mf):
         with open(mf) as fh:
@@ -97,4 +104,8 @@ def read_manifest(path: str, expect_kind: str | None = None) -> dict:
         raise IndexFormatError(
             f"expected a {expect_kind} index at {path}, found {doc['kind']}"
         )
+    if upgrade:
+        meta = {k: v for k, v in doc.items() if k not in ("format_version", "kind")}
+        write_manifest(path, doc["kind"], **meta)
+        doc["format_version"] = FORMAT_VERSION
     return doc

@@ -317,7 +317,9 @@ def ivfpq_append(
     from grasper_spark.functions.ann_index import data_dir, read_manifest
     from grasper_spark.functions.similarity import cosine
 
-    doc = read_manifest(path, expect_kind="ivfpq")
+    # upgrade=True: a legacy (sidecar-only) index gets its manifest
+    # written on this append, honoring the ann_index upgrade contract
+    doc = read_manifest(path, expect_kind="ivfpq", upgrade=True)
     cent_df = spark.createDataFrame(doc["centroids"], ["cluster", "centroid"])
     scored = (
         new_vectors.select(id_col, vec_col)

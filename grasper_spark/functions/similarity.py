@@ -390,7 +390,9 @@ def ivf_append(
     ingest/retrain split. Returns the new rows' assignment."""
     from grasper_spark.functions.ann_index import data_dir, read_manifest
 
-    centroids = read_manifest(path, expect_kind="ivf")["centroids"]
+    # upgrade=True: a legacy (sidecar-only) index gets its manifest
+    # written on this append, honoring the ann_index upgrade contract
+    centroids = read_manifest(path, expect_kind="ivf", upgrade=True)["centroids"]
     cent_df = spark.createDataFrame(centroids, ["cluster", "centroid"])
     scored = (
         new_vectors.select(id_col, vec_col)

@@ -431,6 +431,7 @@ class G:
 
         self._prepare_lock = threading.Lock()  # emu-style threaded query()
         self._serve_clock = 0  # LRU clock for auto-prepared eviction
+        self._invalidations = 0  # bumped by _invalidate_caches (epoch)
 
     def V(self, *ids: int) -> Traversal:
         return Traversal(self.graph, (Step("V", tuple(ids)),), self._seed, ctx=self)
@@ -554,6 +555,12 @@ class G:
             values[0] if len(values) == 1 else tuple(values),
         )
 
+    #: placeholder marking a shape whose materialization is in flight —
+    #: concurrent query() threads seeing it fall through to per-query
+    #: execution instead of blocking on the build (a Spark job + a
+    #: driver collect can take seconds; the lock only guards bookkeeping)
+    _BUILDING = object()
+
     def _try_auto_prepared(self, steps) -> Optional[DataFrame]:
         from grasper_spark.plans.prepared import PreparedQuery
 
@@ -562,6 +569,8 @@ class G:
             return None
         shape, steps, idx, value = ps
         rec = self._auto_prepared.get(shape, False)
+        if rec is self._BUILDING:
+            return None  # another thread is materializing — run per-query
         if rec is not False:
             return self._serve(shape, rec, value)
         with self._prepare_lock:
@@ -569,6 +578,8 @@ class G:
             # have materialized (or rejected) the shape already —
             # double-building would leak the loser's persisted relation
             rec = self._auto_prepared.get(shape, False)
+            if rec is self._BUILDING:
+                return None
             if rec is not False:
                 return self._serve(shape, rec, value)
             n = self._shape_seen.get(shape, 0) + 1
@@ -584,20 +595,36 @@ class G:
                     del self._auto_prepared[k]
             if n <= self.AUTO_PREPARE_AFTER:
                 return None
-            live = {k: v for k, v in self._auto_prepared.items() if v is not None}
+            live = {
+                k: v
+                for k, v in self._auto_prepared.items()
+                if v is not None and v is not self._BUILDING
+            }
             if len(live) >= self.AUTO_PREPARE_MAX:
                 # evict the least-recently-served template (close its
                 # cached relation) so hot new shapes still prepare
                 victim = min(live, key=lambda k: getattr(live[k], "_last_served", 0))
                 live[victim].close()
                 del self._auto_prepared[victim]
-            try:
-                rec = PreparedQuery(
-                    self, steps=list(steps), param_idx=idx,
-                    max_local_rows=self.AUTO_PREPARE_MAX_ROWS,
-                )
-            except Exception:
-                rec = None  # shape out of scope — remembered, no retries
+            self._auto_prepared[shape] = self._BUILDING
+            epoch = self._invalidations
+        # materialize OUTSIDE the lock: other shapes (and other values of
+        # this shape) keep executing per-query while the build runs
+        try:
+            rec = PreparedQuery(
+                self, steps=list(steps), param_idx=idx,
+                max_local_rows=self.AUTO_PREPARE_MAX_ROWS,
+            )
+        except Exception:
+            rec = None  # shape out of scope — remembered, no retries
+        with self._prepare_lock:
+            if self._invalidations != epoch:
+                # the caches were invalidated mid-build (SetConfig /
+                # BuildIndex / ingest) — the result bakes in stale state
+                if rec is not None:
+                    rec.close()
+                self._auto_prepared.pop(shape, None)
+                return None
             self._auto_prepared[shape] = rec
         return self._serve(shape, rec, value)
 
@@ -609,9 +636,10 @@ class G:
         return rec.df(value)
 
     def _invalidate_caches(self) -> None:
+        self._invalidations += 1
         self._plan_cache.clear()
         for rec in self._auto_prepared.values():
-            if rec is not None:
+            if rec is not None and rec is not self._BUILDING:
                 rec.close()
         self._auto_prepared.clear()
         self._shape_seen.clear()

@@ -227,7 +227,11 @@ class PreparedQuery:
                     loaded = True
                 else:
                     self._build(g, steps, idxs)
-                    self._write_snapshot(snap)
+                    # an ordering the projection cannot re-apply after a
+                    # parquet read must not be frozen into a snapshot —
+                    # such templates rebuild per session instead
+                    if not self._has_sort or self._sort_out is not None:
+                        self._write_snapshot(snap)
                     loaded = True
         if not loaded:
             self._build(g, steps, idxs)
@@ -317,6 +321,15 @@ class PreparedQuery:
             self._out_df = self._g.graph.spark.read.parquet(
                 os.path.join(snap, "data")
             )
+            # a parquet read loses row order across files — re-apply the
+            # template's ordering recorded at write time
+            so = mf.get("sort_out") or []
+            self._has_sort = bool(so)
+            self._sort_out = [[c2, bool(a)] for c2, a in so]
+            if so:
+                self._out_df = self._out_df.orderBy(
+                    *[F.col(c2).asc() if a else F.col(c2).desc() for c2, a in so]
+                )
             return True
         except Exception:
             return False  # unreadable snapshot — rebuild and overwrite
@@ -346,14 +359,23 @@ class PreparedQuery:
                     "template": self.template,
                     "keys": self.keys,
                     "param_dtypes": self.param_dtypes,
+                    "sort_out": self._sort_out if self._has_sort else [],
                 },
                 fh,
             )
         with open(os.path.join(snap, "_SNAP_OK"), "w") as fh:
             fh.write("ok\n")
         # read the persisted copy back: the tiering below then scans
-        # parquet instead of re-running the materialization plan
+        # parquet instead of re-running the materialization plan —
+        # re-applying the ordering the parquet files do not carry
         self._out_df = self._g.graph.spark.read.parquet(os.path.join(snap, "data"))
+        if self._has_sort and self._sort_out:
+            self._out_df = self._out_df.orderBy(
+                *[
+                    F.col(c2).asc() if a else F.col(c2).desc()
+                    for c2, a in self._sort_out
+                ]
+            )
 
     # ---- template surgery ----
 
@@ -429,18 +451,42 @@ class PreparedQuery:
         return hits[0][0]
 
     def _project(self, c: GremlinCompiler, stream) -> DataFrame:
-        """result_df + the passenger keys (kept first)."""
+        """result_df + the passenger keys (kept first).
+
+        Also records ``_sort_out`` — the stream's sort spec mapped to
+        OUTPUT column names — so a snapshot re-read (which loses row
+        order across parquet files) can re-apply the ordering. A sort
+        on a column the projection drops (an order-key history column)
+        maps to None: such templates still serve correctly in-session
+        (the orderBy below runs before the tiering collects), but are
+        not snapshotable."""
         df = stream.df
+        self._has_sort = bool(stream.sort)
         if stream.sort:
             df = df.orderBy(
                 *[F.col(x).asc() if asc else F.col(x).desc() for x, asc in stream.sort]
             )
         pq = self._pqcols
         if stream.kind == "V":
+            rename = {VCOL: "vid"}
+        elif stream.kind == "E":
+            rename = {ESRC: "src", EDST: "dst"}
+        elif stream.kind == "G":  # relational group output keeps its columns
+            rename = {c2: c2 for c2 in df.columns if c2 not in pq}
+        else:
+            rename = {VAL: "val"}
+        self._sort_out: Optional[list] = []
+        for col_, asc in stream.sort:
+            mapped = rename.get(col_)
+            if mapped is None:
+                self._sort_out = None
+                break
+            self._sort_out.append([mapped, bool(asc)])
+        if stream.kind == "V":
             return df.select(*pq, F.col(VCOL).alias("vid"))
         if stream.kind == "E":
             return df.select(*pq, F.col(ESRC).alias("src"), F.col(EDST).alias("dst"))
-        if stream.kind == "G":  # relational group output keeps its columns
+        if stream.kind == "G":
             keep = [c2 for c2 in df.columns if c2 not in pq]
             return df.select(*pq, *keep)
         return df.select(*pq, F.col(VAL).alias("val"))

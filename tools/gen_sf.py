@@ -52,6 +52,18 @@ def _pick(salt: str, values: list[str], *cols) -> F.Column:
     return F.element_at(arr, (_h(salt, *cols) % len(values) + 1).cast("int"))
 
 
+def _ntz(secs) -> F.Column:
+    """Epoch seconds → timestamp_ntz, entirely in NTZ space.
+
+    timestamp_seconds()/date_trunc()/cast(ntz) on a TIMESTAMP all read
+    spark.sql.session.timeZone, so the 'reproducible across runs'
+    guarantee would only hold within one session timezone. NTZ interval
+    arithmetic is wall-clock math — timezone-free — and equals the UTC
+    interpretation the shipped sf tables were generated under."""
+    base = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return base + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
+
+
 def generate_sf(spark, out_dir: str, sf: float = 1.0,
                 base_sf_dir: str = "/root/testdata/sf0.1") -> str:
     """Write all ten tables for scale factor `sf` under `out_dir`;
@@ -113,12 +125,13 @@ def generate_sf(spark, out_dir: str, sf: float = 1.0,
         (_h("o_cust", i) % n_cust).alias("o_custkey"),
         _pick("o_st", OSTATUS, i).alias("o_orderstatus"),
         F.round(1000.0 + _u("o_tp", i) * 499000.0, 2).alias("o_totalprice"),
-        F.timestamp_seconds(
-            F.unix_timestamp(F.lit("1995-01-01 00:00:00"))
-            + _h("o_dt", i) % (2405 * 86400)
-        ).alias("o_orderdate"),
+        # fixed epoch literal (788918400 = 1995-01-01T00:00:00Z) + NTZ
+        # arithmetic — see _ntz for why no session-TZ-dependent exprs
+        _ntz(F.lit(788918400) + _h("o_dt", i) % (2405 * 86400))
+        .alias("o_orderdate"),
         _pick("o_pr", OPRIO, i).alias("o_orderpriority"),
     ).withColumn(
+        # date_trunc on an NTZ input is pure wall-clock truncation
         "o_orderdate",
         F.date_trunc("day", F.col("o_orderdate")).cast("timestamp_ntz"),
     )
@@ -147,12 +160,9 @@ def generate_sf(spark, out_dir: str, sf: float = 1.0,
             F.round((_h("l_tx", ok, ln) % 9).cast("double") / 100.0, 2).alias("l_tax"),
             _pick("l_rf", RFLAG, ok, ln).alias("l_returnflag"),
             _pick("l_ls", LSTATUS, ok, ln).alias("l_linestatus"),
-            F.date_trunc(
+            F.date_trunc(  # 789004800 = 1995-01-02T00:00:00Z
                 "day",
-                F.timestamp_seconds(
-                    F.unix_timestamp(F.lit("1995-01-02 00:00:00"))
-                    + _h("l_sd", ok, ln) % (2497 * 86400)
-                ),
+                _ntz(F.lit(789004800) + _h("l_sd", ok, ln) % (2497 * 86400)),
             ).cast("timestamp_ntz").alias("l_shipdate"),
         ),
         "lineitem",
@@ -161,8 +171,8 @@ def generate_sf(spark, out_dir: str, sf: float = 1.0,
     write(
         spark.range(n_ev).select(
             i.alias("event_id"),
-            F.timestamp_seconds(
-                F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+            _ntz(  # 1704067200 = 2024-01-01T00:00:00Z
+                F.lit(1704067200)
                 + (_h("e_ts", i) % (30 * 86400 * 1000)).cast("double") / 1000.0
             ).cast("timestamp_ntz").alias("ts"),
             (_h("e_us", i) % int(15_000 * sf)).alias("user_id"),
