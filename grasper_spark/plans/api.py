@@ -401,10 +401,9 @@ class G:
     AUTO_PREPARE_MAX_ROWS = 500_000
 
     #: steps whose per-parameter grouped execution is INDISTINGUISHABLE
-    #: from per-query execution (pure per-traverser semantics). Barriers
-    #: (count/sum/…) are excluded — an empty parameter group would drop
-    #: the row where per-query returns 0 — as are positional slices
-    #: (limit/range/…), whose arbitrary-pick tie-breaks may differ.
+    #: from per-query execution (pure per-traverser semantics).
+    #: Positional slices (limit/range/…) are excluded — their
+    #: arbitrary-pick tie-breaks may differ under grouping.
     _AUTO_STEPS = frozenset(
         ["V", "E", "has", "hasNot", "hasKey", "hasValue", "hasLabel", "is",
          "out", "in", "both", "outE", "inE", "bothE", "outV", "inV",
@@ -412,6 +411,17 @@ class G:
          "elementMap", "select", "as", "where", "dedup", "union", "and",
          "or", "not", "match", "optional", "coalesce", "choose",
          "constant", "project"]
+    )
+
+    #: barriers allowed as TOP-LEVEL steps only: the prepared layer
+    #: serves their empty-group case exactly (PreparedQuery._empty_rows,
+    #: the reference's barrier-on-empty-stream semantics,
+    #: expert/barrier_expert.hpp:442-490). Nested inside a branch they
+    #: pool over the branch's group columns, where a seen parameter
+    #: with an empty BRANCH would lose its 0-row aggregate — rejected.
+    _AUTO_BARRIERS = frozenset(
+        ["count", "sum", "max", "min", "mean", "fold", "group",
+         "groupCount", "dedupCount"]
     )
 
     def __init__(self, graph: PropertyGraph, seed: int = 42, cache_plans: bool = True):
@@ -512,19 +522,24 @@ class G:
         if hits[0][0] == 0 or steps[0].name not in ("V", "E") or steps[0].args:
             return None
         hit_idx = {i for i, _ in hits}
-        # DEEP name check: branch sub-traversals ride along inside step
-        # args, and a barrier nested in a union() branch (which the
-        # compiler does not per-traverser-tag) would change semantics
-        # under the parameter grouping
+        # name checks: TOP-LEVEL steps may include barriers (served with
+        # exact empty-group synthesis); NESTED names (branch
+        # sub-traversals riding along inside step args) may not — a
+        # barrier pooled inside a branch changes semantics under the
+        # parameter grouping (see _AUTO_BARRIERS)
         from grasper_spark.plans.prepared import _walk_names
 
-        names = {
+        top = {s2.name for j, s2 in enumerate(steps) if j not in hit_idx}
+        nested = {
             n
             for j, s2 in enumerate(steps)
             if j not in hit_idx
-            for n in _walk_names(s2)
+            for a in s2.args
+            for n in _walk_names(a)
         }
-        if not names <= self._AUTO_STEPS:
+        if not top <= (self._AUTO_STEPS | self._AUTO_BARRIERS):
+            return None
+        if not nested <= self._AUTO_STEPS:
             return None
         # the literal's CLASS is part of the shape: a string literal on a
         # numeric-keyed template is a DIFFERENT query (the predicate

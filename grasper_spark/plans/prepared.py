@@ -67,11 +67,18 @@ _UNSUPPORTED = frozenset(
 
 
 #: barrier steps whose EMPTY-group behavior differs between grouped and
-#: per-query execution (df.agg() on empty input yields one row; a
-#: grouped agg drops the group). Top-level they are supported with the
-#: observed-domain caveat; nested inside a UNION branch (the one branch
-#: construct the compiler does not per-traverser-tag) they would change
-#: results silently, so such templates are rejected.
+#: per-query execution (df.agg() on empty input yields one row — the
+#: reference's COUNT barrier likewise emits 0 on an empty stream,
+#: /root/reference/expert/barrier_expert.hpp:442-490 — while a grouped
+#: agg drops the group). Templates containing one are served with EXACT
+#: semantics: the per-query empty-input result is computed once at
+#: prepare time (``_empty_result_rows``) and synthesized for parameter
+#: values outside the observed domain. The one remaining exclusion is a
+#: barrier nested inside a union() branch: union branches share the
+#: incoming stream's group columns rather than a per-traverser tag
+#: (compiler `_step_union` → `_grouped_agg`), so a seen parameter whose
+#: BRANCH yields no rows would drop the branch's 0-row aggregate — such
+#: templates are rejected.
 _BARRIERS = frozenset(
     ["count", "sum", "max", "min", "mean", "fold", "group", "groupCount",
      "dedupCount"]
@@ -235,6 +242,14 @@ class PreparedQuery:
                     loaded = True
         if not loaded:
             self._build(g, steps, idxs)
+        # exact empty-group semantics for barrier templates: what does
+        # per-query execution return when the point filter matches
+        # nothing? (count → a 0 row; sum/max/min/mean → a null row;
+        # groupCount → no rows.) Computed by running the template once
+        # over an empty stream; served for out-of-domain values.
+        self._empty_rows: list[tuple] = []
+        if _BARRIERS.intersection(_walk_names(steps)):
+            self._empty_rows = self._empty_result_rows(g, steps, idxs)
         self.param_dtype = self.param_dtypes[0]
         self.columns = [
             col_ for col_ in self._out_df.columns if col_ not in self._pqcols
@@ -303,6 +318,27 @@ class PreparedQuery:
             prev = ix + 1
         out = c.compile(steps[prev:], start=cur)
         self._out_df = self._project(c, out)
+
+    def _empty_result_rows(self, g, steps, idxs) -> list[tuple]:
+        """The template's PER-QUERY result on empty input: compile the
+        prefix, null out the stream, run the remaining chain (param
+        steps removed — a filter over an empty stream is a no-op).
+        One tiny Spark job at prepare time; the result is what the
+        per-query path returns for any value matching nothing."""
+        c = GremlinCompiler(
+            g.graph,
+            seed=g._seed,
+            index_store=getattr(g, "_index_store", None),
+            config=getattr(g, "_config", None),
+        )
+        first = idxs[0]
+        cur = c.compile(steps[:first])
+        cur = replace(cur, df=cur.df.filter(F.lit(False)))
+        drop = set(idxs)
+        rest = [st for j, st in enumerate(steps) if j >= first and j not in drop]
+        out = c.compile(rest, start=cur)
+        df = out.df if out.kind == "G" else c.result_df(out)
+        return [tuple(r) for r in df.collect()]
 
     # ---- disk snapshot (MPISnapshot pattern) ----
 
@@ -547,24 +583,51 @@ class PreparedQuery:
 
     def rows(self, value: Any) -> list[tuple]:
         """Answer the template for one parameter value (a scalar, or a
-        tuple for multi-parameter templates)."""
+        tuple for multi-parameter templates). Values outside the
+        observed domain (including class-mismatched literals, which the
+        predicate kernel matches to nothing) return the template's
+        empty-input result — [] for per-traverser templates, the
+        empty-stream aggregate (e.g. a count-0 row) for barrier ones."""
         v = self._coerce_all(value)
         if v is None:
-            return []
+            return list(self._empty_rows)
         if self._local is not None:
-            return self._local.get(v, [])
-        return [tuple(r) for r in self.df(value).collect()]
+            hit = self._local.get(v)
+            return hit if hit is not None else list(self._empty_rows)
+        out = [tuple(r) for r in self._filtered(v).collect()]
+        return out if out else list(self._empty_rows)
 
-    def df(self, value: Any) -> DataFrame:
-        """DataFrame form: a filter over the keyed relation."""
-        v = self._coerce_all(value)
-        if v is None:
-            return self._rel.filter(F.lit(False)).drop(*self._pqcols)
+    def _filtered(self, v) -> DataFrame:
         vt = (v,) if len(self._pqcols) == 1 else v
         cond = F.lit(True)
         for pq, x in zip(self._pqcols, vt):
             cond = cond & (F.col(pq) == x)
         return self._rel.filter(cond).drop(*self._pqcols)
+
+    def _empty_df(self) -> DataFrame:
+        base = self._rel.filter(F.lit(False)).drop(*self._pqcols)
+        if not self._empty_rows:
+            return base
+        return self._g.graph.spark.createDataFrame(
+            list(self._empty_rows), base.schema
+        )
+
+    def df(self, value: Any) -> DataFrame:
+        """DataFrame form: a filter over the keyed relation, with the
+        same out-of-domain synthesis as :meth:`rows` for barrier
+        templates (``_empty_rows``)."""
+        v = self._coerce_all(value)
+        if v is None:
+            return self._empty_df()
+        if self._empty_rows:
+            # barrier template: an absent group must serve the
+            # empty-input aggregate, not an empty relation
+            if self._local is not None:
+                if v not in self._local:
+                    return self._empty_df()
+            elif self._filtered(v).take(1) == []:
+                return self._empty_df()
+        return self._filtered(v)
 
     def param_values(self) -> list:
         """Distinct parameter values (scalars, or tuples for

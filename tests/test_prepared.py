@@ -187,17 +187,21 @@ def test_auto_prepare_serves_repeated_point_shapes(modern):
     assert base["marko"] == ["lop"]
 
 
-def test_auto_prepare_skips_barrier_shapes(modern):
+def test_auto_prepare_barrier_shapes_serve_exact_counts(modern):
+    # round 4: TOP-LEVEL barriers auto-prepare — the empty-group case is
+    # served from the synthesized empty-input aggregate
+    # (PreparedQuery._empty_rows), so grouped execution is
+    # indistinguishable from per-query, including count-0 answers
     from grasper_spark import G
 
     gi = G(modern)
     for n in ("marko", "vadas", "josh", "peter"):
-        # count() is a barrier: the empty-group collapse makes grouped
-        # execution distinguishable — must never auto-prepare
         assert gi.query(f'g.V().has("name","{n}").count()').collect()[0][0] == 1
-    assert gi._auto_prepared == {}
+    live = [v for v in gi._auto_prepared.values() if v not in (None, gi._BUILDING)]
+    assert len(live) == 1  # the shape DID prepare
     # per-query count semantics survive: absent value still answers 0
     assert gi.query('g.V().has("name","nobody").count()').collect()[0][0] == 0
+    live[0].close()
 
 
 def test_auto_prepare_two_literal_shapes(modern):
