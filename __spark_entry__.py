@@ -342,7 +342,15 @@ def _q_g_filter_counts(spark, sf):
 
 def _q_g_select_props(spark, sf):
     # select('a') history readback + properties() formatted output,
-    # tagged and unioned (vid cast to string to share the schema)
+    # tagged and unioned (vid cast to string to share the schema) —
+    # PLUS the prepared point-query serving tier (plans/prepared.py,
+    # the path G.query auto-serves; reference serving posture
+    # /root/reference/core/index_store.hpp:118-164): one template served
+    # through rows() (driver-local map probe) for several parameter
+    # values, one through df() (cached-relation filter), and a COUNT
+    # template whose out-of-domain value exercises the synthesized
+    # empty-group aggregate (barrier-on-empty semantics,
+    # /root/reference/expert/barrier_expert.hpp:442-490)
     g = _graph(spark, sf)
     a = (
         g.V().hasLabel("nation").as_("a").out("in_region")
@@ -353,7 +361,24 @@ def _q_g_select_props(spark, sf):
         g.V().hasLabel("region").properties("name").df()
         .select(F.lit("properties").alias("step"), "val")
     )
-    return a.unionByName(b)
+    pq = g.prepare('g.V().has("name","$RAND").in("from_nation").values("acctbal")')
+    served = [
+        (f"pq_rows:{v}", str(x[0]))
+        for v in ("NATION_3", "NATION_7")
+        for x in pq.rows(v)
+    ]
+    c = spark.createDataFrame(served, "step string, val string")
+    d = pq.df("NATION_1").select(
+        F.lit("pq_df").alias("step"), F.col("val").cast("string").alias("val")
+    )
+    pqc = g.prepare('g.V().has("name","$RAND").in("from_nation").count()')
+    counts = [
+        (f"pq_count:{v}", str(x[0]))
+        for v in ("NATION_5", "NO_SUCH_NATION")
+        for x in pqc.rows(v)
+    ]
+    e = spark.createDataFrame(counts, "step string, val string")
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def _q_g_key_label(spark, sf):
@@ -1567,6 +1592,32 @@ SELECT 'select' AS step, (n_nationkey + 10)::VARCHAR AS val FROM nation
 JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
 UNION ALL
 SELECT 'properties', '{name:' || r_name || '}' FROM region
+UNION ALL
+SELECT 'pq_rows:' || n_name, v::VARCHAR FROM (
+  SELECT n_name, c_acctbal AS v FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+  UNION ALL
+  SELECT n_name, s_acctbal FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+) pqr
+UNION ALL
+SELECT 'pq_df', v::VARCHAR FROM (
+  SELECT c_acctbal AS v FROM customer
+  JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_1'
+  UNION ALL
+  SELECT s_acctbal FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1'
+) pqd
+UNION ALL
+SELECT 'pq_count:NATION_5',
+       ((SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE n_name = 'NATION_5')
+      + (SELECT count(*) FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_5'))::VARCHAR
+UNION ALL
+SELECT 'pq_count:NO_SUCH_NATION', '0'
 """,
         "g_key_label": """
 SELECT 'key' AS step, 'name' AS val FROM supplier
