@@ -424,8 +424,20 @@ class G:
          "groupCount", "dedupCount"]
     )
 
-    def __init__(self, graph: PropertyGraph, seed: int = 42, cache_plans: bool = True):
+    def __init__(
+        self,
+        graph: PropertyGraph,
+        seed: int = 42,
+        cache_plans: bool = True,
+        graph_loader: Any = None,
+    ):
+        """``graph_loader``: optional zero-arg callable returning a fresh
+        :class:`PropertyGraph` — :meth:`refresh` re-loads through it so a
+        growing graph (e.g. a streaming edge log,
+        streaming/graph_updates.py) re-lists its files; a plain parquet
+        DataFrame pins the file listing it was created with."""
         self.graph = graph
+        self._graph_loader = graph_loader
         self._seed = seed
         self._config: dict[str, Any] = {}
         from grasper_spark.plans.index_store import IndexStore
@@ -649,6 +661,24 @@ class G:
         self._serve_clock += 1
         rec._last_served = self._serve_clock
         return rec.df(value)
+
+    def refresh(self) -> "G":
+        """Data-epoch bump after an ingest: re-load the graph (when a
+        ``graph_loader`` was given) and invalidate every serving-tier
+        cache — compiled plans, auto-prepared templates, and any
+        in-flight auto-prepare build (discarded on completion via the
+        epoch check). The next query() sees the fresh rows.
+
+        The reference is load-once/add-only (driver/master.hpp); at
+        100 TB adds never stop, so this is the hook the streaming edge
+        log (streaming/graph_updates.append_edges_stream ``on_commit``)
+        drives after each committed micro-batch. Explicit
+        PreparedQuery handles and their disk snapshots keep the
+        caller-managed staleness contract (prepared.py)."""
+        if self._graph_loader is not None:
+            self.graph = self._graph_loader()
+        self._invalidate_caches()
+        return self
 
     def _invalidate_caches(self) -> None:
         self._invalidations += 1

@@ -38,12 +38,20 @@ def read_edges_stream(spark: SparkSession, src_dir: str) -> DataFrame:
 
 
 def append_edges_stream(
-    edges: DataFrame, log_dir: str, checkpoint_dir: str
+    edges: DataFrame, log_dir: str, checkpoint_dir: str, on_commit=None
 ) -> StreamingQuery:
-    """Fold an edge stream into an append-only parquet edge log."""
+    """Fold an edge stream into an append-only parquet edge log.
+
+    ``on_commit``: zero-arg callable invoked after each micro-batch's
+    file commit — pass a ``G.refresh`` bound method (plans/api.py) so
+    the serving tier (compiled-plan cache, auto-prepared point-query
+    templates) is invalidated the moment new edges land; the next point
+    lookup then serves the fresh rows instead of a stale snapshot."""
 
     def _append(batch: DataFrame, _batch_id: int) -> None:
         batch.write.mode("append").parquet(log_dir)
+        if on_commit is not None:
+            on_commit()
 
     return (
         edges.writeStream.foreachBatch(_append)

@@ -469,3 +469,49 @@ def test_transform_with_state_map_state_histogram(spark):
         .collect()
     }
     assert got == want
+
+
+def test_edge_stream_refreshes_serving_tier(spark, tmp_path):
+    """VERDICT r3 Next #6: append edges via the stream → the next
+    G.query point lookup serves the fresh rows (auto-prepared template
+    invalidated by the on_commit → G.refresh hook)."""
+    from grasper_spark import G, PropertyGraph
+    from grasper_spark.streaming.graph_updates import (
+        append_edges_stream,
+        read_edges_stream,
+    )
+
+    src = str(tmp_path / "incoming")
+    log = str(tmp_path / "edge_log")
+    ckpt = str(tmp_path / "ckpt")
+    v = spark.createDataFrame(
+        [(i, "person", f"p{i}") for i in (1, 2, 3, 4)], ["vid", "label", "name"]
+    )
+    spark.createDataFrame(
+        [(1, 2, "knows")], ["src", "dst", "label"]
+    ).write.mode("append").parquet(log)
+
+    def load():
+        return PropertyGraph(vertices=v, edges=spark.read.parquet(log))
+
+    g = G(load(), graph_loader=load)
+    q = 'g.V().has("name","p1").out("knows").values("name")'
+    # three sightings of the shape → auto-prepared and served
+    for qq in (q, q.replace("p1", "p2"), q):
+        g.query(qq).collect()
+        g._plan_cache.clear()
+    live = [r for r in g._auto_prepared.values() if r not in (None, g._BUILDING)]
+    assert len(live) == 1
+    assert [r[0] for r in g.query(q).collect()] == ["p2"]
+
+    # new edge lands via the stream; on_commit drives G.refresh
+    spark.createDataFrame(
+        [(1, 3, "knows")], ["src", "dst", "label"]
+    ).write.mode("append").parquet(src)
+    sq = append_edges_stream(read_edges_stream(spark, src), log, ckpt, on_commit=g.refresh)
+    sq.processAllAvailable()
+    sq.stop()
+
+    # stale serving tier was dropped and the fresh edge is visible
+    assert g._auto_prepared == {}
+    assert sorted(r[0] for r in g.query(q).collect()) == ["p2", "p3"]
