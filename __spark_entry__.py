@@ -74,11 +74,20 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
                 for r, _, fs in os.walk(p) for f2 in fs
             )
 
-        src_bytes = sum(
-            _psize(os.path.join(sf_dir, f))
+        sizes = {
+            f: _psize(os.path.join(sf_dir, f))
             for f in os.listdir(sf_dir)
             if f.endswith(".parquet")
-        ) if os.path.isdir(sf_dir) else 0
+        } if os.path.isdir(sf_dir) else {}
+        src_bytes = sum(sizes.values())
+        # per-TABLE gate input: the vertex payload derives from the six
+        # entity tables (lineitem only contributes edges; the pipeline
+        # tables never enter the graph) — their source share decides
+        # whether V itself is worth bucketing
+        v_src_bytes = sum(
+            sizes.get(f"{t}.parquet", 0)
+            for t in ("region", "nation", "customer", "supplier", "part", "orders")
+        )
         # the snapshot key carries the SOURCE byte count: regenerated
         # inputs (bench's .bench_data/sf1) then get a fresh snapshot
         # instead of silently attaching a stale one
@@ -91,9 +100,17 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
                 # floor 16 keeps local[32] traversal joins parallel; the
                 # size term takes over once source data outgrows ~512 MB
                 buckets = max(16, min(256, -(-src_bytes // (32 << 20))))
-                prefix = ("gb_" + f"{ver}_{tag}_{src_bytes}_b{buckets}"
+                # PER-TABLE gate (round 4): bucket V only when its own
+                # source share clears the gate. Small V scans then cost
+                # one task instead of `buckets`, while every traversal
+                # join keeps its zero-exchange bucketed EDGE side (the
+                # V side is the filtered/broadcast side). Restores tiny
+                # dimension-query latency (g_q3_max) without losing the
+                # bucketed-traversal win (g_where_neq).
+                bv = v_src_bytes >= BUCKET_GATE
+                prefix = ("gb_" + f"{ver}_{tag}_{src_bytes}_b{buckets}_v{int(bv)}lp"
                           .replace(".", "_").replace("-", "_"))
-                bdir = os.path.join(cache_dir, f"bucketed{buckets}")
+                bdir = os.path.join(cache_dir, f"bucketed{buckets}_v{int(bv)}_lp")
                 if not os.path.isdir(os.path.join(bdir, "e_dst")):
                     # checkpoint the edge projection for the write: the
                     # edge table is written twice (src- and dst-bucketed)
@@ -106,7 +123,9 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
                         base.edges.localCheckpoint(eager=True),
                         name=base.name,
                     )
-                    write_bucketed_external(ck, prefix, bdir, buckets=buckets)
+                    write_bucketed_external(
+                        ck, prefix, bdir, buckets=buckets, bucket_vertices=bv
+                    )
                 g = attach_bucketed_external(spark, prefix, bdir, name=name)
             else:
                 if not os.path.isdir(os.path.join(cache_dir, "vertices")):

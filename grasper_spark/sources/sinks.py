@@ -83,11 +83,32 @@ _BUCKET_SPECS = [("_v", "v", "vid"), ("_e_src", "e_src", "src"), ("_e_dst", "e_d
 
 
 def write_bucketed_external(
-    graph: PropertyGraph, table_prefix: str, base_dir: str, buckets: int = 16
+    graph: PropertyGraph,
+    table_prefix: str,
+    base_dir: str,
+    buckets: int = 16,
+    bucket_vertices: bool = True,
+    partition_edges_by_label: bool = True,
 ) -> None:
     """Persist V + both E orientations as EXTERNAL bucketed tables under
     `base_dir` — the deployment shape: data outlives any one session and
-    re-attaches via :func:`attach_bucketed_external`."""
+    re-attaches via :func:`attach_bucketed_external`.
+
+    ``bucket_vertices=False`` is the PER-TABLE gate: a small vertex
+    table is written as plain parquet instead (one file-scan task, no
+    per-bucket overhead). Traversal joins keep their zero-exchange edge
+    side — the vertex side of those joins is the filtered/small side
+    that AQE broadcasts anyway, so bucketing V below the gate only
+    taxes tiny queries. A 100 TB deployment applies the same rule per
+    table: bucket the fact-scale tables, keep dimensions plain.
+
+    ``partition_edges_by_label`` additionally PARTITIONS the edge
+    tables by edge label: an `out('supplies')`-style traversal (a label
+    equality on the scan) then prunes to its edge type's directory
+    instead of scanning every edge — the graph-store analogue of
+    per-edge-type storage, and at 100 TB the difference between
+    scanning one relation and scanning the whole edge set. Bucketing is
+    table-wide, so the pruned scan keeps its co-located join layout."""
     spark = graph.spark
     ddls = {}
     for suffix, sub, key in _BUCKET_SPECS:
@@ -95,15 +116,20 @@ def write_bucketed_external(
         path = os.path.join(base_dir, sub)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         df = graph.vertices if key == "vid" else graph.edges
-        (
-            df.write.mode("overwrite")
-            .option("path", path)
-            .bucketBy(buckets, key)
-            .sortBy(key)
-            .saveAsTable(table)
-        )
+        if key == "vid" and not bucket_vertices:
+            df.write.mode("overwrite").parquet(os.path.join(base_dir, "v_plain"))
+            ddls["_v_plain"] = True
+            continue
+        writer = df.write.mode("overwrite").option("path", path)
+        if key != "vid" and partition_edges_by_label:
+            writer = writer.partitionBy("label")
+            ddls["_e_label_part"] = True
+        writer.bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+        # record the TABLE's schema (partition column last, matching the
+        # saveAsTable layout) so the attach DDL reproduces it exactly
         ddls[sub] = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in spark.table(table).schema.fields
         )
     # persist the column DDL so attach skips three parquet-footer schema
     # reads per session (the dominant cost of a warm re-attach); the
@@ -126,7 +152,13 @@ def attach_bucketed_external(
         with open(sfile) as fh:
             ddls = json.load(fh)
     buckets = int(ddls.get("_buckets", buckets))
+    v_plain = bool(ddls.get("_v_plain")) and os.path.isdir(
+        os.path.join(base_dir, "v_plain")
+    )
+    label_part = bool(ddls.get("_e_label_part"))
     for suffix, sub, key in _BUCKET_SPECS:
+        if key == "vid" and v_plain:
+            continue  # vertices below the per-table gate: plain parquet
         table = f"{table_prefix}{suffix}"
         path = os.path.join(base_dir, sub)
         if spark.catalog.tableExists(table):
@@ -143,10 +175,24 @@ def attach_bucketed_external(
                     json.dump(ddls, fh)
             except OSError:
                 pass
+        part = (
+            "PARTITIONED BY (label) " if label_part and key != "vid" else ""
+        )
         spark.sql(
-            f"CREATE TABLE {table} ({cols}) USING PARQUET "
+            f"CREATE TABLE {table} ({cols}) USING PARQUET {part}"
             f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
             f"LOCATION '{path}'"
+        )
+        if part:
+            # DDL-attached partitioned tables start with an empty
+            # partition catalog — discover the label directories
+            spark.sql(f"MSCK REPAIR TABLE {table}")
+    if v_plain:
+        return BucketedPropertyGraph(
+            spark.read.parquet(os.path.join(base_dir, "v_plain")),
+            spark.table(f"{table_prefix}_e_src"),
+            spark.table(f"{table_prefix}_e_dst"),
+            name=name,
         )
     return read_bucketed(spark, table_prefix, name=name)
 

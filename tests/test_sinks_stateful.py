@@ -515,3 +515,39 @@ def test_edge_stream_refreshes_serving_tier(spark, tmp_path):
     # stale serving tier was dropped and the fresh edge is visible
     assert g._auto_prepared == {}
     assert sorted(r[0] for r in g.query(q).collect()) == ["p2", "p3"]
+
+
+def test_bucketed_external_per_table_gate_and_label_partition(modern, spark, tmp_path):
+    """Round-4 snapshot layout: small V plain (per-table gate), edges
+    bucketed AND partitioned by label — label-filtered traversals prune
+    to one edge type's directory (PartitionFilters on the scan)."""
+    from grasper_spark import G
+    from grasper_spark.sources.sinks import (
+        attach_bucketed_external,
+        write_bucketed_external,
+    )
+
+    out = str(tmp_path / "snap")
+    write_bucketed_external(
+        modern, "ptg_w", out, buckets=2, bucket_vertices=False
+    )
+    import os
+
+    assert os.path.isdir(os.path.join(out, "v_plain"))
+    assert not os.path.isdir(os.path.join(out, "v"))
+    # label dirs under the edge tables
+    assert any(d.startswith("label=") for d in os.listdir(os.path.join(out, "e_src")))
+
+    g = attach_bucketed_external(spark, "ptg_a", out, name="ptg")
+    assert g.vertices.count() == modern.vertices.count()
+    assert g.edges.count() == modern.edges.count()
+    gg = G(g)
+    got = sorted(
+        r[0] for r in gg.V().has("name", "marko").out("knows").values("name").df().collect()
+    )
+    assert got == ["josh", "vadas"]
+    # the out('knows') edge scan prunes to the knows partition
+    plan = (
+        gg.V().out("knows").df()._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(label" in plan and "= knows)" in plan
