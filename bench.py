@@ -291,6 +291,56 @@ def main() -> None:
     except Exception as ex:  # emu is informational — never fail the bench
         print(f"# emu skipped: {ex}", file=sys.stderr)
 
+    # per-query FALLBACK tier: a template the prepared layer rejects
+    # (coin() — global seeded sampling) served by per-query Spark jobs;
+    # per_template_p50_ms records each tier's latency separately (the
+    # reference's emu measures arbitrary templates, driver/worker.hpp)
+    try:
+        from grasper_spark.emu import run_emu as _emu_fb
+
+        with open(os.path.join(os.path.dirname(__file__),
+                               "configs", "emu_fallback.txt")) as fh:
+            fb = _emu_fb(g, fh.read(), max_queries=80)
+        result["emu_fallback"] = fb.as_dict()
+        print(f"# emu_fallback: modes={fb.template_modes} "
+              f"per-template p50={fb.per_template_p50_ms}ms", file=sys.stderr)
+    except Exception as ex:
+        print(f"# emu_fallback skipped: {ex}", file=sys.stderr)
+
+    # relation-tier serving: a keyed result too large for the driver map
+    # (max_local_rows=1000 forces the cached-relation tier); cold probes
+    # pay one filter job, hot keys then serve from the per-key LRU
+    try:
+        import time as _t
+
+        pq = g.prepare(
+            'g.V().has("mktsegment","$RAND").out("placed").values("totalprice")',
+            max_local_rows=1000,
+        )
+        vals = sorted(pq.param_values())
+        cold, warm = [], []
+        for v in vals:
+            t0 = _t.perf_counter()
+            n_rows = len(pq.rows(v))
+            cold.append((_t.perf_counter() - t0) * 1000)
+        for _ in range(3):
+            for v in vals:
+                t0 = _t.perf_counter()
+                pq.rows(v)
+                warm.append((_t.perf_counter() - t0) * 1000)
+        cold.sort(); warm.sort()
+        result["relation_tier"] = {
+            "mode": pq.mode,
+            "total_rows": pq.total_rows,
+            "keys": len(vals),
+            "p50_cold_ms": round(cold[len(cold) // 2], 3),
+            "p50_warm_ms": round(warm[len(warm) // 2], 3),
+        }
+        pq.close()
+        print(f"# relation_tier: {result['relation_tier']}", file=sys.stderr)
+    except Exception as ex:
+        print(f"# relation_tier skipped: {ex}", file=sys.stderr)
+
     # full document (nested sections) → disk; compact headline line →
     # stdout LAST, small enough for the driver's tail window
     full_path = os.path.join(

@@ -62,6 +62,9 @@ class EmuResult:
     per_template: dict[int, int] = field(default_factory=dict)
     warmup_s: float = 0.0
     template_modes: dict[int, str] = field(default_factory=dict)
+    #: per-template p50 latency — a mixed prepared/per-query config
+    #: reports BOTH serving tiers' latency, not just the blend
+    per_template_p50_ms: dict[int, float] = field(default_factory=dict)
 
     def as_dict(self) -> dict:
         return self.__dict__.copy()
@@ -180,6 +183,7 @@ def run_emu(
             slots.release()
 
     start = time.perf_counter()
+    tpl_lat: dict[int, list[float]] = {i: [] for i in range(len(templates))}
     with ThreadPoolExecutor(max_workers=max(1, parallel)) as ex:
         futures = []
         fired = 0
@@ -188,10 +192,12 @@ def run_emu(
                 continue  # all slots busy past the deadline — recheck
             i = rng.choices(range(len(templates)), weights=weights)[0]
             per_template[i] += 1
-            futures.append(ex.submit(one_bounded, i, rng.choice(pools[i])))
+            futures.append((i, ex.submit(one_bounded, i, rng.choice(pools[i]))))
             fired += 1
-        for f in futures:
-            latencies.append(f.result())
+        for i, f in futures:
+            ms = f.result()
+            latencies.append(ms)
+            tpl_lat[i].append(ms)
     elapsed = time.perf_counter() - start
 
     latencies.sort()
@@ -200,6 +206,12 @@ def run_emu(
         if not latencies:
             return 0.0
         return round(latencies[min(len(latencies) - 1, int(p * len(latencies)))], 3)
+
+    tpl_p50 = {
+        i: round(sorted(ls)[len(ls) // 2], 3)
+        for i, ls in tpl_lat.items()
+        if ls
+    }
 
     return EmuResult(
         total_queries=len(latencies),
@@ -211,4 +223,5 @@ def run_emu(
         per_template=per_template,
         warmup_s=round(warmup_s, 3),
         template_modes=modes,
+        per_template_p50_ms=tpl_p50,
     )

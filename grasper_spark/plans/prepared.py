@@ -119,6 +119,10 @@ class PrepareError(ValueError):
     """Template not preparable (no/ambiguous marker, unsupported step)."""
 
 
+#: relation-tier per-key LRU bound (see PreparedQuery.rows)
+_ROW_LRU_MAX = 1024
+
+
 _ENGINE_VERSION: Optional[str] = None
 
 #: serializes snapshot writes within a process (emu prepares templates
@@ -256,6 +260,13 @@ class PreparedQuery:
         ]
 
         self._local: Optional[dict] = None
+        # relation tier: per-key result LRU — a hot key pays its filter
+        # job once, then serves driver-local like the local tier
+        # (bounded: _ROW_LRU_MAX keys × one parameter's result each)
+        from collections import OrderedDict
+
+        self._row_lru: "OrderedDict" = OrderedDict()
+        self._lru_lock = _threading.Lock()
         # the keyed relation is cached in BOTH tiers: rows() serves from
         # the driver map when it fits, while df() always filters the
         # in-memory relation (a createDataFrame from driver rows would
@@ -594,8 +605,18 @@ class PreparedQuery:
         if self._local is not None:
             hit = self._local.get(v)
             return hit if hit is not None else list(self._empty_rows)
+        with self._lru_lock:
+            hit = self._row_lru.get(v)
+            if hit is not None:
+                self._row_lru.move_to_end(v)
+                return hit
         out = [tuple(r) for r in self._filtered(v).collect()]
-        return out if out else list(self._empty_rows)
+        res = out if out else list(self._empty_rows)
+        with self._lru_lock:
+            self._row_lru[v] = res
+            while len(self._row_lru) > _ROW_LRU_MAX:
+                self._row_lru.popitem(last=False)
+        return res
 
     def _filtered(self, v) -> DataFrame:
         vt = (v,) if len(self._pqcols) == 1 else v

@@ -25,3 +25,24 @@ def test_run_emu_on_modern(g):
     assert res.throughput_qps > 0
     assert res.latency_p50_ms > 0
     assert sum(res.per_template.values()) == 12
+    # per-template p50s: one entry per template that actually fired
+    assert set(res.per_template_p50_ms) == {
+        i for i, n in res.per_template.items() if n
+    }
+    assert all(v > 0 for v in res.per_template_p50_ms.values())
+
+
+def test_run_emu_fallback_template_measured(g):
+    # coin() is not preparable → per-query mode, measured separately
+    cfg = """
+5 2
+2
+g.V().has("name","$RAND").coin(1.0).values("age")  name  10
+g.V().has("name","$RAND").values("age")  name  10
+"""
+    res = run_emu(g, cfg, max_queries=10)
+    assert res.template_modes[0] == "per-query"
+    assert res.template_modes[1] == "prepared"
+    if 0 in res.per_template_p50_ms and 1 in res.per_template_p50_ms:
+        # the prepared tier serves orders of magnitude faster
+        assert res.per_template_p50_ms[1] < res.per_template_p50_ms[0]

@@ -139,6 +139,23 @@ def test_prepared_relation_tier(g):
         p.close()
 
 
+def test_prepared_relation_tier_row_lru(g):
+    # a hot key pays its filter job once, then serves from the LRU
+    p = PreparedQuery(
+        g, 'g.V().has("name","$RAND").values("age")', max_local_rows=1
+    )
+    try:
+        assert p.mode == "relation" and len(p._row_lru) == 0
+        assert p.rows("marko") == [(29,)]
+        assert list(p._row_lru) == ["marko"]
+        # cached answer (identity: the stored list object is returned)
+        assert p.rows("marko") is p._row_lru["marko"]
+        assert p.rows("vadas") == [(27,)]
+        assert list(p._row_lru) == ["marko", "vadas"]
+    finally:
+        p.close()
+
+
 @pytest.mark.parametrize(
     "template",
     [
