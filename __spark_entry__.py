@@ -1354,7 +1354,7 @@ def _neardup_clusters_oracle() -> str:
     return f"""
 WITH RECURSIVE pairs AS (
   SELECT id_a, id_b FROM ({pair_sql})
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION SELECT id_b, id_a FROM pairs
 ), reach AS (
@@ -1439,39 +1439,42 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     """Unrolled power iteration mirroring algos.pagerank exactly: same
     vertex/edge FK projection, same dangling redistribution, same float
     expression tree ((1-d) + d*(in_sum + dang/n)); 4-dp rounding absorbs
-    sum-order nondeterminism on both engines."""
+    sum-order nondeterminism on both engines. Every CTE is MATERIALIZED:
+    each r{i} is referenced twice by round i+1, and DuckDB inlines plain
+    CTEs, re-expanding the chain exponentially — the round-3 sf1
+    'infeasibility' was exactly that."""
     base = repr(1 - damping)  # 0.15000000000000002 — the exact Spark literal
-    parts = ["""WITH verts AS (
+    parts = ["""WITH verts AS MATERIALIZED (
   SELECT r_regionkey::BIGINT AS vid FROM region
   UNION ALL SELECT (n_nationkey + 10)::BIGINT FROM nation
   UNION ALL SELECT (c_custkey + 100)::BIGINT FROM customer
   UNION ALL SELECT (s_suppkey + 10000000)::BIGINT FROM supplier
   UNION ALL SELECT (p_partkey + 20000000)::BIGINT FROM part
   UNION ALL SELECT (o_orderkey + 40000000)::BIGINT FROM orders
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT (n_nationkey + 10)::BIGINT AS src, n_regionkey::BIGINT AS dst FROM nation
   UNION ALL SELECT (c_custkey + 100)::BIGINT, (c_nationkey + 10)::BIGINT FROM customer
   UNION ALL SELECT (s_suppkey + 10000000)::BIGINT, (s_nationkey + 10)::BIGINT FROM supplier
   UNION ALL SELECT (o_custkey + 100)::BIGINT, (o_orderkey + 40000000)::BIGINT FROM orders
   UNION ALL SELECT DISTINCT (l_orderkey + 40000000)::BIGINT, (l_partkey + 20000000)::BIGINT FROM lineitem
   UNION ALL SELECT DISTINCT (l_suppkey + 10000000)::BIGINT, (l_partkey + 20000000)::BIGINT FROM lineitem
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src AS vid, count(*)::BIGINT AS deg FROM edges GROUP BY 1
-), nn AS (
+), nn AS MATERIALIZED (
   SELECT count(*)::DOUBLE AS n FROM verts
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT vid, 1.0::DOUBLE AS rank FROM verts
 )"""]
     for i in range(1, iters + 1):
         p = i - 1
-        parts.append(f""", s{i} AS (
+        parts.append(f""", s{i} AS MATERIALIZED (
   SELECT e.dst AS vid, sum(r.rank / d.deg) AS in_sum
   FROM r{p} r JOIN deg d ON d.vid = r.vid JOIN edges e ON e.src = r.vid
   GROUP BY 1
-), d{i} AS (
+), d{i} AS MATERIALIZED (
   SELECT coalesce(sum(r.rank), 0.0) AS dang
   FROM r{p} r LEFT JOIN deg d ON d.vid = r.vid WHERE d.vid IS NULL
-), r{i} AS (
+), r{i} AS MATERIALIZED (
   SELECT v.vid,
          {base} + {damping!r} * (coalesce(s.in_sum, 0.0)
            + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS rank
@@ -2090,10 +2093,25 @@ WITH E AS MATERIALIZED (
   UNION SELECT least(o_custkey + 100, o_orderkey + 40000000), greatest(o_custkey + 100, o_orderkey + 40000000) FROM orders
   UNION SELECT DISTINCT least(l_orderkey + 40000000, l_partkey + 20000000), greatest(l_orderkey + 40000000, l_partkey + 20000000) FROM lineitem
   UNION SELECT DISTINCT least(l_suppkey + 10000000, l_partkey + 20000000), greatest(l_suppkey + 10000000, l_partkey + 20000000) FROM lineitem
+),
+-- degree-ordered compact-forward orientation, mirroring
+-- algos.triangle_count: each undirected edge points from its
+-- (degree, vid)-lower endpoint, so wedge fan-out is O(sqrt m) per key
+-- and the 3-way join stays feasible at sf1 hub degrees (the naive
+-- id-ordered self-join blows up on the 6M-edge hubs)
+-- UD/DEG stay plain: DuckDB 1.0 hits an internal 'recursive CTE scan'
+-- assertion when they are MATERIALIZED alongside the nested kcore WITH;
+-- only FWD (referenced three times by the wedge join) needs it
+UD AS (SELECT a AS v, b AS n FROM E UNION ALL SELECT b, a FROM E),
+DEG AS (SELECT v, count(*) AS d FROM UD GROUP BY v),
+FWD AS MATERIALIZED (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS s,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS t
+  FROM E e JOIN DEG da ON da.v = e.a JOIN DEG db ON db.v = e.b
 )
 SELECT 'triangles' AS metric, (-1)::BIGINT AS vid, count(*)::DOUBLE AS val
-FROM E ab JOIN E bc ON ab.b = bc.a
-          JOIN E ac ON ac.a = ab.a AND ac.b = bc.b
+FROM FWD ab JOIN FWD bc ON bc.s = ab.t
+            JOIN FWD ac ON ac.s = ab.s AND ac.t = bc.t
 UNION ALL
 SELECT 'kcore', vid, degree::DOUBLE FROM ({_kcore_oracle(rounds=6, k=2)}) kc
 UNION ALL

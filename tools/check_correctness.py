@@ -8,11 +8,14 @@ columns ordered by name — the driver's documented compare).
 Usage:
     python tools/check_correctness.py [--sf DIR] [--only q1,q2,...] [--skip q3,...]
 
-The sf1 sweep (generated tables, tools/gen_sf.py) runs as:
-    python tools/check_correctness.py --sf .bench_data/sf1 \
-        --skip algo_pagerank,algo_structure
-(the two skipped oracles are single-node-infeasible in DuckDB at 6M
-edges — their Spark sides are exercised by bench.py's sf1 section).
+The sf1 sweep (generated tables, tools/gen_sf.py) runs WITHOUT skips:
+    python tools/check_correctness.py --sf .bench_data/sf1
+Round 4 made the two previously-skipped algo oracles sf1-feasible:
+pagerank's chained CTEs are AS MATERIALIZED (DuckDB inlines plain
+CTEs — each round referenced twice re-expanded the chain
+exponentially), and the triangle oracle uses the same degree-ordered
+compact-forward orientation as algos.triangle_count instead of a
+naive self-join over hub wedges.
 """
 
 from __future__ import annotations
@@ -54,15 +57,29 @@ def _norm_cell(v):
 
 
 def _hash_rows(cols, rows) -> str:
+    """Order-insensitive exact value hash: per-row md5 summed mod 2^128
+    (commutative, so no sort materialization — equal multisets of rows
+    ⇔ equal hash up to md5 collisions). Accepts any iterable, so both
+    engines can stream: the sf1 sweep's largest entry compares ~55M
+    rows per side, which the old sort-all-lines hash could not hold in
+    memory (that, not the oracle SQL, was the round-3 'infeasibility'
+    tail)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "\x1f".join(_norm_cell(r[i]) for i in order) for r in rows
-    )
-    h = hashlib.md5()
-    for ln in lines:
-        h.update(ln.encode())
-        h.update(b"\x1e")
-    return h.hexdigest()
+    total = 0
+    for r in rows:
+        line = "\x1f".join(_norm_cell(r[i]) for i in order)
+        total = (total + int.from_bytes(
+            hashlib.md5(line.encode()).digest(), "big"
+        )) % (1 << 128)
+    return f"{total:032x}"
+
+
+def _iter_duck(cur, batch: int = 65536):
+    while True:
+        rows = cur.fetchmany(batch)
+        if not rows:
+            return
+        yield from rows
 
 
 def main() -> int:
@@ -116,8 +133,18 @@ def main() -> int:
         try:
             sdf = fn(spark, args.sf)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            rec["spark_rows"] = len(srows)
+            # stream: count + commutative hash in one pass, no full
+            # driver materialization (sf1's largest entry is ~55M rows)
+            sn = 0
+
+            def _count_spark(it):
+                nonlocal sn
+                for r in it:
+                    sn += 1
+                    yield r
+
+            shash = _hash_rows(scols, _count_spark(sdf.toLocalIterator()))
+            rec["spark_rows"] = sn
         except Exception as e:
             rec["err"] = f"spark: {type(e).__name__}: {e}"
             traceback.print_exc()
@@ -129,25 +156,30 @@ def main() -> int:
         if sql is None:
             rec["err"] = "no_oracle"
             results[name] = rec
-            print(f"  {name}: no_oracle ({len(srows)} rows)  [{time.time()-t0:.1f}s]")
+            print(f"  {name}: no_oracle ({sn} rows)  [{time.time()-t0:.1f}s]")
             continue
         try:
             cur = con.execute(sql)
             ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            on = 0
+
+            def _count_duck(it):
+                nonlocal on
+                for r in it:
+                    on += 1
+                    yield r
+
+            ohash = _hash_rows(ocols, _count_duck(_iter_duck(cur)))
         except Exception as e:
             rec["err"] = f"oracle: {type(e).__name__}: {e}"
             results[name] = rec
             n_bad += 1
             print(f"  {name}: ORACLE ERROR {e}")
             continue
-        rec["oracle_rows"] = len(orows)
-        rec["rows_match"] = len(srows) == len(orows)
+        rec["oracle_rows"] = on
+        rec["rows_match"] = sn == on
         rec["schema_match"] = sorted(scols) == sorted(ocols)
-        rec["hash_match"] = (
-            rec["schema_match"]
-            and _hash_rows(scols, srows) == _hash_rows(ocols, orows)
-        )
+        rec["hash_match"] = rec["schema_match"] and shash == ohash
         ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
         if not ok:
             n_bad += 1
@@ -155,21 +187,29 @@ def main() -> int:
             if not rec["schema_match"]:
                 detail = f" spark={sorted(scols)} oracle={sorted(ocols)}"
             elif not rec["rows_match"]:
-                detail = f" {len(srows)} vs {len(orows)} rows"
-            else:
-                # find first differing row for debugging
+                detail = f" {sn} vs {on} rows"
+            elif sn <= 200_000:
+                # re-materialize small results to show the first diff
                 so = sorted(range(len(scols)), key=lambda i: scols[i])
                 oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                sl = sorted("\x1f".join(_norm_cell(r[i]) for i in so) for r in srows)
-                ol = sorted("\x1f".join(_norm_cell(r[i]) for i in oo) for r in orows)
+                sl = sorted(
+                    "\x1f".join(_norm_cell(r[i]) for i in so)
+                    for r in sdf.collect()
+                )
+                ol = sorted(
+                    "\x1f".join(_norm_cell(r[i]) for i in oo)
+                    for r in con.execute(sql).fetchall()
+                )
                 for a, b in zip(sl, ol):
                     if a != b:
                         detail = f"\n    spark : {a[:220]}\n    oracle: {b[:220]}"
                         break
+            else:
+                detail = " value-hash mismatch (result too large to diff)"
         else:
             detail = ""
         print(
-            f"  {name}: {'OK' if ok else 'FAIL'} ({len(srows)} rows)"
+            f"  {name}: {'OK' if ok else 'FAIL'} ({sn} rows)"
             f"  [{time.time()-t0:.1f}s]{detail}"
         )
         results[name] = rec
