@@ -23,15 +23,22 @@ def fmt_plan(df):
 
 
 def summarize(plan: str):
-    scans = re.findall(r"FileScan parquet \[([^\]]*)\][^\n]*", plan)
+    # catalog-table scans print as `FileScan parquet db.table[cols…]` —
+    # the optional name group keeps bucketed snapshot scans visible
+    scans = re.findall(r"FileScan parquet [^\[\n]*\[([^\]]*)\][^\n]*", plan)
     joins = re.findall(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)", plan
     )
     pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]+)\]", plan) if p.strip()]
+    # label-partitioned edge snapshots: PartitionFilters prove the scan
+    # touched one edge type's directory, not the whole edge set
+    parts = [
+        p for p in re.findall(r"PartitionFilters: \[([^\]]+)\]", plan) if p.strip()
+    ]
     ex = plan.count("Exchange hashpartitioning")
     wsc = len(re.findall(r"\*\(\d+\)", plan))  # codegen stage markers
     py = plan.count("EvalPython")
-    return scans, joins, pushed, ex, wsc, py
+    return scans, joins, pushed, parts, ex, wsc, py
 
 
 def _contamination_df(spark):
@@ -134,7 +141,28 @@ def _linkpred_df(spark, g):
 
 def main() -> None:
     spark = get_spark("plans-doc", shuffle_partitions=32)
-    g = G(load_tpch_graph(spark, SF_DIR))
+    # plans are captured over the DEPLOYMENT snapshot (per-table gated:
+    # plain small V, label-partitioned bucketed edges) — the layout the
+    # bench and a cluster run — attached UNCACHED so the scans (pushed
+    # filters, PartitionFilters, bucketing) stay visible in the plans;
+    # falls back to the raw projection when no snapshot can be written
+    try:
+        import glob
+
+        import __spark_entry__ as _entry
+        from grasper_spark.sources.sinks import attach_bucketed_external
+
+        _entry._graph(spark, SF_DIR)  # ensure the snapshot exists
+        cache_root = os.path.join(
+            os.path.dirname(os.path.abspath(_entry.__file__)), ".graph_cache"
+        )
+        tag = os.path.basename(SF_DIR.rstrip("/"))
+        bdir = sorted(
+            glob.glob(os.path.join(cache_root, f"*_{tag}_*", "bucketed*_lp"))
+        )[-1]
+        g = G(attach_bucketed_external(spark, "plansdoc", bdir, name="plans-doc"))
+    except Exception:
+        g = G(load_tpch_graph(spark, SF_DIR))
 
     cases = [
         (
@@ -320,7 +348,7 @@ def main() -> None:
     )
     for title, q, df, note in cases:
         plan = fmt_plan(df)
-        scans, joins, pushed, ex, wsc, py = summarize(plan)
+        scans, joins, pushed, parts, ex, wsc, py = summarize(plan)
         out.write(f"\n## {title}\n\n`{q}`\n\n")
         out.write(f"- FileScans: **{len(scans)}**\n")
         for s in scans[:4]:
@@ -328,6 +356,11 @@ def main() -> None:
         out.write(f"- joins: {', '.join(joins) if joins else 'none'}\n")
         if pushed:
             out.write(f"- pushed filters: `{pushed[0][:120]}`\n")
+        if parts:
+            out.write(
+                f"- partition filters (label-pruned edge scans): "
+                f"`{'; '.join(p[:80] for p in parts[:3])}`\n"
+            )
         out.write(
             f"- shuffle exchanges: {ex}; WholeStageCodegen stages: {wsc}; "
             f"Python evals: {py}\n\n{note}\n"
