@@ -80,9 +80,16 @@ def point_shape(draw):
                 keys.append(k2)
                 steps.append(Step("has", (k2, P.eq("__PLACEHOLDER__"))))
                 second = False
-    tail = draw(st.sampled_from(["none", "values", "label", "dedup", "dedup_values"]))
-    if kind == "E" and tail in ("values", "dedup_values"):
-        # edge streams carry only the 'w' property in this graph
+    tail = draw(st.sampled_from(
+        ["none", "values", "label", "dedup", "dedup_values",
+         # barrier tails: empty parameter groups must serve the
+         # synthesized per-query empty-input aggregate (round 4)
+         "count", "dedup_count", "sum", "group_count"]
+    ))
+    if kind == "E" and tail in ("values", "dedup_values", "sum"):
+        # edge streams carry only the 'w' property in this graph;
+        # double-sum order differs between grouped/per-query plans, so
+        # the barrier sum stays on the int-typed vertex 'age'
         steps.append(Step("values", ("w",)))
         return steps, idxs
     if tail == "values":
@@ -94,6 +101,16 @@ def point_shape(draw):
     elif tail == "dedup_values":
         steps.append(Step("dedup", ()))
         steps.append(Step("values", (draw(st.sampled_from(["name", "age"])),)))
+    elif tail == "count":
+        steps.append(Step("count", ()))
+    elif tail == "dedup_count":
+        steps.append(Step("dedup", ()))
+        steps.append(Step("count", ()))
+    elif tail == "sum":
+        steps.append(Step("values", ("age",)))
+        steps.append(Step("sum", ()))
+    elif tail == "group_count":
+        steps.append(Step("groupCount", ()))
     return steps, idxs
 
 
@@ -149,6 +166,8 @@ def test_prepared_matches_per_query_on_every_domain_value(gd, shape):
         "zzz" if k == "name" else 10**9 for k in keys
     )  # 10**9 covers both age and __id__ (absent bigint)
     probe = missing[0] if len(idxs) == 1 else missing
-    assert p.rows(probe) == []
-    assert _per_query(gd, steps, idxs, keys, missing) == []
+    # out-of-domain values must match per-query exactly: [] for
+    # per-traverser templates, the empty-input aggregate (count → 0)
+    # for barrier templates
+    assert sorted(p.rows(probe)) == _per_query(gd, steps, idxs, keys, missing)
     p.close()
