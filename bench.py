@@ -164,12 +164,13 @@ def main() -> None:
     times: dict[str, float] = {"load": load_s}
     total = 0.0
     for name in HEADLINE:
-        # best of 3 runs — steady-state, like the reference paper's
+        # best of 5 runs — steady-state, like the reference paper's
         # 5-run averages (BASELINE.md); first run pays JIT/codegen
-        # warmup, and min-of-3 also rides out the multi-second I/O
-        # stalls this virtualized host injects at random
+        # warmup, and min-of-5 also rides out the multi-second I/O
+        # stalls and ±30% wall-clock noise this virtualized host
+        # injects at random
         best, n = None, 0
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             n = qs[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0
