@@ -397,6 +397,11 @@ def _q_g_select_props(spark, sf):
         for x in pqc.rows(v)
     ]
     e = spark.createDataFrame(counts, "step string, val string")
+    # release the persisted keyed relations — repeated invocations
+    # (bench reps, sweeps) must not accumulate executor cache; the
+    # returned lazy df (`d`) stays executable, just uncached
+    pq.close()
+    pqc.close()
     return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 

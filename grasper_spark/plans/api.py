@@ -637,22 +637,34 @@ class G:
             epoch = self._invalidations
         # materialize OUTSIDE the lock: other shapes (and other values of
         # this shape) keep executing per-query while the build runs
+        settled = False
         try:
-            rec = PreparedQuery(
-                self, steps=list(steps), param_idx=idx,
-                max_local_rows=self.AUTO_PREPARE_MAX_ROWS,
-            )
-        except Exception:
-            rec = None  # shape out of scope — remembered, no retries
-        with self._prepare_lock:
-            if self._invalidations != epoch:
-                # the caches were invalidated mid-build (SetConfig /
-                # BuildIndex / ingest) — the result bakes in stale state
-                if rec is not None:
-                    rec.close()
-                self._auto_prepared.pop(shape, None)
-                return None
-            self._auto_prepared[shape] = rec
+            try:
+                rec = PreparedQuery(
+                    self, steps=list(steps), param_idx=idx,
+                    max_local_rows=self.AUTO_PREPARE_MAX_ROWS,
+                )
+            except Exception:
+                rec = None  # shape out of scope — remembered, no retries
+            with self._prepare_lock:
+                if self._invalidations != epoch:
+                    # the caches were invalidated mid-build (SetConfig /
+                    # BuildIndex / ingest) — the result bakes in stale state
+                    if rec is not None:
+                        rec.close()
+                    self._auto_prepared.pop(shape, None)
+                    settled = True
+                    return None
+                self._auto_prepared[shape] = rec
+                settled = True
+        finally:
+            if not settled:
+                # non-Exception unwind (KeyboardInterrupt, thread kill):
+                # a leftover _BUILDING marker would disable auto-prepare
+                # for this shape for the rest of the session
+                with self._prepare_lock:
+                    if self._auto_prepared.get(shape) is self._BUILDING:
+                        del self._auto_prepared[shape]
         return self._serve(shape, rec, value)
 
     def _serve(self, shape: str, rec, value) -> Optional[DataFrame]:
@@ -665,9 +677,13 @@ class G:
     def refresh(self) -> "G":
         """Data-epoch bump after an ingest: re-load the graph (when a
         ``graph_loader`` was given) and invalidate every serving-tier
-        cache — compiled plans, auto-prepared templates, and any
-        in-flight auto-prepare build (discarded on completion via the
-        epoch check). The next query() sees the fresh rows.
+        cache — compiled plans, auto-prepared templates, any in-flight
+        auto-prepare build (discarded on completion via the epoch
+        check), AND built indexes: their cached posting relations were
+        computed over the pre-ingest graph, so they are dropped and
+        queries fall back to fresh scans until the caller re-issues
+        BuildIndex (re-building eagerly per micro-batch would pay index
+        jobs on every commit). The next query() sees the fresh rows.
 
         The reference is load-once/add-only (driver/master.hpp); at
         100 TB adds never stop, so this is the hook the streaming edge
@@ -677,17 +693,29 @@ class G:
         caller-managed staleness contract (prepared.py)."""
         if self._graph_loader is not None:
             self.graph = self._graph_loader()
+        for element, key in list(self._index_store._m):
+            self._index_store.drop(element, key)
         self._invalidate_caches()
         return self
 
     def _invalidate_caches(self) -> None:
-        self._invalidations += 1
-        self._plan_cache.clear()
-        for rec in self._auto_prepared.values():
-            if rec is not None and rec is not self._BUILDING:
-                rec.close()
-        self._auto_prepared.clear()
-        self._shape_seen.clear()
+        # bookkeeping mutates under _prepare_lock: a concurrent query()
+        # thread may be inserting a _BUILDING marker (dict-size change
+        # during iteration) or installing a finished build — the epoch
+        # bump and the install check must serialize, or a build that
+        # straddles the invalidation would be installed stale
+        with self._prepare_lock:
+            self._invalidations += 1
+            self._plan_cache.clear()
+            recs = [
+                v
+                for v in self._auto_prepared.values()
+                if v is not None and v is not self._BUILDING
+            ]
+            self._auto_prepared.clear()
+            self._shape_seen.clear()
+        for rec in recs:  # unpersist outside the lock (py4j calls)
+            rec.close()
 
     def profile(self, query: str) -> DataFrame:
         """Per-step execution profile of a query string: one row per

@@ -373,10 +373,7 @@ class PreparedQuery:
             so = mf.get("sort_out") or []
             self._has_sort = bool(so)
             self._sort_out = [[c2, bool(a)] for c2, a in so]
-            if so:
-                self._out_df = self._out_df.orderBy(
-                    *[F.col(c2).asc() if a else F.col(c2).desc() for c2, a in so]
-                )
+            self._out_df = self._apply_sort(self._out_df)
             return True
         except Exception:
             return False  # unreadable snapshot — rebuild and overwrite
@@ -415,14 +412,21 @@ class PreparedQuery:
         # read the persisted copy back: the tiering below then scans
         # parquet instead of re-running the materialization plan —
         # re-applying the ordering the parquet files do not carry
-        self._out_df = self._g.graph.spark.read.parquet(os.path.join(snap, "data"))
-        if self._has_sort and self._sort_out:
-            self._out_df = self._out_df.orderBy(
-                *[
-                    F.col(c2).asc() if a else F.col(c2).desc()
-                    for c2, a in self._sort_out
-                ]
-            )
+        self._out_df = self._apply_sort(
+            self._g.graph.spark.read.parquet(os.path.join(snap, "data"))
+        )
+
+    def _apply_sort(self, df: DataFrame) -> DataFrame:
+        """Re-apply the output-mapped sort spec (parquet reads drop row
+        order across files); identity for unordered templates."""
+        if not getattr(self, "_sort_out", None):
+            return df
+        return df.orderBy(
+            *[
+                F.col(c2).asc() if a else F.col(c2).desc()
+                for c2, a in self._sort_out
+            ]
+        )
 
     # ---- template surgery ----
 
@@ -646,8 +650,14 @@ class PreparedQuery:
             if self._local is not None:
                 if v not in self._local:
                     return self._empty_df()
-            elif self._filtered(v).take(1) == []:
-                return self._empty_df()
+            else:
+                # relation tier: route through rows() — LRU-backed, so a
+                # hot key costs zero jobs here and a cold key costs ONE
+                # (a separate take(1) existence probe would add a job to
+                # every serve); barrier results are aggregates, small
+                res = self.rows(value)
+                base = self._rel.filter(F.lit(False)).drop(*self._pqcols)
+                return self._g.graph.spark.createDataFrame(res, base.schema)
         return self._filtered(v)
 
     def param_values(self) -> list:

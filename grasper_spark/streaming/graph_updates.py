@@ -51,7 +51,17 @@ def append_edges_stream(
     def _append(batch: DataFrame, _batch_id: int) -> None:
         batch.write.mode("append").parquet(log_dir)
         if on_commit is not None:
-            on_commit()
+            try:
+                on_commit()
+            except Exception:
+                # invalidation is best-effort: the append already
+                # committed, and failing the micro-batch HERE would make
+                # Structured Streaming replay it — duplicating the
+                # appended edges. A missed refresh only delays freshness
+                # until the next commit.
+                import traceback
+
+                traceback.print_exc()
 
     return (
         edges.writeStream.foreachBatch(_append)
