@@ -142,17 +142,39 @@ class GremlinCompiler:
     # ---------- prepared inputs ----------
 
     def _vertices(self) -> DataFrame:
+        # the renamed projection is a pure function of the (immutable)
+        # PropertyGraph, so it memoizes ON THE GRAPH across compiler
+        # instances: per-query compilation was paying ~80 ms of py4j
+        # round trips rebuilding the identical select every query (the
+        # dominant cost of the per-query serving tier's compile step)
         if self._v_renamed is None:
-            cols = [F.col("vid").alias(VCOL), F.col("label").alias(VLAB)]
-            cols += [F.col(k).alias(VP + k) for k in self.g.vertex_keys]
-            self._v_renamed = self.g.vertices.select(*cols)
+            memo = getattr(self.g, "_compiler_v_renamed", None)
+            if memo is None:
+                cols = [F.col("vid").alias(VCOL), F.col("label").alias(VLAB)]
+                cols += [F.col(k).alias(VP + k) for k in self.g.vertex_keys]
+                memo = self.g.vertices.select(*cols)
+                try:
+                    self.g._compiler_v_renamed = memo
+                except Exception:
+                    pass  # slotted/frozen graph impls: build per compiler
+            self._v_renamed = memo
         return self._v_renamed
 
     def _edges(self, by_dst: bool = False) -> DataFrame:
-        src = self.g.edges_by_dst() if by_dst else self.g.edges
-        cols = [F.col("src").alias(ESRC), F.col("dst").alias(EDST), F.col("label").alias(ELAB)]
-        cols += [F.col(k).alias(EP + k) for k in self.g.edge_keys]
-        return src.select(*cols)
+        # same per-graph memo as _vertices — this one was rebuilt per
+        # EXPANSION (one renamed select per hop, ~40 ms each)
+        attr = "_compiler_e_dst_renamed" if by_dst else "_compiler_e_renamed"
+        memo = getattr(self.g, attr, None)
+        if memo is None:
+            src = self.g.edges_by_dst() if by_dst else self.g.edges
+            cols = [F.col("src").alias(ESRC), F.col("dst").alias(EDST), F.col("label").alias(ELAB)]
+            cols += [F.col(k).alias(EP + k) for k in self.g.edge_keys]
+            memo = src.select(*cols)
+            try:
+                setattr(self.g, attr, memo)
+            except Exception:
+                pass
+        return memo
 
     # ---------- entry ----------
 
