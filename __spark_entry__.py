@@ -576,7 +576,7 @@ def _q_doc_line_dedup(spark, sf):
     # deterministic 8-token lines first — near-dup docs share whole
     # windows, making the hot-line strip non-vacuous (~9% of lines drop
     # at sf0.01)
-    from grasper_spark.functions.dedup import line_dedup
+    from grasper_spark.functions.dedup import intra_doc_line_dedup, line_dedup
     from grasper_spark.functions.text import tokens
 
     t = tokens(F.col("text"))
@@ -588,7 +588,24 @@ def _q_doc_line_dedup(spark, sf):
     seg = _docs(spark, sf).select(
         "doc_id", F.array_join(lines_arr, "\n").alias("text")
     )
-    return line_dedup(seg, max_df=2)
+    cross = line_dedup(seg, max_df=2).select(
+        F.lit("cross").alias("op"), "doc_id", "text", "n_lines", "n_kept"
+    )
+    # intra-doc half (MassiveText): the natural corpus has zero repeated
+    # lines WITHIN a doc, so append each doc's first line once more —
+    # deterministic on both engines — making the first-occurrence filter
+    # non-vacuous for every document
+    aug = seg.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.element_at(F.split(F.col("text"), "\n"), 1)
+        ).alias("text"),
+    )
+    intra = intra_doc_line_dedup(aug).select(
+        F.lit("intra").alias("op"), "doc_id", "text",
+        F.col("n_lines").cast("long").alias("n_lines"), "n_kept",
+    )
+    return cross.unionByName(intra)
 
 
 def _q_doc_exact_dedup(spark, sf):
@@ -888,7 +905,7 @@ def _q_algo_structure(spark, sf):
     # the oracle unrolls 6).
     from grasper_spark.algos import k_core, triangle_count
 
-    from grasper_spark.algos import common_neighbors
+    from grasper_spark.algos import common_neighbors, degree_distribution
     from grasper_spark.graph import PropertyGraph
 
     g = _graph(spark, sf).graph
@@ -921,7 +938,14 @@ def _q_algo_structure(spark, sf):
             F.col("n_common").cast("double").alias("val"),
         )
     )
-    return a.unionByName(b).unionByName(c)
+    # out-degree histogram (skew diagnostic) — rides the union's schema
+    # as (metric='deg_dist', vid=degree, val=bucket count)
+    d = degree_distribution(g, direction="out").select(
+        F.lit("deg_dist").alias("metric"),
+        F.col("degree").cast("long").alias("vid"),
+        F.col("n_vertices").cast("double").alias("val"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def _q_events_asof(spark, sf):
@@ -1875,9 +1899,36 @@ WITH toks AS (
 ), tot AS (
   SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
 )
-SELECT t.doc_id, coalesce(p.text_kept, '') AS text,
+SELECT 'cross' AS op, t.doc_id, coalesce(p.text_kept, '') AS text,
        t.n_lines::BIGINT AS n_lines, coalesce(p.n_kept, 0)::BIGINT AS n_kept
 FROM tot t LEFT JOIN packed p USING (doc_id)
+UNION ALL
+SELECT 'intra', doc_id, coalesce(text, ''), n_lines, n_kept FROM (
+  WITH itoks AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+  ), ilines AS (
+    SELECT doc_id, i AS pos, array_to_string(t[(i-1)*8+1:i*8], ' ') AS ln
+    FROM itoks,
+         unnest(generate_series(1, greatest(cast(ceil(len(t)/8.0) AS INT), 1))) AS u(i)
+  ), aug AS (
+    SELECT doc_id, pos, ln FROM ilines
+    UNION ALL
+    SELECT doc_id, mx + 1, ln FROM (
+      SELECT doc_id, pos, ln, max(pos) OVER (PARTITION BY doc_id) AS mx
+      FROM ilines
+    ) WHERE pos = 1
+  ), firsts AS (
+    SELECT doc_id, pos, ln,
+           (length(trim(ln)) = 0
+            OR pos = min(pos) OVER (PARTITION BY doc_id, lower(trim(ln)))) AS keep
+    FROM aug
+  )
+  SELECT doc_id,
+         string_agg(ln, chr(10) ORDER BY pos) FILTER (WHERE keep) AS text,
+         count(*)::BIGINT AS n_lines,
+         count(*) FILTER (WHERE keep)::BIGINT AS n_kept
+  FROM firsts GROUP BY doc_id
+) intra
 """,
         "doc_exact_dedup": f"""
 SELECT md5({_NORM}) AS fingerprint, min(doc_id)::BIGINT AS keep_id,
@@ -2143,6 +2194,28 @@ SELECT metric, vid, val FROM (
   UNION ALL
   SELECT 'linkpred_cn', a * 100000000 + b, c::DOUBLE FROM scored
 ) lp
+UNION ALL
+SELECT 'deg_dist', degree, count(*)::DOUBLE FROM (
+  WITH dv AS (
+    SELECT r_regionkey::BIGINT AS vid FROM region
+    UNION ALL SELECT (n_nationkey + 10)::BIGINT FROM nation
+    UNION ALL SELECT (c_custkey + 100)::BIGINT FROM customer
+    UNION ALL SELECT (s_suppkey + 10000000)::BIGINT FROM supplier
+    UNION ALL SELECT (p_partkey + 20000000)::BIGINT FROM part
+    UNION ALL SELECT (o_orderkey + 40000000)::BIGINT FROM orders
+  ), de AS (
+    SELECT (n_nationkey + 10)::BIGINT AS src FROM nation
+    UNION ALL SELECT (c_custkey + 100)::BIGINT FROM customer
+    UNION ALL SELECT (s_suppkey + 10000000)::BIGINT FROM supplier
+    UNION ALL SELECT (o_custkey + 100)::BIGINT FROM orders
+    UNION ALL SELECT (l_orderkey + 40000000)::BIGINT
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    UNION ALL SELECT (l_suppkey + 10000000)::BIGINT
+      FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+  ), dd AS (SELECT src, count(*)::BIGINT AS deg FROM de GROUP BY 1)
+  SELECT coalesce(dd.deg, 0)::BIGINT AS degree
+  FROM dv LEFT JOIN dd ON dd.src = dv.vid
+) GROUP BY degree
 """,
         "events_asof": """
 WITH clicks AS (
