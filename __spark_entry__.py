@@ -493,14 +493,37 @@ def _q_g_match(spark, sf):
 
 def _q_doc_tokens_fp(spark, sf):
     # token counting + content fingerprinting in one per-doc projection
-    # (one ledger entry, two text operators)
+    # (one ledger entry, two text operators), plus the pair-mass planning
+    # probe (Σ df·(df−1)/2 over trigram shingles + per-cap cuts) riding
+    # the same schema as six sentinel rows (doc_id<0, value in n_tokens,
+    # metric name in fp)
+    from grasper_spark.functions.dedup import pair_mass_estimate
     from grasper_spark.functions.text import fingerprint, token_count
 
-    return _docs(spark, sf).select(
+    per_doc = _docs(spark, sf).select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         fingerprint(F.col("text")).alias("fp"),
     )
+    pm = pair_mass_estimate(_docs(spark, sf))
+    metrics = [
+        ("n_shingles", -1), ("max_df", -2), ("pair_mass", -3),
+        ("pair_mass_cap100", -4), ("pair_mass_cap1000", -5),
+        ("pair_mass_cap10000", -6),
+    ]
+    probe = pm.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(sent).cast("long").alias("doc_id"),
+                    F.col(c).cast("long").alias("n_tokens"),
+                    F.lit(f"pm:{c}").alias("fp"),
+                )
+                for c, sent in metrics
+            ])
+        ).alias("r")
+    ).select("r.*")
+    return per_doc.unionByName(probe)
 
 
 def _q_doc_gopher_quality(spark, sf):
@@ -644,12 +667,46 @@ def _q_doc_neardup_jaccard(spark, sf):
 
 
 def _q_emb_cosine_topk(spark, sf):
-    from grasper_spark.functions.similarity import cosine_topk
+    # exact brute-force top-k plus the zero-shuffle embedding utilities
+    # (L2 normalize, int8 quantize, per-label centroids) in one tagged
+    # union over (op, a, b, sim, rank). normalize/quantize are verified
+    # by per-vector checksums (one row per vector, not per dim) so the
+    # entry's cost stays scan-bound.
+    from grasper_spark.functions.embeddings import l2_normalize, quantize_int8
+    from grasper_spark.functions.similarity import cosine_topk, group_centroids
     from grasper_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    topk = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
+        F.lit("topk").alias("op"), F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"), "sim", "rank",
+    )
+    nrm = l2_normalize(emb).select(
+        F.lit("norm").alias("op"), F.col("vec_id").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+            6,
+        ).alias("sim"),
+        F.lit(0).alias("rank"),
+    )
+    qt = quantize_int8(emb).select(
+        F.lit("quant").alias("op"), F.col("vec_id").alias("a"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("b"),
+        F.round("scale", 6).alias("sim"),
+        F.lit(0).alias("rank"),
+    )
+    cen = group_centroids(emb, "label").select(
+        F.col("label"), F.col("n"), F.posexplode("centroid").alias("i", "v")
+    ).select(
+        F.lit("centroid").alias("op"), F.col("label").cast("long").alias("a"),
+        F.col("i").cast("long").alias("b"), F.col("v").alias("sim"),
+        F.col("n").cast("int").alias("rank"),
+    )
+    return topk.unionByName(nrm).unionByName(qt).unionByName(cen)
 
 
 def _q_doc_curation(spark, sf):
@@ -1721,10 +1778,34 @@ pairs AS (
 SELECT '[a:' || va::VARCHAR || ', b:' || vb::VARCHAR || ']' AS val FROM pairs
 """,
         # ---- pipeline ----
-        "doc_tokens_fp": (
-            f"SELECT doc_id, {_NTOK}::BIGINT AS n_tokens, md5({_NORM}) AS fp "
-            "FROM documents"
-        ),
+        "doc_tokens_fp": f"""
+SELECT doc_id, {_NTOK}::BIGINT AS n_tokens, md5({_NORM}) AS fp FROM documents
+UNION ALL
+SELECT v.doc_id, v.n_tokens, v.fp FROM (
+  WITH ptoks AS (
+    SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS t FROM documents
+  ), psh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+    FROM ptoks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3
+    UNION
+    SELECT doc_id, array_to_string(t, ' ') FROM ptoks WHERE len(t) < 3
+  ), pdfs AS (SELECT s, count(*) AS d FROM psh GROUP BY 1),
+  agg AS (
+    SELECT count(*)::BIGINT AS n_shingles, max(d)::BIGINT AS max_df,
+           sum(d * (d - 1) / 2)::BIGINT AS pair_mass,
+           sum(CASE WHEN d <= 100 THEN d * (d - 1) / 2 ELSE 0 END)::BIGINT AS c100,
+           sum(CASE WHEN d <= 1000 THEN d * (d - 1) / 2 ELSE 0 END)::BIGINT AS c1000,
+           sum(CASE WHEN d <= 10000 THEN d * (d - 1) / 2 ELSE 0 END)::BIGINT AS c10000
+    FROM pdfs
+  )
+  SELECT (-1)::BIGINT AS doc_id, n_shingles AS n_tokens, 'pm:n_shingles' AS fp FROM agg
+  UNION ALL SELECT -2, max_df, 'pm:max_df' FROM agg
+  UNION ALL SELECT -3, pair_mass, 'pm:pair_mass' FROM agg
+  UNION ALL SELECT -4, c100, 'pm:pair_mass_cap100' FROM agg
+  UNION ALL SELECT -5, c1000, 'pm:pair_mass_cap1000' FROM agg
+  UNION ALL SELECT -6, c10000, 'pm:pair_mass_cap10000' FROM agg
+) v
+""",
         "doc_gopher_quality": rf"""
 WITH base AS (
   SELECT doc_id,
@@ -2038,7 +2119,41 @@ scored AS (
                             ORDER BY sim DESC, neighbor_id ASC)::INTEGER AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+SELECT 'topk' AS op, query_id AS a, neighbor_id AS b, sim, rank
+FROM ranked WHERE rank <= 10
+UNION ALL
+SELECT 'norm', vec_id, 0::BIGINT,
+       round(CASE WHEN nrm = 0
+                  THEN list_sum(list_transform(embedding, x -> x::DOUBLE))
+                  ELSE list_sum(list_transform(embedding, x -> x::DOUBLE / nrm))
+             END, 6),
+       0::INTEGER
+FROM (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+) nv
+UNION ALL
+SELECT 'quant', vec_id,
+       CASE WHEN amax = 0 THEN 0::BIGINT
+            ELSE list_sum(list_transform(embedding,
+                   x -> round(x::DOUBLE / (amax / 127.0), 0)::BIGINT))
+       END,
+       round(amax / 127.0, 6), 0::INTEGER
+FROM (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+  FROM embeddings
+) qv
+UNION ALL
+SELECT 'centroid', label::BIGINT, (i - 1)::BIGINT,
+       round(s / n, 6), n::INTEGER
+FROM (
+  SELECT label, count(DISTINCT vec_id)::BIGINT AS n, i,
+         sum(embedding[i]::DOUBLE) AS s
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+  GROUP BY label, i
+) cg
 """,
         "emb_neardup": _lsh_neardup_oracle(),
         "emb_lsh_topk": _lsh_topk_oracle(),
