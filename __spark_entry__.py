@@ -632,9 +632,29 @@ def _q_doc_line_dedup(spark, sf):
 
 
 def _q_doc_exact_dedup(spark, sf):
-    from grasper_spark.functions.dedup import exact_dedup
+    # exact dedup groups + incremental dedup-against-corpus in one tagged
+    # union over (op, k, id, v): batch = doc_id % 5 == 0 probed against
+    # the rest — the "don't re-ingest what we already have" op, exact
+    # fp short-circuit + banded-LSH candidates + exact-Jaccard verify,
+    # all mirrored in the DuckDB oracle
+    from grasper_spark.functions.dedup import dedup_against, exact_dedup
 
-    return exact_dedup(_docs(spark, sf))
+    docs = _docs(spark, sf)
+    groups = exact_dedup(docs).select(
+        F.lit("groups").alias("op"), F.col("fingerprint").alias("k"),
+        F.col("keep_id").alias("id"), F.col("dup_cnt").cast("double").alias("v"),
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incr = dedup_against(corpus, batch).select(
+        F.lit("incr").alias("op"),
+        F.when(F.col("dup_of").isNull(), F.lit("new"))
+        .otherwise(F.concat(F.lit("dup:"), F.col("dup_of").cast("string")))
+        .alias("k"),
+        F.col("doc_id").alias("id"),
+        F.coalesce(F.col("jaccard"), F.lit(-1.0)).alias("v"),
+    )
+    return groups.unionByName(incr)
 
 
 def _q_doc_minhash_sig(spark, sf):
@@ -1431,6 +1451,86 @@ WHERE round(cm / (za.sz + zb.sz - cm), 6) >= {threshold}
 """
 
 
+def _dedup_against_oracle(bands: int = 4, num_hashes: int = 16,
+                          threshold: float = 0.5) -> str:
+    """Mirror of functions.dedup.dedup_against over the doc_id%5 split:
+    exact-fp short-circuit, banded-minhash candidates for the remainder,
+    exact trigram-Jaccard verify, best match = max (jaccard, corpus id)."""
+    from grasper_spark.functions.dedup import _A, _B, MERSENNE_P
+
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min(({a}::BIGINT * x + {b}) % {MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(zip(_A[:num_hashes], _B[:num_hashes]))
+    )
+    band_sel = "\nUNION ALL ".join(
+        "SELECT doc_id, {b} AS b, md5({cat}) AS h FROM dsig".format(
+            b=b,
+            cat=" || ',' || ".join(f"m{b * rpb + r}::VARCHAR" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH dtoks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS t, md5({_NORM}) AS fp
+  FROM documents
+),
+bids AS (SELECT doc_id, fp FROM dtoks WHERE doc_id % 5 = 0),
+cids AS (SELECT doc_id, fp FROM dtoks WHERE doc_id % 5 <> 0),
+dexact AS (
+  SELECT b.doc_id, min(c.doc_id) AS dup_of
+  FROM bids b JOIN cids c ON c.fp = b.fp GROUP BY b.doc_id
+),
+remaining AS (
+  SELECT doc_id FROM bids WHERE fp NOT IN (SELECT fp FROM cids)
+),
+dsh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM dtoks, unnest(range(1, len(t) - 1)) AS u(i)
+),
+dxs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM dsh),
+dsig AS (SELECT doc_id, {mins} FROM dxs GROUP BY doc_id),
+dbnd AS ({band_sel}),
+dcand AS (
+  SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+  FROM dbnd n JOIN remaining USING (doc_id)
+       JOIN dbnd o ON o.b = n.b AND o.h = n.h
+       JOIN cids ON cids.doc_id = o.doc_id
+),
+dsizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+dcommon AS (
+  SELECT c.id_a, c.id_b, count(*) AS cm
+  FROM dcand c JOIN dsh sa ON sa.doc_id = c.id_a
+               JOIN dsh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY 1, 2
+),
+dnear0 AS (
+  SELECT id_a, id_b, round(cm / (za.sz + zb.sz - cm), 6) AS jac
+  FROM dcommon JOIN dsizes za ON za.doc_id = id_a
+               JOIN dsizes zb ON zb.doc_id = id_b
+  WHERE round(cm / (za.sz + zb.sz - cm), 6) >= {threshold}
+),
+dnear AS (
+  SELECT id_a AS doc_id, id_b AS dup_of, jac FROM (
+    SELECT id_a, id_b, jac,
+           row_number() OVER (PARTITION BY id_a
+                              ORDER BY jac DESC, id_b DESC) AS rn
+    FROM dnear0
+  ) WHERE rn = 1
+),
+ddups AS (
+  SELECT doc_id, dup_of, 1.0 AS jac FROM dexact
+  UNION ALL SELECT doc_id, dup_of, jac FROM dnear
+)
+SELECT 'incr' AS op,
+       CASE WHEN d.dup_of IS NULL THEN 'new'
+            ELSE 'dup:' || d.dup_of END AS k,
+       b.doc_id AS id,
+       coalesce(round(d.jac, 6), -1.0) AS v
+FROM bids b LEFT JOIN ddups d USING (doc_id)
+"""
+
+
 def _neardup_clusters_oracle() -> str:
     """Connected components over the banded-LSH pair graph: recursive
     reachability (pair graphs are tiny — a small minority of the corpus
@@ -2012,9 +2112,11 @@ SELECT 'intra', doc_id, coalesce(text, ''), n_lines, n_kept FROM (
 ) intra
 """,
         "doc_exact_dedup": f"""
-SELECT md5({_NORM}) AS fingerprint, min(doc_id)::BIGINT AS keep_id,
-       count(*)::BIGINT AS dup_cnt
-FROM documents GROUP BY 1
+SELECT 'groups' AS op, md5({_NORM}) AS k, min(doc_id)::BIGINT AS id,
+       count(*)::DOUBLE AS v
+FROM documents GROUP BY 2
+UNION ALL
+SELECT op, k, id, v FROM ({_dedup_against_oracle()}) da
 """,
         "doc_minhash_sig": _minhash_oracle(),
         "doc_simhash": _simhash_oracle(),
