@@ -579,17 +579,24 @@ def _q_doc_chunks(spark, sf):
 def _q_doc_text_lang(spark, sf):
     # text-quality stats + language-ID in one per-doc projection (one
     # ledger entry, four text operators — all scan-speed SQL expressions)
+    from grasper_spark.functions.classifier import quality_features
     from grasper_spark.functions.text import (
         lang_id, punct_ratio, quality_score, stopword_ratio,
     )
 
     t = F.col("text")
-    return _docs(spark, sf).select(
+    # the classifier's feature contract (FEATURE_COLS) rides the same
+    # per-doc projection: the three statistics not already covered by
+    # the quality columns, through the real quality_features path
+    return quality_features(_docs(spark, sf)).select(
         "doc_id",
         punct_ratio(t).alias("punct_ratio"),
         stopword_ratio(t).alias("stopword_ratio"),
         quality_score(t).alias("quality"),
         lang_id(t).alias("lang_pred"),
+        F.round("f_mean_token_len", 6).alias("mean_token_len"),
+        F.round("f_digit_ratio", 6).alias("digit_ratio"),
+        F.round("f_upper_ratio", 6).alias("upper_ratio"),
     )
 
 
@@ -2050,14 +2057,20 @@ SELECT doc_id, (hv % 8)::INTEGER AS shard,
        (row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id))::INTEGER AS pos
 FROM h
 """,
-        "doc_text_lang": f"""
+        "doc_text_lang": rf"""
 WITH votes AS ({_votes_cte()})
 SELECT doc_id,
   {_PUNCT_RATIO} AS punct_ratio,
   {_SW_RATIO} AS stopword_ratio,
   round((0.5 * least({_NTOK} / 50.0, 1.0) + 0.4 * least({_SW_RATIO} * 5.0, 1.0))
         * (1.0 - 0.3 * least({_PUNCT_RATIO} * 10.0, 1.0)), 6) AS quality,
-  {_LANG_CASE} AS lang_pred
+  {_LANG_CASE} AS lang_pred,
+  round(length(regexp_replace(text, '\s+', '', 'g'))
+        / greatest({_NTOK}::DOUBLE, 1.0), 6) AS mean_token_len,
+  round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        / greatest(length(text)::DOUBLE, 1.0), 6) AS digit_ratio,
+  round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+        / greatest(length(text)::DOUBLE, 1.0), 6) AS upper_ratio
 FROM votes
 """,
         "doc_line_dedup": rf"""
