@@ -239,9 +239,13 @@ def ngram_jaccard_pairs(
     unsegmented scripts — same plan shape, same pair-mass budget."""
     # persist the raw shingle relation: the hot-shingle aggregate reads
     # it once, and the anti-joined consumers below (both join sides +
-    # sizes) re-traverse it without recomputing the window shingling
+    # sizes) re-traverse it without recomputing the window shingling.
+    # Shingles are xxhash64'd inside the persisted relation: the
+    # self-join and every aggregate shuffle 8-byte longs instead of
+    # ~25-byte trigram strings (same counts up to a ~2^-64 collision)
     sh = _persisted_shingles(
         _exploded_shingles(df, text_col, id_col, shingle_n, unit=unit)
+        .select(id_col, F.xxhash64("sh").alias("sh"))
     )
     hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
         F.col("df_cnt") > max_shingle_df
@@ -590,9 +594,12 @@ def containment_pairs(
 
     Scale: identical shape to ngram_jaccard_pairs — the same persisted
     inverted-index self-join with the hot-shingle cap; only the final
-    normalization differs (divide by ONE side's size)."""
+    normalization differs (divide by ONE side's size). |a ∩ b| is
+    symmetric, so the self-join runs once on a < b and mirrors — half
+    the pair traffic of an a != b join."""
     sh = _persisted_shingles(
         _exploded_shingles(df, text_col, id_col, shingle_n, unit=unit)
+        .select(id_col, F.xxhash64("sh").alias("sh"))
     )
     hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
         F.col("df_cnt") > max_shingle_df
@@ -600,19 +607,31 @@ def containment_pairs(
     sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
-    common = (
+    half = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")), "inner")
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    return (
-        common.join(sa, "id_a")
-        .withColumn("containment", F.round(F.col("common") / F.col("sz_a"), 6))
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
-    )
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    # emit both directions from ONE join tree (explode of two structs —
+    # a union of mirrored selects would re-run the join+agg subtree)
+    both = half.join(sa, "id_a").join(sb, "id_b").select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a"), F.col("id_b"),
+                    F.round(F.col("common") / F.col("sz_a"), 6).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"),
+                    F.round(F.col("common") / F.col("sz_b"), 6).alias("containment"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return both.filter(F.col("containment") >= threshold)
 
 
 def simhash_pairs(
