@@ -41,6 +41,32 @@ def test_ngram_jaccard_finds_neardup(docs):
     assert not any({a, b} == {4, 5} for a, b in pairs)
 
 
+def test_jaccard_join_key_is_hashed_long(docs):
+    # the inverted-index self-join must shuffle 8-byte xxhash64 keys,
+    # not trigram strings (~3x the bytes) — guard against a silent
+    # revert in the persisted shingle relation
+    from pyspark.sql.types import LongType
+
+    from grasper_spark.functions.dedup import _SH_PERSISTED, ngram_jaccard_pairs
+
+    ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert _SH_PERSISTED, "shingle relation should be persisted"
+    sh_type = dict(_SH_PERSISTED[0][1].dtypes).get("sh")
+    assert sh_type == "bigint", sh_type
+    assert isinstance(_SH_PERSISTED[0][1].schema["sh"].dataType, LongType)
+
+
+def test_containment_directions_consistent(docs):
+    # both (a,b) and (b,a) rows come from ONE a<b join pass (explode);
+    # common counts must agree with the symmetric definition
+    from grasper_spark.functions.dedup import containment_pairs
+
+    rows = {(r.id_a, r.id_b): r.containment
+            for r in containment_pairs(docs, threshold=0.0).collect()}
+    assert (1, 2) in rows and (2, 1) in rows
+    assert rows[(1, 2)] == rows[(2, 1)] == 1.0  # exact dups contain fully
+
+
 def test_minhash_lsh_finds_neardup(docs):
     from grasper_spark.functions.dedup import minhash_lsh_pairs
 
