@@ -350,11 +350,37 @@ class Traversal:
         return PropertyGraph(vertices, edges, name=name)
 
     def df(self) -> DataFrame:
-        """Compile to the user-facing DataFrame (vid / (src,dst) / val)."""
+        """Compile to the user-facing DataFrame (vid / (src,dst) / val).
+
+        Repeated traversals serve the compiled plan from the owning G's
+        plan cache (same cache + invalidation epoch as `G.query` string
+        caching): steps are frozen dataclasses of literals/Preds/nested
+        step tuples, so `repr(steps)` is a stable semantic key — worth
+        ~0.4 s of py4j round trips per multi-branch query at local[32].
+        Execution still runs in full; only plan CONSTRUCTION is reused
+        (a DataFrame is an immutable plan, not a result)."""
+        ctx, key = self._ctx, None
+        if ctx is not None and ctx._caching_on():
+            # id(graph) guards the one hole the epoch clear can't see: a
+            # traversal captured BEFORE G.refresh() swapped the graph,
+            # executed after — its old-graph plan must not be served to
+            # post-refresh traversals with the same steps
+            k = f"steps:{id(self._graph)}:{self._seed}:{self._steps!r}"
+            # a default object repr would make the key identity-, not
+            # semantics-based — skip caching rather than serve wrong
+            if " object at 0x" not in k:
+                key = k
+                cached = ctx._plan_cache.get(key)
+                if cached is not None:
+                    return cached
         c, stream = self._compile()
         if stream.kind == "G":
-            return stream.df  # relational group output keeps its columns
-        return c.result_df(stream)
+            out = stream.df  # relational group output keeps its columns
+        else:
+            out = c.result_df(stream)
+        if key is not None and len(ctx._plan_cache) < 4096:
+            ctx._plan_cache[key] = out
+        return out
 
     def explain(self, mode: str = "formatted") -> None:  # pragma: no cover
         self.df().explain(mode)

@@ -434,6 +434,32 @@ def test_set_config_caching_observable(modern):
     assert gi.query(q) is gi.query(q)
 
 
+def test_fluent_plan_cache(modern):
+    # fluent traversals share G.query's plan cache: identical step
+    # chains return the SAME DataFrame (plan construction reused;
+    # execution still runs per count/collect), and every invalidation
+    # channel — SetConfig, BuildIndex, refresh — drops the entry
+    from grasper_spark import G
+
+    gi = G(modern)
+    d1 = gi.V().hasLabel("person").count().df()
+    assert gi.V().hasLabel("person").count().df() is d1
+    # different steps / different seed miss
+    assert gi.V().hasLabel("software").count().df() is not d1
+    gi.query("SetConfig('seed', '7')")
+    d2 = gi.V().hasLabel("person").count().df()
+    assert d2 is not d1  # epoch bumped + seed in key
+    gi.query("BuildIndex(V, 'name')")
+    assert gi.V().hasLabel("person").count().df() is not d2
+    gi.query("SetConfig('caching', 'false')")
+    d3 = gi.V().hasLabel("person").count().df()
+    assert gi.V().hasLabel("person").count().df() is not d3
+    gi.query("SetConfig('caching', 'true')")
+    # results are correct through the cache
+    assert gi.V().hasLabel("person").count().to_list() == [4]
+    assert gi.V().hasLabel("person").count().to_list() == [4]
+
+
 def test_set_config_seed_rewires_coin(modern):
     from grasper_spark import G
 
