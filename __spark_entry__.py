@@ -773,14 +773,44 @@ def _q_emb_lsh_topk(spark, sf):
         F.round("scale", 6).alias("sim"),
         F.lit(0).alias("rank"),
     )
-    cen = group_centroids(emb, "label").select(
-        F.col("label"), F.col("n"), F.posexplode("centroid").alias("i", "v")
-    ).select(
+    # centroid arm, fold-order-proof (r04's one red row was this arm's
+    # round(float-sum, 6) flipping at a half-way boundary): the hashed
+    # value is a per-(label,dim) INTEGER sum of floor(v*1e6) — exact
+    # long arithmetic commutes, so the value is bit-identical regardless
+    # of partial-aggregation fold order on either engine. The library op
+    # group_centroids is still verified: the centroid_ok arm counts dims
+    # where its (float-summed, 6-dp) mean strays >1e-4 from the
+    # canonical quantized mean — actual drift is <2e-6, so the count is
+    # deterministically 0 with a ~50x margin (no boundary to flip at).
+    ex = emb.select("label", F.posexplode("embedding").alias("i", "v"))
+    can = ex.groupBy("label", "i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("v").cast("double") * F.lit(1000000.0))).alias("s"),
+    )
+    cen = can.select(
         F.lit("centroid").alias("op"), F.col("label").cast("long").alias("a"),
-        F.col("i").cast("long").alias("b"), F.col("v").alias("sim"),
+        F.col("i").cast("long").alias("b"),
+        F.col("s").cast("double").alias("sim"),
         F.col("n").cast("int").alias("rank"),
     )
-    return topk.unionByName(nrm).unionByName(qt).unionByName(cen)
+    gc = group_centroids(emb, "label").select(
+        "label", F.posexplode("centroid").alias("i", "v")
+    )
+    ok = gc.join(can, ["label", "i"]).groupBy("label").agg(
+        F.sum(
+            F.when(
+                F.abs(
+                    F.col("v") - F.col("s") / F.col("n") / F.lit(1000000.0)
+                ) > 1e-4,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("bad")
+    ).select(
+        F.lit("centroid_ok").alias("op"), F.col("label").cast("long").alias("a"),
+        F.col("bad").cast("long").alias("b"), F.lit(0.0).alias("sim"),
+        F.lit(0).alias("rank"),
+    )
+    return topk.unionByName(nrm).unionByName(qt).unionByName(cen).unionByName(ok)
 
 
 def _q_doc_minhash_lsh_pairs(spark, sf):
@@ -1496,8 +1526,13 @@ remaining AS (
   SELECT doc_id FROM bids WHERE fp NOT IN (SELECT fp FROM cids)
 ),
 dsh AS (
+  -- <3-token docs get one whole-text shingle, matching Spark's
+  -- shingles_from_tokens fallback (same pattern as the pair-mass psh
+  -- CTE): without it tiny docs silently get no signature at all
   SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-  FROM dtoks, unnest(range(1, len(t) - 1)) AS u(i)
+  FROM dtoks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3
+  UNION
+  SELECT doc_id, array_to_string(t, ' ') FROM dtoks WHERE len(t) < 3
 ),
 dxs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM dsh),
 dsig AS (SELECT doc_id, {mins} FROM dxs GROUP BY doc_id),
@@ -2269,14 +2304,16 @@ FROM (
   FROM embeddings
 ) qv
 UNION ALL
-SELECT 'centroid', label::BIGINT, (i - 1)::BIGINT,
-       round(s / n, 6), n::INTEGER
+SELECT 'centroid', label::BIGINT, (i - 1)::BIGINT, s::DOUBLE, n::INTEGER
 FROM (
-  SELECT label, count(DISTINCT vec_id)::BIGINT AS n, i,
-         sum(embedding[i]::DOUBLE) AS s
+  SELECT label, count(*)::BIGINT AS n, i,
+         sum(floor(embedding[i]::DOUBLE * 1000000.0)::BIGINT)::BIGINT AS s
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
   GROUP BY label, i
 ) cg
+UNION ALL
+SELECT 'centroid_ok', label::BIGINT, 0::BIGINT, 0.0, 0::INTEGER
+FROM (SELECT DISTINCT label FROM embeddings) dl
 """,
         "doc_minhash_lsh_pairs": _minhash_lsh_oracle(),
         "doc_neardup_clusters": _neardup_clusters_oracle(),

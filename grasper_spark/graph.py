@@ -29,6 +29,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,7 +53,14 @@ class PropertyGraph:
     vertex_keys: dict[str, str] = field(default_factory=dict)
     edge_keys: dict[str, str] = field(default_factory=dict)
 
+    # monotonic per-instance identity token for plan-cache keys: unlike
+    # id(), never reused after GC, so a stale pre-refresh traversal's
+    # cached plan can never be served for a NEW graph that happens to be
+    # allocated at the freed graph's address (r4 VERDICT finding #2a)
+    _gen_counter = itertools.count()
+
     def __post_init__(self) -> None:
+        self._gen = next(PropertyGraph._gen_counter)
         vcols = {f.name: f.dataType.simpleString() for f in self.vertices.schema.fields}
         ecols = {f.name: f.dataType.simpleString() for f in self.edges.schema.fields}
         assert V_ID in vcols and LABEL in vcols, f"V needs ({V_ID},{LABEL}): {vcols}"

@@ -359,26 +359,38 @@ class Traversal:
         ~0.4 s of py4j round trips per multi-branch query at local[32].
         Execution still runs in full; only plan CONSTRUCTION is reused
         (a DataFrame is an immutable plan, not a result)."""
-        ctx, key = self._ctx, None
+        ctx, key, epoch = self._ctx, None, 0
         if ctx is not None and ctx._caching_on():
-            # id(graph) guards the one hole the epoch clear can't see: a
+            # the graph's monotonic _gen token (never reused, unlike
+            # id()) guards the one hole the epoch clear can't see: a
             # traversal captured BEFORE G.refresh() swapped the graph,
             # executed after — its old-graph plan must not be served to
-            # post-refresh traversals with the same steps
-            k = f"steps:{id(self._graph)}:{self._seed}:{self._steps!r}"
+            # post-refresh traversals with the same steps, even if a new
+            # graph is later allocated at the freed one's address
+            gen = getattr(self._graph, "_gen", None)
+            k = f"steps:{gen}:{self._seed}:{self._steps!r}"
             # a default object repr would make the key identity-, not
             # semantics-based — skip caching rather than serve wrong
-            if " object at 0x" not in k:
+            if gen is not None and " object at 0x" not in k:
                 key = k
                 cached = ctx._plan_cache.get(key)
                 if cached is not None:
                     return cached
+                epoch = ctx._invalidations
         c, stream = self._compile()
         if stream.kind == "G":
             out = stream.df  # relational group output keeps its columns
         else:
             out = c.result_df(stream)
-        if key is not None and len(ctx._plan_cache) < 4096:
+        if (
+            key is not None
+            and len(ctx._plan_cache) < 4096
+            # same guard as G.query's auto-prepare install (api.py
+            # _try_auto_prepared): a SetConfig/BuildIndex/refresh that
+            # landed mid-compile cleared the cache — this plan baked in
+            # the pre-invalidation state, so it must not be installed
+            and ctx._invalidations == epoch
+        ):
             ctx._plan_cache[key] = out
         return out
 
@@ -506,13 +518,21 @@ class G:
             return self._set_config(q)
         if self._caching_on() and q in self._plan_cache:
             return self._plan_cache[q]
+        epoch = self._invalidations
         steps = parse_query(q)
         if self._caching_on():
             served = self._try_auto_prepared(steps)
             if served is not None:
                 return served
         df = self.traversal(steps).df()
-        if self._caching_on() and len(self._plan_cache) < 4096:
+        # epoch re-check mirrors Traversal.df / _try_auto_prepared: an
+        # invalidation mid-compile means this plan is stale — serve it
+        # once but don't install it
+        if (
+            self._caching_on()
+            and len(self._plan_cache) < 4096
+            and self._invalidations == epoch
+        ):
             self._plan_cache[q] = df
         return df
 
