@@ -402,7 +402,83 @@ def _q_g_select_props(spark, sf):
     # returned lazy df (`d`) stays executable, just uncached
     pq.close()
     pqc.close()
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    f = _ingest_freshness_rows(spark, sf)
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        .unionByName(f)
+    )
+
+
+def _ingest_freshness_rows(spark, sf):
+    # ingest → serve freshness: append edges through the streaming edge
+    # log (streaming/graph_updates.append_edges_stream) with
+    # on_commit=G.refresh, then RE-SERVE point queries whose compiled
+    # plans AND auto-prepared template were warmed BEFORE the append —
+    # a stale serving tier would return the pre-append neighbor sets
+    # (the invalidation path a 100 TB deployment exercises on every
+    # committed micro-batch; reference is load-once/add-only,
+    # driver/master.hpp). The graph is a tiny synthetic ring over the
+    # nation table — initial edge k→(k+1)%n, appended batch k→(k+2)%n
+    # for k<5 — so the DuckDB oracle mirrors the POST-append state as a
+    # pure function of n_nationkey.
+    import os
+    import shutil
+    import tempfile
+
+    from grasper_spark.graph import PropertyGraph
+    from grasper_spark.streaming.graph_updates import (
+        append_edges_stream,
+        read_edges_stream,
+    )
+
+    nat = spark.read.parquet(f"{sf}/nation.parquet")
+    ncnt = nat.count()
+    verts = nat.select(
+        F.col("n_nationkey").cast("long").alias("vid"),
+        F.lit("nation").alias("label"),
+        F.col("n_name").alias("name"),
+    )
+    tmp = tempfile.mkdtemp(prefix="grasper_ingest_arm_")
+    try:
+        log_dir = os.path.join(tmp, "log")
+        src_dir = os.path.join(tmp, "src")
+        ckpt = os.path.join(tmp, "ckpt")
+        nat.select(
+            F.col("n_nationkey").cast("long").alias("src"),
+            ((F.col("n_nationkey") + 1) % ncnt).cast("long").alias("dst"),
+            F.lit("adj").alias("label"),
+        ).write.parquet(log_dir)
+        loader = lambda: PropertyGraph(  # noqa: E731 — re-lists the log files
+            verts, spark.read.parquet(log_dir), name="ingest-ring"
+        )
+        gg = G(loader(), graph_loader=loader)
+        probe = ["NATION_0", "NATION_1", "NATION_3", "NATION_10"]
+        tmpl = 'g.V().has("name","{}").out("adj").values("name")'
+        # warm the serving tier on the PRE-append graph: each string
+        # lands in the plan cache, and 4 sightings of the shape pass
+        # AUTO_PREPARE_AFTER, so the auto-prepared template is live and
+        # must be torn down by the commit-hook refresh
+        for v in probe:
+            gg.query(tmpl.format(v)).collect()
+        nat.filter(F.col("n_nationkey") < 5).select(
+            F.col("n_nationkey").cast("long").alias("src"),
+            ((F.col("n_nationkey") + 2) % ncnt).cast("long").alias("dst"),
+            F.lit("adj").alias("label"),
+        ).write.parquet(src_dir)
+        q = append_edges_stream(
+            read_edges_stream(spark, src_dir), log_dir, ckpt,
+            on_commit=gg.refresh,
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = [
+            (f"ingest:{v}", r[0])
+            for v in probe
+            for r in gg.query(tmpl.format(v)).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "step string, val string")
 
 
 def _q_g_key_label(spark, sf):
@@ -1872,6 +1948,24 @@ SELECT 'pq_count:NATION_5',
          WHERE n_name = 'NATION_5'))::VARCHAR
 UNION ALL
 SELECT 'pq_count:NO_SUCH_NATION', '0'
+UNION ALL
+-- ingest→serve freshness: POST-append neighbor sets of the synthetic
+-- nation ring (initial k→(k+1)%n; appended micro-batch k→(k+2)%n for
+-- k<5) — a stale Spark serving tier would be missing the k<5 rows
+SELECT 'ingest:' || pname, val FROM (
+  WITH cnt AS (SELECT count(*) AS n FROM nation),
+  pr AS (
+    SELECT n_nationkey AS k, n_name AS pname FROM nation
+    WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_3', 'NATION_10')
+  ),
+  nb AS (
+    SELECT pr.pname, (pr.k + 1) % cnt.n AS nk FROM pr, cnt
+    UNION ALL
+    SELECT pr.pname, (pr.k + 2) % cnt.n FROM pr, cnt WHERE pr.k < 5
+  )
+  SELECT nb.pname, m.n_name AS val
+  FROM nb JOIN nation m ON m.n_nationkey = nb.nk
+) ing
 """,
         "g_key_label": """
 SELECT 'key' AS step, 'name' AS val FROM supplier

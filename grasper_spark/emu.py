@@ -116,7 +116,13 @@ def run_emu(
         # concurrently (FAIR scheduler), warm-up cost ≈ max, not sum
         def _prep(t):
             try:
-                return prepare(g, t.query, cache_dir=prepare_cache_dir)
+                # fallback=False: the emu has its OWN per-query mode
+                # (BuildIndex + domain sampling below) and measures it
+                # as a distinct tier — a PerQueryPrepared here would
+                # hide that split
+                return prepare(
+                    g, t.query, cache_dir=prepare_cache_dir, fallback=False
+                )
             except (PrepareError, CompileError):
                 # out-of-scope shape OR a template that only fails under
                 # grouped compilation — fall back to per-query mode

@@ -99,7 +99,7 @@ def _walk_names(obj):
 def _validate_steps(steps) -> None:
     bad = sorted(_UNSUPPORTED.intersection(_walk_names(steps)))
     if bad:
-        raise PrepareError(f"template step(s) not preparable: {bad}")
+        raise FallbackEligible(f"template step(s) not preparable: {bad}")
     for st in steps:
         if st.name == "union":
             nested = sorted(
@@ -108,7 +108,7 @@ def _validate_steps(steps) -> None:
                 )
             )
             if nested:
-                raise PrepareError(
+                raise FallbackEligible(
                     f"barrier step(s) {nested} inside a union() branch are "
                     f"not preparable (empty parameter groups would drop "
                     f"the branch's 0-row aggregate)"
@@ -117,6 +117,18 @@ def _validate_steps(steps) -> None:
 
 class PrepareError(ValueError):
     """Template not preparable (no/ambiguous marker, unsupported step)."""
+
+
+class FallbackEligible(PrepareError):
+    """The template PARSES and would execute correctly per-query, but
+    its shape is outside the grouped-materialization model (a barrier
+    inside a union() branch, a global side-effect step). The module
+    :func:`prepare` catches this and serves the template through
+    :class:`PerQueryPrepared` instead of raising — preparation is a
+    throughput posture, not a semantics gate (the reference's emu
+    compositions always execute, driver/worker.hpp:166-205). True
+    template errors (no/ambiguous marker, parse failure) stay
+    PrepareError and still raise."""
 
 
 #: relation-tier per-key LRU bound (see PreparedQuery.rows)
@@ -678,12 +690,104 @@ class PreparedQuery:
             self._rel.unpersist()
 
 
-def prepare(g: Any, template: str, marker: str = "$RAND", **kw: Any) -> PreparedQuery:
-    """Build a :class:`PreparedQuery`; raises :class:`PrepareError` when
-    the template shape is out of scope (callers fall back to per-query
-    execution)."""
+class PerQueryPrepared:
+    """Per-query serving mode for templates whose SHAPE the grouped
+    materialization cannot model — today a barrier nested inside a
+    union() branch (branches share the incoming stream's group columns,
+    so an empty parameter group would drop the branch's 0-row
+    aggregate) or a global side-effect step (aggregate/cap/sample/...).
+
+    Same serving surface as :class:`PreparedQuery` (``rows``/``df``/
+    ``close``, ``mode == "fallback"``): each serve substitutes the
+    value into the pre-parsed step list and executes through the
+    compiler — one Spark job per COLD value (the measured per-query
+    fallback floor, SCALE.md: p50 ~124 ms at sf0.1), with a per-value
+    LRU so hot values serve driver-local like the local tier. The
+    template is compiled ONCE at construction (against the sentinel)
+    so shape/analysis errors surface at prepare() time, not first
+    serve. Reference parity: emu template compositions always execute
+    (driver/worker.hpp:166-205); preparing is a throughput posture,
+    not a semantics gate."""
+
+    mode = "fallback"
+    total_rows = None
+
+    def __init__(self, g: Any, template: str, marker: str = "$RAND"):
+        self.template = template
+        self._g = g
+        self._steps = PreparedQuery._parse(template, marker)
+        self._idxs = PreparedQuery._find_param_steps(self._steps, marker)
+        self.keys = [
+            "__id__" if self._steps[i].name == "hasId" else self._steps[i].args[0]
+            for i in self._idxs
+        ]
+        self.key = self.keys[0]
+        # fail-fast compile (no job): analysis errors belong to
+        # prepare(), and the output schema is the same for every value
+        sents = [
+            self._steps[i].args[-1].args[0] for i in self._idxs
+        ]
+        probe = self._df_for(sents[0] if len(sents) == 1 else tuple(sents))
+        self.columns = probe.columns
+        from collections import OrderedDict
+
+        self._row_lru: "OrderedDict" = OrderedDict()
+        self._lru_lock = _threading.Lock()
+
+    def _df_for(self, value: Any) -> DataFrame:
+        vals = (value,) if len(self._idxs) == 1 else tuple(value)
+        if len(vals) != len(self._idxs):
+            raise PrepareError(
+                f"template takes {len(self._idxs)} parameters, got {len(vals)}"
+            )
+        steps = list(self._steps)
+        for i, v in zip(self._idxs, vals):
+            st = steps[i]
+            if st.name == "hasId":
+                steps[i] = replace(st, args=(Pred("eq", (v,)),))
+            else:
+                steps[i] = replace(st, args=(st.args[0], Pred("eq", (v,))))
+        return self._g.traversal(steps).df()
+
+    def df(self, value: Any) -> DataFrame:
+        return self._df_for(value)
+
+    def rows(self, value: Any) -> list[tuple]:
+        k = value if not isinstance(value, list) else tuple(value)
+        try:
+            with self._lru_lock:
+                hit = self._row_lru.get(k)
+                if hit is not None:
+                    self._row_lru.move_to_end(k)
+                    return hit
+        except TypeError:  # unhashable parameter — serve uncached
+            return [tuple(r) for r in self._df_for(value).collect()]
+        out = [tuple(r) for r in self._df_for(value).collect()]
+        with self._lru_lock:
+            self._row_lru[k] = out
+            while len(self._row_lru) > _ROW_LRU_MAX:
+                self._row_lru.popitem(last=False)
+        return out
+
+    def close(self) -> None:
+        with self._lru_lock:
+            self._row_lru.clear()
+
+
+def prepare(g: Any, template: str, marker: str = "$RAND", **kw: Any):
+    """Build a :class:`PreparedQuery`; templates whose shape is outside
+    the grouped-materialization model but still per-query-executable
+    (:class:`FallbackEligible`) come back as a :class:`PerQueryPrepared`
+    with the same serving surface (``mode == "fallback"``). Pass
+    ``fallback=False`` to get the raise instead. True template errors
+    (no/ambiguous marker, parse failure) raise :class:`PrepareError`."""
+    fallback = kw.pop("fallback", True)
     try:
         return PreparedQuery(g, template, marker=marker, **kw)
+    except FallbackEligible:
+        if not fallback:
+            raise
+        return PerQueryPrepared(g, template, marker=marker)
     except (PrepareError, CompileError):
         raise
     except Exception as ex:  # analysis errors surface as PrepareError

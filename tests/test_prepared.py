@@ -162,8 +162,6 @@ def test_prepared_relation_tier_row_lru(g):
         'g.V().values("age")',                                  # no marker
         'g.V().has("name","$RAND").has("lang","$RAND").count()',  # twice
         'g.V().has("name",P.within("$RAND","x")).count()',      # not eq()
-        'g.V().has("name","$RAND").aggregate("x").cap("x")',    # side-effect
-        'g.V().has("name","$RAND").coin(0.5).count()',          # sampling
         # marker nested in a branch sub-traversal must be rejected, not
         # silently compiled as a literal string
         'g.V().union(has("name","$RAND").values("age"), values("age"))',
@@ -171,8 +169,30 @@ def test_prepared_relation_tier_row_lru(g):
     ],
 )
 def test_prepared_rejects_out_of_scope_shapes(g, template):
+    # TRUE template errors (marker/parse problems) raise regardless of
+    # the fallback tier — there is no per-query meaning to serve
     with pytest.raises(PrepareError):
         prepare(g, template)
+
+
+@pytest.mark.parametrize(
+    "template",
+    [
+        'g.V().has("name","$RAND").aggregate("x").cap("x")',    # side-effect
+        'g.V().has("name","$RAND").coin(0.5).count()',          # sampling
+    ],
+)
+def test_prepared_semantic_scope_shapes_fall_back(g, template):
+    """Shapes the grouped materialization cannot MODEL (but which
+    execute fine per-query) come back as the per-query fallback tier;
+    fallback=False restores the raise."""
+    from grasper_spark.plans.prepared import PerQueryPrepared
+
+    p = prepare(g, template)
+    assert isinstance(p, PerQueryPrepared) and p.mode == "fallback"
+    with pytest.raises(PrepareError):
+        prepare(g, template, fallback=False)
+    p.close()
 
 
 def test_auto_prepare_serves_repeated_point_shapes(modern):

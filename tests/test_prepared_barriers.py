@@ -91,11 +91,51 @@ def test_barrier_template_snapshot_roundtrip(gq, tmp_path):
     second.close()
 
 
-def test_union_nested_barrier_still_rejected(gq):
-    from grasper_spark.plans.prepared import PrepareError
+UNION_T = 'g.V().has("name","$RAND").union(out().count(), in().count())'
+
+
+def test_union_nested_barrier_serves_per_query_fallback(gq):
+    """A union+count template (the reference's emu-template composition,
+    driver/worker.hpp:166-205) is outside the grouped-materialization
+    model — explicit prepare() now serves it per-query instead of
+    raising. Differential: seen AND unseen values match direct
+    execution (both branches' 0-row aggregates included)."""
+    from grasper_spark.plans.prepared import PerQueryPrepared
+
+    p = prepare(gq, UNION_T)
+    assert isinstance(p, PerQueryPrepared) and p.mode == "fallback"
+    assert p.key == "name" and p.columns == ["val"]
+    for v in ("marko", "vadas", "lop", "nobody"):  # seen + unseen
+        assert p.rows(v) == _per_query(gq, UNION_T, v), v
+        assert [tuple(r) for r in p.df(v).collect()] == p.rows(v), v
+    # LRU: a repeated value serves the cached driver-local rows
+    assert p.rows("marko") is p.rows("marko")
+    p.close()
+
+
+def test_union_nested_barrier_raise_opt_in(gq):
+    from grasper_spark.plans.prepared import FallbackEligible, PrepareError
 
     with pytest.raises(PrepareError, match="union"):
-        prepare(gq, 'g.V().has("name","$RAND").union(out().count(), in().count())')
+        prepare(gq, UNION_T, fallback=False)
+    # true template errors still raise even with fallback on
+    with pytest.raises(PrepareError, match="marker"):
+        prepare(gq, 'g.V().out().count()')
+    assert issubclass(FallbackEligible, PrepareError)
+
+
+def test_side_effect_template_serves_per_query_fallback(gq):
+    """Global side-effect steps (aggregate/where(without)) execute fine
+    per-query — explicit prepare() serves them in fallback mode too."""
+    from grasper_spark.plans.prepared import PerQueryPrepared
+
+    t = ('g.V().has("label","$RAND").aggregate("x").out("created")'
+         '.where(without("x")).count()')
+    p = prepare(gq, t)
+    assert isinstance(p, PerQueryPrepared)
+    for v in ("person", "software", "ghost"):
+        assert p.rows(v) == _per_query(gq, t, v), v
+    p.close()
 
 
 def test_auto_prepare_serves_topline_count(modern):
