@@ -1239,6 +1239,30 @@ def _q_orders_rollup(spark, sf):
     return a.unionByName(b).unionByName(c)
 
 
+def arms_version() -> dict[str, str]:
+    """Per-entry arms fingerprint: md5 of (the entry's query-function
+    source ⊕ its oracle SQL), 6 hex chars. BENCH_r{N} records it next
+    to each headline timing so a round-over-round comparison can tell
+    "the entry gained an oracle arm" (fingerprint changed — the timing
+    moved because the entry now does more work) from a genuine perf
+    regression (fingerprint stable). r4's doc_line_dedup read as a 45%
+    regression that was actually the new intra-doc arm."""
+    import hashlib
+    import inspect
+
+    osql = oracle_sql()
+    out = {}
+    for name, fn in queries().items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = repr(fn)
+        out[name] = hashlib.md5(
+            (src + osql.get(name, "")).encode()
+        ).hexdigest()[:6]
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: the driver checks at most 50 entries (round-1 evidence: 51
     # entries, exactly the first 50 got CORRECTNESS rows) — keep this

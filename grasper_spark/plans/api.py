@@ -424,7 +424,15 @@ class G:
     #: Spark's scheduler and accepted as inert. Anything else is
     #: rejected like the reference's whitelist (its else-branch help
     #: text lists exactly these keys; `seed` is our extension).
-    WIRED_CONFIG = ("caching", "indexing", "seed", "step_reorder")
+    WIRED_CONFIG = (
+        "caching", "indexing", "seed", "step_reorder",
+        # measured-crossover floor for the index-scan conversion: skip
+        # the posting lookup when it avoids fewer than N scanned rows
+        # (BENCH_FULL "index_crossover": at local[32] the conversion is
+        # a wash under ~2M cached rows — compile+scheduling dominates —
+        # so the reference-parity default is 0 = ratio gate only)
+        "index_scan_min_avoided",
+    )
     ACCEPTED_CONFIG = WIRED_CONFIG + (
         "core_bind", "expert_division", "stealing", "data_size",
     )

@@ -258,6 +258,12 @@ class GremlinCompiler:
         ):
             return steps, None
         element = steps[0].name
+        try:
+            # measured-crossover floor (index_store.eligible docstring):
+            # conversions that avoid too few scanned rows don't pay
+            floor = int(self.config.get("index_scan_min_avoided", 0) or 0)
+        except (TypeError, ValueError):
+            floor = 0
         best: Optional[tuple[int, int, str, Optional[Pred]]] = None
         for i, st in enumerate(steps[1:], start=1):
             if st.name == "has" and len(st.args) >= 1:
@@ -271,7 +277,7 @@ class GremlinCompiler:
                 isinstance(a, (int, float, str)) for a in pred.args
             ):
                 continue  # history-label membership — not an index probe
-            count = self.index_store.eligible(element, key, pred)
+            count = self.index_store.eligible(element, key, pred, min_avoided=floor)
             if count is not None and (best is None or count < best[0]):
                 best = (count, i, key, pred)
         if best is None:
@@ -843,9 +849,23 @@ class GremlinCompiler:
 
     def _step_aggregate(self, s: Stream, name: str) -> Stream:
         # snapshot the stream into store `name`; stream passes through
-        # (/root/reference/expert/barrier_expert.hpp:314-364)
-        self.side_effects[name] = s.df.select(s.val().alias("seval"))
-        return s
+        # (/root/reference/expert/barrier_expert.hpp:314-364).
+        # The snapshot is PERSISTED at the fork: the continuing
+        # traversal and every later where(within/without) anti/semi
+        # join then read ONE materialized relation instead of each
+        # recomputing the prefix, and — once materialized — the store
+        # side carries REAL size stats, so Catalyst/AQE plans the
+        # membership join from actual bytes (small store → broadcast
+        # anti-join, no edge-side exchange) instead of the cached-scan
+        # estimate that made it shuffle the full edge relation at sf1.
+        # Default storage level spills to disk, so an oversized store
+        # degrades instead of OOMing — the reference ships the store to
+        # every worker (same boundedness assumption, worse failure
+        # mode). CacheManager dedups by canonicalized plan, so repeated
+        # compiles of the same query share one cache entry.
+        df = s.df.persist()
+        self.side_effects[name] = df.select(s.val().alias("seval"))
+        return replace(s, df=df)
 
     def _step_cap(self, s: Stream, *names: str) -> Stream:
         # "x:[v1, v2]" per store (/root/reference/expert/barrier_expert.hpp:366-430);

@@ -187,14 +187,28 @@ class IndexStore:
         )
         return int(row[0][0])
 
-    def eligible(self, element: str, key: str, pred: Pred | None) -> int | None:
+    def eligible(
+        self, element: str, key: str, pred: Pred | None, min_avoided: int = 0
+    ) -> int | None:
         """Return the match count if the scan conversion pays off
-        (count < ratio * total), else None."""
+        (count < ratio * total — the reference's gate,
+        /root/reference/core/index_store.hpp:17), else None.
+
+        ``min_avoided`` is the MEASURED-crossover floor (SetConfig
+        'index_scan_min_avoided', default 0 = reference parity): when
+        the conversion would avoid scanning fewer than this many rows
+        (total - count), the fixed cost of routing through the posting
+        relation outweighs the avoided scan — measured at local[32]
+        (BENCH_FULL "index_crossover") the two paths are within noise
+        up to ~2M cached rows, so small relations gain nothing from
+        converting and a deployment can floor it out."""
         if not self.has(element, key):
             return None
         idx = self._m[(element, key)]
         count = self.count_for_pred(element, key, pred)
         if count >= idx.total * RATIO:
+            return None
+        if min_avoided > 0 and (idx.total - count) < min_avoided:
             return None
         return count
 

@@ -126,6 +126,32 @@ def test_plan_cache_graph_generation_token(spark):
     assert set(gg.E().values("weight").to_list()) == {2.0}
 
 
+# ---------------------------------------------------------------------------
+# 3. measured-crossover floor on the index-scan conversion
+# ---------------------------------------------------------------------------
+
+
+def test_index_scan_conversion_respects_measured_floor(spark):
+    """SetConfig('index_scan_min_avoided', N): a conversion that would
+    avoid fewer than N scanned rows keeps the plain scan (the measured
+    local[32] crossover, BENCH_FULL index_crossover — the posting route
+    is a wash below ~2M cached rows); 0 restores reference parity
+    (ratio gate only, core/index_store.hpp:17)."""
+    gg = G(_mini_graph(spark, 4.0))
+    assert gg.query("BuildIndex(V, 'name')").collect()[0][0] == "Index is enabled"
+    t = gg.V().has("name", "marko").values("age")
+    c, _ = t._compile()
+    assert c.index_hits == 1  # default floor 0: reference-parity convert
+    # 6 vertices, 1 match → avoids 5 rows; floor 100 vetoes the convert
+    gg.query("SetConfig('index_scan_min_avoided', '100')")
+    c2, s2 = gg.V().has("name", "marko").values("age")._compile()
+    assert c2.index_hits == 0
+    assert [r[0] for r in c2.result_df(s2).collect()] == [29]  # still correct
+    gg.query("SetConfig('index_scan_min_avoided', '0')")
+    c3, _ = gg.V().has("name", "marko").values("age")._compile()
+    assert c3.index_hits == 1
+
+
 def test_plan_cache_no_install_after_midcompile_invalidation(spark, monkeypatch):
     """An invalidation (SetConfig/BuildIndex/refresh) landing while a
     traversal is compiling must prevent the stale plan from being
