@@ -35,11 +35,21 @@ def test_prepared_rows_class_gate(g):
 
 
 def test_nested_union_barrier_rejected(g):
+    # round 5: these shapes SERVE per-query by default (PerQueryPrepared)
+    # — the grouped-materialization rejection is behind fallback=False
     with pytest.raises(PrepareError, match="union"):
-        prepare(g, 'g.V().has("age",$RAND).union(out("knows").count())')
+        prepare(
+            g, 'g.V().has("age",$RAND).union(out("knows").count())',
+            fallback=False,
+        )
     # nested coin inside a branch is rejected too (deep _UNSUPPORTED)
     with pytest.raises(PrepareError, match="not preparable"):
-        prepare(g, 'g.V().has("age",$RAND).and(out().coin(0.5))')
+        prepare(g, 'g.V().has("age",$RAND).and(out().coin(0.5))', fallback=False)
+    # the default returns the fallback tier with per-query answers
+    p = prepare(g, 'g.V().has("age",$RAND).union(out("knows").count())')
+    assert p.mode == "fallback"
+    assert p.rows(29) == [(2,)]
+    p.close()
 
 
 def test_auto_prepare_skips_nested_union_barrier(modern):
