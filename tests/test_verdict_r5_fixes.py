@@ -127,6 +127,48 @@ def test_plan_cache_graph_generation_token(spark):
 
 
 # ---------------------------------------------------------------------------
+# 2b. warm-start serving tier: driver-map sidecar
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_sidecar_restores_local_tier_without_jobs(
+    spark, tmp_path, monkeypatch
+):
+    """A warm session restores the local serving map (and the barrier
+    empty-rows synthesis) from the pickled sidecar — no count, no
+    Arrow export, no empty-stream job. This is what takes the sf1 emu
+    warm-up from ~14.5 s to ~1 s (BENCH sf1 emu warmup_warm_s)."""
+    import os
+
+    from grasper_spark.plans.prepared import PreparedQuery, prepare
+
+    gg = G(_mini_graph(spark, 5.0))
+    t = 'g.V().has("name","$RAND").out("knows").count()'
+    first = prepare(gg, t, cache_dir=str(tmp_path))
+    snap_dirs = [d for d in os.listdir(tmp_path) if d.startswith("pq_")]
+    assert len(snap_dirs) == 1
+    assert os.path.exists(tmp_path / snap_dirs[0] / "local.pkl")
+    # the warm load must touch NEITHER the map build nor the
+    # empty-stream job
+    def _boom(self, *a, **k):
+        raise AssertionError("warm load ran a cold-path builder")
+
+    monkeypatch.setattr(PreparedQuery, "_collect_local_map", _boom)
+    monkeypatch.setattr(PreparedQuery, "_empty_result_rows", _boom)
+    second = prepare(gg, t, cache_dir=str(tmp_path))
+    monkeypatch.undo()
+    assert second.mode == "local"
+    assert second._empty_rows == [(0,)]
+    for v in ("marko", "vadas", "nobody"):
+        assert second.rows(v) == first.rows(v), v
+    # a caller demanding a smaller local tier than the sidecar recorded
+    # falls back to the recompute path (sidecar ignored)
+    third = prepare(gg, t, cache_dir=str(tmp_path), max_local_rows=0)
+    assert third.mode == "relation"
+    first.close(); second.close(); third.close()
+
+
+# ---------------------------------------------------------------------------
 # 3. measured-crossover floor on the index-scan conversion
 # ---------------------------------------------------------------------------
 
