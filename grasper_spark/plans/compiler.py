@@ -57,6 +57,42 @@ ORD = "_ord_"
 
 _uid = itertools.count()
 
+#: side-effect store cache: semantic-plan-keyed LRU of the persisted
+#: stream forks created by aggregate()/store() (see _step_aggregate).
+#: Bounded so a long-lived session (emu, console) compiling many
+#: distinct side-effect queries cannot accumulate cached relations
+#: without limit; an evicted store is unpersisted and simply recomputes
+#: if a still-live lazy plan references it.
+_STORE_LRU: "dict[int, DataFrame]" = {}
+_STORE_LRU_MAX = 64
+import threading as _threading_mod
+
+_STORE_LRU_LOCK = _threading_mod.Lock()
+
+
+def _persisted_store(df: DataFrame) -> DataFrame:
+    try:
+        key = df.semanticHash()
+    except Exception:
+        return df.persist()  # no canonical key — persist unmanaged
+    with _STORE_LRU_LOCK:
+        hit = _STORE_LRU.pop(key, None)
+        if hit is not None:
+            _STORE_LRU[key] = hit  # re-insert = move to MRU end
+            return hit
+    p = df.persist()
+    evicted = []
+    with _STORE_LRU_LOCK:
+        _STORE_LRU[key] = p
+        while len(_STORE_LRU) > _STORE_LRU_MAX:
+            evicted.append(_STORE_LRU.pop(next(iter(_STORE_LRU))))
+    for old in evicted:  # py4j calls outside the lock
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return p
+
 
 def eid_col() -> Column:
     """The synthetic edge id: src<<32 | dst — the reference's eid_t
@@ -861,9 +897,13 @@ class GremlinCompiler:
         # Default storage level spills to disk, so an oversized store
         # degrades instead of OOMing — the reference ships the store to
         # every worker (same boundedness assumption, worse failure
-        # mode). CacheManager dedups by canonicalized plan, so repeated
-        # compiles of the same query share one cache entry.
-        df = s.df.persist()
+        # mode). The module-level LRU dedups repeated compiles (same
+        # semantic plan → same cached relation, no "already cached"
+        # re-registration) and BOUNDS the registry: a long-lived
+        # session compiling many distinct side-effect queries evicts +
+        # unpersists the coldest store instead of accumulating cached
+        # relations forever (evicted stores still compute, uncached).
+        df = _persisted_store(s.df)
         self.side_effects[name] = df.select(s.val().alias("seval"))
         return replace(s, df=df)
 

