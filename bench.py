@@ -102,7 +102,8 @@ def _ensure_scaled(spark, sf_dir: str, factor: int) -> str:
         .withColumn("n_chars", F.length("text"))
         .drop("_rep")
     )
-    scaled.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    # 16 files: single-file parquet scans as 1-2 tasks (see tools/gen_sf.write)
+    scaled.repartition(16).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
     # graph side: replicate the FACT tables (orders, lineitem) with
     # shifted order keys — OFF_ORDER is the top vid band, so factor×
@@ -114,6 +115,7 @@ def _ensure_scaled(spark, sf_dir: str, factor: int) -> str:
         orders.crossJoin(reps)
         .withColumn("o_orderkey", F.col("o_orderkey") * factor + F.col("_rep"))
         .drop("_rep")
+        .repartition(16)
         .write.mode("overwrite")
         .parquet(f"{out}/orders.parquet")
     )
@@ -122,6 +124,7 @@ def _ensure_scaled(spark, sf_dir: str, factor: int) -> str:
         lineitem.crossJoin(reps)
         .withColumn("l_orderkey", F.col("l_orderkey") * factor + F.col("_rep"))
         .drop("_rep")
+        .repartition(16)
         .write.mode("overwrite")
         .parquet(f"{out}/lineitem.parquet")
     )

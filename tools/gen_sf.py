@@ -80,7 +80,14 @@ def generate_sf(spark, out_dir: str, sf: float = 1.0,
     n_ev = int(1_000_000 * sf)
 
     def write(df, name):
-        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+        # 16 output files per table: a single snappy parquet file scans
+        # as 1-2 tasks no matter how small maxPartitionBytes is (one
+        # row group — observed doc_line_dedup at sf1 running its whole
+        # text segmentation in 2 tasks on 32 cores). Real 100 TB tables
+        # are many-file by construction; the generator should match.
+        df.repartition(16).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
 
     # fixed-size dimensions copy through (5 regions / 25 nations at
     # every TPC-H scale)
