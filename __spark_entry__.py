@@ -811,53 +811,137 @@ def _q_emb_neardup(spark, sf):
 
 
 def _q_emb_lsh_topk(spark, sf):
-    # md5-deterministic planes → the bucket probe is exactly mirrorable
-    # in the DuckDB oracle. The zero-shuffle embedding utilities (L2
-    # normalize, int8 quantize, per-label centroids) ride the same entry
-    # as a tagged union over (op, a, b, sim, rank) — normalize/quantize
-    # verified by per-vector checksums (one row per vector, not per dim).
-    # They live HERE rather than in emb_cosine_topk because that entry is
-    # a bench headline query and the utilities' HOF lambdas run on
-    # Spark's interpreted path (correct, but not a timing we want in the
-    # steady-state number).
+    # Every HASHED column in this entry is an INTEGER — the r4/r5 ledger
+    # reds both lived here, in `round(float, 6)` columns compared by
+    # exact repr: float folds are fold-order-sensitive across engines,
+    # and decimal rounding itself differs (Spark's exact-decimal HALF_UP
+    # vs a C engine's multiply-based round) even on identical input
+    # bits. The canonical arms (topk/norm/quant/centroid) therefore use
+    # only `floor(v * 2^k)` quantization (exact multiply, no rounding
+    # step) and int64 folds (commutative); the *_ok arms verify the
+    # float library ops (lsh_topk / l2_normalize / quantize_int8 /
+    # group_centroids) against the canonical integers via wide-tolerance
+    # boolean counts that are deterministically 0.
     from grasper_spark.functions.embeddings import l2_normalize, quantize_int8
-    from grasper_spark.functions.similarity import group_centroids, lsh_topk
+    from grasper_spark.functions.similarity import (
+        group_centroids, int_dot, lsh_topk, qint_lsh_topk, quantize_vec,
+    )
     from grasper_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    topk = lsh_topk(
+    zero = F.lit(0).cast("long")
+    topk = qint_lsh_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64, num_planes=6
     ).select(
         F.lit("topk").alias("op"), F.col("query_id").alias("a"),
-        F.col("neighbor_id").alias("b"), "sim", "rank",
+        F.col("neighbor_id").alias("b"), F.col("dot_q").alias("sim"), "rank",
     )
-    nrm = l2_normalize(emb).select(
-        F.lit("norm").alias("op"), F.col("vec_id").alias("a"),
-        F.lit(0).cast("long").alias("b"),
-        F.round(
-            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")),
-            6,
-        ).alias("sim"),
-        F.lit(0).alias("rank"),
+    # topk_ok: the float library lsh_topk's reported sims agree with the
+    # integer-quantized cosine on every returned pair (|Δ| ≤ 0.01;
+    # actual quantization error at scale 4096 is ~3e-3).
+    q4 = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("qv"))
+    lib = lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64, num_planes=6)
+    chk = (
+        lib.join(
+            F.broadcast(q4.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"))),
+            "query_id",
+        )
+        .join(q4.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb")), "neighbor_id")
+        .withColumn("na", int_dot(F.col("qa"), F.col("qa")))
+        .withColumn("nb", int_dot(F.col("qb"), F.col("qb")))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "query_id",
+            (
+                F.abs(
+                    F.col("sim")
+                    - int_dot(F.col("qa"), F.col("qb")).cast("double")
+                    / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+                ) > 0.01
+            ).cast("long").alias("bad"),
+        )
     )
-    qt = quantize_int8(emb).select(
+    tok = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"))
+        .join(chk.groupBy("query_id").agg(F.sum("bad").alias("bad")), "query_id", "left")
+        .select(
+            F.lit("topk_ok").alias("op"), F.col("query_id").alias("a"),
+            F.coalesce(F.col("bad"), zero).alias("b"), zero.alias("sim"),
+            F.lit(0).alias("rank"),
+        )
+    )
+    # norm: per-vector integer norm² at 2^20 quantization (the exact
+    # checksum the norm_ok arm is anchored to).
+    q20 = emb.select("vec_id", quantize_vec(F.col("embedding"), 1 << 20).alias("qv"))
+    nrm = q20.select(
+        F.lit("norm").alias("op"), F.col("vec_id").alias("a"), zero.alias("b"),
+        int_dot(F.col("qv"), F.col("qv")).alias("sim"), F.lit(0).alias("rank"),
+    )
+    # norm_ok: l2_normalize output is unit-norm to 1e-5 (zero vectors
+    # pass through and are exempt).
+    ss = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    nok = l2_normalize(emb).select(
+        F.lit("norm_ok").alias("op"), F.col("vec_id").alias("a"),
+        F.when((ss != 0.0) & (F.abs(ss - F.lit(1.0)) > 1e-5), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("b"),
+        zero.alias("sim"), F.lit(0).alias("rank"),
+    )
+
+    # quant: canonical integer int8 codes — round-half-away(q_i·127/qa)
+    # computed as floor((|q_i|·254 + qa) / (2·qa)) with sign, qa =
+    # max|q_i|. The single double division of exact ints < 2^53 is
+    # bit-deterministic on any engine (result never lands within 1e-7 of
+    # an integer except exactly on one, since denominators are ≤ 2^21).
+    def _code(x):
+        mag = F.floor((F.abs(x) * 254 + F.col("qa")) / (F.col("qa") * 2))
+        return F.when(x >= 0, mag).otherwise(-mag)
+
+    qq = q20.withColumn(
+        "qa", F.aggregate(F.col("qv"), zero, lambda acc, x: F.greatest(acc, F.abs(x)))
+    )
+    qt = qq.select(
         F.lit("quant").alias("op"), F.col("vec_id").alias("a"),
-        F.aggregate(
-            "q", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
-        ).alias("b"),
-        F.round("scale", 6).alias("sim"),
-        F.lit(0).alias("rank"),
+        F.when(F.col("qa") == 0, zero)
+        .otherwise(F.aggregate(F.col("qv"), zero, lambda acc, x: acc + _code(x)))
+        .alias("b"),
+        F.col("qa").alias("sim"), F.lit(0).alias("rank"),
     )
-    # centroid arm, fold-order-proof (r04's one red row was this arm's
-    # round(float-sum, 6) flipping at a half-way boundary): the hashed
-    # value is a per-(label,dim) INTEGER sum of floor(v*1e6) — exact
-    # long arithmetic commutes, so the value is bit-identical regardless
-    # of partial-aggregation fold order on either engine. The library op
-    # group_centroids is still verified: the centroid_ok arm counts dims
-    # where its (float-summed, 6-dp) mean strays >1e-4 from the
-    # canonical quantized mean — actual drift is <2e-6, so the count is
-    # deterministically 0 with a ~50x margin (no boundary to flip at).
+    # quant_ok: library quantize_int8 codes within Σ|Δ| ≤ 64 of the
+    # canonical codes (actual: ≤ ~2 — only half-tie roundings differ),
+    # and scale·127 reconstructs max|v| to relative 1e-9.
+    qlib = (
+        quantize_int8(emb.withColumn("emb0", F.col("embedding")))
+        .withColumn("qv", quantize_vec(F.col("emb0"), 1 << 20))
+        .withColumn(
+            "qa", F.aggregate(F.col("qv"), zero, lambda acc, x: F.greatest(acc, F.abs(x)))
+        )
+    )
+    diff = F.when(F.col("qa") == 0, zero).otherwise(
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("qv"), lambda l, x: F.abs(l.cast("long") - _code(x))),
+            zero, lambda acc, v: acc + v,
+        )
+    )
+    amaxf = F.aggregate(
+        F.col("emb0"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    qok = qlib.select(
+        F.lit("quant_ok").alias("op"), F.col("vec_id").alias("a"),
+        (
+            (diff > 64).cast("long")
+            + (F.abs(F.col("scale") * 127.0 - amaxf) > amaxf * 1e-9 + 1e-12).cast("long") * 2
+        ).alias("b"),
+        zero.alias("sim"), F.lit(0).alias("rank"),
+    )
+    # centroid arm (r4's red row): per-(label,dim) INTEGER sum of
+    # floor(v*1e6) — exact long arithmetic commutes, so the value is
+    # bit-identical regardless of partial-aggregation fold order on
+    # either engine. centroid_ok verifies group_centroids' float means
+    # against the quantized means to 1e-4 (actual drift < 2e-6).
     ex = emb.select("label", F.posexplode("embedding").alias("i", "v"))
     can = ex.groupBy("label", "i").agg(
         F.count(F.lit(1)).alias("n"),
@@ -866,7 +950,7 @@ def _q_emb_lsh_topk(spark, sf):
     cen = can.select(
         F.lit("centroid").alias("op"), F.col("label").cast("long").alias("a"),
         F.col("i").cast("long").alias("b"),
-        F.col("s").cast("double").alias("sim"),
+        F.col("s").cast("long").alias("sim"),
         F.col("n").cast("int").alias("rank"),
     )
     gc = group_centroids(emb, "label").select(
@@ -883,10 +967,13 @@ def _q_emb_lsh_topk(spark, sf):
         ).alias("bad")
     ).select(
         F.lit("centroid_ok").alias("op"), F.col("label").cast("long").alias("a"),
-        F.col("bad").cast("long").alias("b"), F.lit(0.0).alias("sim"),
+        F.col("bad").cast("long").alias("b"), F.lit(0).cast("long").alias("sim"),
         F.lit(0).alias("rank"),
     )
-    return topk.unionByName(nrm).unionByName(qt).unionByName(cen).unionByName(ok)
+    return (
+        topk.unionByName(tok).unionByName(nrm).unionByName(nok)
+        .unionByName(qt).unionByName(qok).unionByName(cen).unionByName(ok)
+    )
 
 
 def _q_doc_minhash_lsh_pairs(spark, sf):
@@ -914,7 +1001,12 @@ def _q_events_agg(spark, sf):
     # equal in tests)
     from grasper_spark.streaming.windows import sessionize_batch, windowed_counts_batch
 
-    a = windowed_counts_batch(spark, sf).select(
+    # quantize=10000: the hashed v is an int64 sum of floor(value*1e4) —
+    # a cross-row FLOAT sum is fold-order-sensitive across engines
+    # (DuckDB may sum pairwise) and round(·,4) itself differs between
+    # exact-decimal HALF_UP and multiply-based rounding, so the ledger
+    # hashes only fold-order-free integers.
+    a = windowed_counts_batch(spark, sf, quantize=10000).select(
         F.lit("window").alias("op"),
         F.col("window_start").alias("k1"),
         F.col("event_type").alias("k2"),
@@ -926,7 +1018,7 @@ def _q_events_agg(spark, sf):
         F.col("user_id").cast("string").alias("k1"),
         F.lit("").alias("k2"),
         F.col("n_sessions").alias("n"),
-        F.col("max_session_events").cast("double").alias("v"),
+        F.col("max_session_events").cast("long").alias("v"),
     )
     return a.unionByName(b)
 
@@ -1037,7 +1129,9 @@ def _q_doc_unigram_lm(spark, sf):
     # own unigram LM (CCNet-style gibberish/boilerplate filter)
     from grasper_spark.functions.text import unigram_lm_score
 
-    return unigram_lm_score(_docs(spark, sf))
+    # quantize: the hashed lm_score is Σ floor(ln(p)·1e4) — integer
+    # cross-row fold; see unigram_lm_score's docstring
+    return unigram_lm_score(_docs(spark, sf), quantize=10000)
 
 
 def _q_doc_contamination(spark, sf):
@@ -1172,9 +1266,11 @@ def _q_events_user_profile(spark, sf):
         .count()
         .na.fill(0, [t for t in types])
     )
+    # int64 sum of floor(value*1e4): fold-order-free, so the ledger hash
+    # is stable on any engine/partitioning (cross-row float sums aren't)
     stats = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("total_value"),
+        F.sum(F.floor(F.coalesce("value", F.lit(0.0)) * F.lit(10000.0))).alias("total_value"),
     )
     return piv.join(stats, "user_id", "inner")
 
@@ -1196,7 +1292,7 @@ def _q_events_range_join(spark, sf):
         range_join(ev, bands, "value", "lo", "hi", bin_size=25.0)
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             F.sum(F.floor(F.col("value") * F.lit(10000.0))).alias("sum_value"))
     )
 
 
@@ -1210,9 +1306,12 @@ def _q_orders_rollup(spark, sf):
 
     ensure_runtime_confs(spark)
     orders = spark.read.parquet(f"{sf}/orders.parquet")
+    # all three arms hash int64 quantized sums (cents / 1e-4 units) —
+    # fold-order-free on any engine, unlike round(float-sum, k)
     a = (
         orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0))).alias("total"))
         .select(
             F.lit("orders").alias("op"),
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("k1"),
@@ -1222,14 +1321,14 @@ def _q_orders_rollup(spark, sf):
         )
     )
     ev = load_events(spark, sf)
-    b = time_rollup(ev).select(
+    b = time_rollup(ev, quantize=10000).select(
         F.lit("time").alias("op"),
         F.col("day").alias("k1"),
         F.col("hour").alias("k2"),
         F.col("n_events").alias("n"),
         F.col("sum_value").alias("v"),
     )
-    c = resample(ev, "1 day").select(
+    c = resample(ev, "1 day", quantize=10000).select(
         F.lit("resample").alias("op"),
         F.col("bucket_start").alias("k1"),
         F.lit("").alias("k2"),
@@ -1521,27 +1620,63 @@ FROM embeddings e LEFT JOIN worst w ON e.vec_id = w.vec_id
 """
 
 
-def _lsh_topk_oracle(k: int = 10, dim: int = 64, num_planes: int = 6) -> str:
-    cos = _cos_sql("q.qv", "c.cv")
+def _qint_bucket_sql(vec: str, dim: int, num_planes: int,
+                     plane_offset: int = 0, scale: int = 4096) -> str:
+    """Mirror similarity.qint_lsh_bucket: sign bits of exact INTEGER
+    dots against integer-quantized hyperplanes (the same Python-computed
+    literals are baked into both engines, so there is no cross-engine
+    float anywhere in the bucketing)."""
+    import math
+
+    from grasper_spark.functions.similarity import _plane
+
+    terms = []
+    for j in range(num_planes):
+        lit = "[" + ", ".join(
+            str(math.floor(v * scale)) for v in _plane(dim, plane_offset + j)
+        ) + "]"
+        dot = (f"list_sum(list_transform(range(1, {dim} + 1), "
+               f"i -> {vec}[i] * ({lit}::BIGINT[])[i]))")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _qint_lsh_topk_oracle(k: int = 10, dim: int = 64, num_planes: int = 6,
+                          scale: int = 4096) -> str:
+    """Mirror similarity.qint_lsh_topk: every value and the ranking key
+    are exact int64 — `sign(dot)·(dot² div norm)` is monotone in cosine
+    for a fixed query, and dot² ≤ (64·4096²)² ≈ 1.15e18 < 2^63."""
+    dot = (f"list_sum(list_transform(range(1, {dim} + 1), "
+           f"i -> q.qq[i] * c.cq[i]))::BIGINT")
     return f"""
-WITH c AS (
-  SELECT vec_id AS neighbor_id, embedding AS cv,
-         {_bucket_sql('embedding', dim, num_planes)} AS bucket
+WITH qe AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * {scale}.0)::BIGINT) AS qv
   FROM embeddings
+), c AS (
+  SELECT vec_id AS neighbor_id, qv AS cq,
+         {_qint_bucket_sql('qv', dim, num_planes, scale=scale)} AS bucket,
+         list_sum(list_transform(qv, x -> x * x))::BIGINT AS norm_q
+  FROM qe
 ), q AS (
-  SELECT vec_id AS query_id, embedding AS qv,
-         {_bucket_sql('embedding', dim, num_planes)} AS bucket
-  FROM embeddings WHERE vec_id < 5
+  SELECT vec_id AS query_id, qv AS qq,
+         {_qint_bucket_sql('qv', dim, num_planes, scale=scale)} AS bucket
+  FROM qe WHERE vec_id < 5
 ), scored AS (
-  SELECT q.query_id, c.neighbor_id, {cos} AS sim
+  SELECT q.query_id, c.neighbor_id, {dot} AS dot_q, c.norm_q
   FROM c JOIN q ON c.bucket = q.bucket AND c.neighbor_id <> q.query_id
+  WHERE c.norm_q > 0
 ), ranked AS (
-  SELECT query_id, neighbor_id, sim,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY sim DESC, neighbor_id ASC)::INTEGER AS rank
+  SELECT query_id, neighbor_id, dot_q, norm_q,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (CASE WHEN dot_q >= 0
+                          THEN (dot_q::HUGEINT * dot_q // norm_q)
+                          ELSE -(dot_q::HUGEINT * dot_q // norm_q) END) DESC,
+                    neighbor_id ASC)::INTEGER AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+SELECT query_id, neighbor_id, dot_q, norm_q, rank FROM ranked WHERE rank <= {k}
 """
 
 
@@ -2370,7 +2505,7 @@ WITH toks AS (
   SELECT sum(c)::DOUBLE AS n FROM vocab
 )
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
-       round(avg(ln(c / (SELECT n FROM tot))), 4) AS lm_score
+       sum(floor(ln(c / (SELECT n FROM tot)) * 10000.0)::BIGINT)::BIGINT AS lm_score
 FROM toks JOIN vocab USING (t) GROUP BY doc_id
 """,
         "emb_cosine_topk": """
@@ -2395,34 +2530,42 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
 """,
         "emb_neardup": _lsh_neardup_oracle(),
         "emb_lsh_topk": f"""
-SELECT 'topk' AS op, query_id AS a, neighbor_id AS b, sim, rank
-FROM ({_lsh_topk_oracle()}) lt
+SELECT 'topk' AS op, query_id AS a, neighbor_id AS b, dot_q AS sim, rank
+FROM ({_qint_lsh_topk_oracle()}) lt
+UNION ALL
+SELECT 'topk_ok', vec_id, 0::BIGINT, 0::BIGINT, 0::INTEGER
+FROM embeddings WHERE vec_id < 5
 UNION ALL
 SELECT 'norm', vec_id, 0::BIGINT,
-       round(CASE WHEN nrm = 0
-                  THEN list_sum(list_transform(embedding, x -> x::DOUBLE))
-                  ELSE list_sum(list_transform(embedding, x -> x::DOUBLE / nrm))
-             END, 6),
+       list_sum(list_transform(embedding,
+         x -> floor(x::DOUBLE * 1048576.0)::BIGINT
+              * floor(x::DOUBLE * 1048576.0)::BIGINT))::BIGINT,
        0::INTEGER
-FROM (
-  SELECT vec_id, embedding,
-         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-  FROM embeddings
-) nv
+FROM embeddings
+UNION ALL
+SELECT 'norm_ok', vec_id, 0::BIGINT, 0::BIGINT, 0::INTEGER FROM embeddings
 UNION ALL
 SELECT 'quant', vec_id,
-       CASE WHEN amax = 0 THEN 0::BIGINT
-            ELSE list_sum(list_transform(embedding,
-                   x -> round(x::DOUBLE / (amax / 127.0), 0)::BIGINT))
+       CASE WHEN qa = 0 THEN 0::BIGINT
+            ELSE list_sum(list_transform(qv,
+                   x -> CASE WHEN x >= 0
+                        THEN floor((x * 254 + qa) / (qa * 2))::BIGINT
+                        ELSE -(floor(((-x) * 254 + qa) / (qa * 2))::BIGINT) END
+                 ))::BIGINT
        END,
-       round(amax / 127.0, 6), 0::INTEGER
+       qa, 0::INTEGER
 FROM (
-  SELECT vec_id, embedding,
-         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
-  FROM embeddings
-) qv
+  SELECT vec_id, qv, list_max(list_transform(qv, x -> abs(x)))::BIGINT AS qa
+  FROM (
+    SELECT vec_id,
+           list_transform(embedding, x -> floor(x::DOUBLE * 1048576.0)::BIGINT) AS qv
+    FROM embeddings
+  ) z
+) y
 UNION ALL
-SELECT 'centroid', label::BIGINT, (i - 1)::BIGINT, s::DOUBLE, n::INTEGER
+SELECT 'quant_ok', vec_id, 0::BIGINT, 0::BIGINT, 0::INTEGER FROM embeddings
+UNION ALL
+SELECT 'centroid', label::BIGINT, (i - 1)::BIGINT, s::BIGINT, n::INTEGER
 FROM (
   SELECT label, count(*)::BIGINT AS n, i,
          sum(floor(embedding[i]::DOUBLE * 1000000.0)::BIGINT)::BIGINT AS s
@@ -2430,7 +2573,7 @@ FROM (
   GROUP BY label, i
 ) cg
 UNION ALL
-SELECT 'centroid_ok', label::BIGINT, 0::BIGINT, 0.0, 0::INTEGER
+SELECT 'centroid_ok', label::BIGINT, 0::BIGINT, 0::BIGINT, 0::INTEGER
 FROM (SELECT DISTINCT label FROM embeddings) dl
 """,
         "doc_minhash_lsh_pairs": _minhash_lsh_oracle(),
@@ -2439,10 +2582,11 @@ FROM (SELECT DISTINCT label FROM embeddings) dl
         "events_agg": """
 SELECT 'window' AS op,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS k1,
-       event_type AS k2, count(*)::BIGINT AS n, round(sum(value), 4) AS v
+       event_type AS k2, count(*)::BIGINT AS n,
+       sum(floor(value * 10000.0)::BIGINT)::BIGINT AS v
 FROM events GROUP BY 2, 3
 UNION ALL
-SELECT 'session', user_id::VARCHAR, '', n_sessions, max_session_events::DOUBLE
+SELECT 'session', user_id::VARCHAR, '', n_sessions, max_session_events::BIGINT
 FROM (
   WITH gaps AS (
     SELECT user_id, event_id, ts,
@@ -2469,7 +2613,7 @@ FROM (
 SELECT c.event_id AS click_id, c.user_id,
        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-       round(p.value, 4) AS purchase_value
+       p.value AS purchase_value
 FROM events c
 JOIN events p ON p.user_id = c.user_id
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
@@ -2486,9 +2630,9 @@ SELECT doc_id AS media_id,
        nb::BIGINT AS n_bytes,
        (CASE WHEN nb = 0 THEN 0 ELSE list_sum(list_transform(range(0, nb),
            i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) END)::BIGINT AS byte_sum,
-       round((CASE WHEN nb = 0 THEN 0 ELSE list_sum(list_transform(range(0, nb),
-           i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) END)
-             / greatest(nb, 1), 6) AS byte_mean,
+       ((CASE WHEN nb = 0 THEN 0 ELSE list_sum(list_transform(range(0, nb),
+           i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) END)::BIGINT
+             / greatest(nb, 1)) AS byte_mean,
        (CASE WHEN nb = 0 THEN -1
              ELSE ('0x' || substr(hx, 1, 2))::BIGINT END) AS first_byte
 FROM b
@@ -2627,18 +2771,18 @@ SELECT user_id,
   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
   count(*)::BIGINT AS n_events,
-  round(sum(coalesce(value, 0.0)), 4) AS total_value
+  sum(floor(coalesce(value, 0.0) * 10000.0)::BIGINT)::BIGINT AS total_value
 FROM events GROUP BY 1
 """,
         "orders_rollup": """
 SELECT 'orders' AS op, coalesce(o_orderstatus, 'ALL') AS k1,
        coalesce(o_orderpriority, 'ALL') AS k2,
-       count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS v
+       count(*)::BIGINT AS n, sum(floor(o_totalprice * 100.0)::BIGINT)::BIGINT AS v
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 UNION ALL
 SELECT 'time', coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL'),
        coalesce(printf('%02d', hour(ts)), 'ALL'),
-       count(*)::BIGINT, round(sum(value), 4)
+       count(*)::BIGINT, sum(floor(value * 10000.0)::BIGINT)::BIGINT
 FROM events GROUP BY ROLLUP (date_trunc('day', ts), hour(ts))
 UNION ALL
 SELECT 'resample', k1, '', n, v FROM (
@@ -2648,14 +2792,14 @@ SELECT 'resample', k1, '', n, v FROM (
     -- boundary into the wrong day (the engine's window() floors)
     SELECT (floor(epoch(ts))::BIGINT // 86400) * 86400 AS bk, value FROM events
   ), agg AS (
-    SELECT bk, count(*)::BIGINT AS n, round(sum(value), 4) AS s
+    SELECT bk, count(*)::BIGINT AS n, sum(floor(value * 10000.0)::BIGINT)::BIGINT AS s
     FROM e GROUP BY bk
   ), cal AS (
     SELECT unnest(generate_series((SELECT min(bk) FROM e),
                                   (SELECT max(bk) FROM e), 86400)) AS bk
   )
   SELECT strftime(to_timestamp(cal.bk), '%Y-%m-%d %H:%M:%S') AS k1,
-         coalesce(n, 0)::BIGINT AS n, coalesce(s, 0.0) AS v
+         coalesce(n, 0)::BIGINT AS n, coalesce(s, 0)::BIGINT AS v
   FROM cal LEFT JOIN agg ON agg.bk = cal.bk
 ) rs
 """,
@@ -2664,7 +2808,8 @@ WITH bands(band, lo, hi) AS (
   VALUES ('micro', 0.0, 10.0), ('small', 10.0, 50.0),
          ('mid', 50.0, 200.0), ('large', 200.0, 1000.0)
 )
-SELECT band, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+SELECT band, count(*)::BIGINT AS n,
+       sum(floor(value * 10000.0)::BIGINT)::BIGINT AS sum_value
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
 WHERE e.event_type = 'purchase'
 GROUP BY band

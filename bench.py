@@ -168,6 +168,11 @@ def _index_crossover(spark, entry, dirs) -> dict:
             ts.sort()
             return round(ts[len(ts) // 2] * 1000, 1)
 
+        # save the handle's prior posture — later bench sections reuse
+        # this G, so the restore must put back what was there, not
+        # hardcode a posture (a forced indexing=true would change any
+        # subsequently-built index's conversion behavior)
+        prior = {k: g._config.get(k) for k in ("caching", "indexing")}
         g.query("SetConfig('caching', 'false')")  # per-query, no serving tier
         g.query("SetConfig('indexing', 'false')")
         g.query(tmpl.format(vals[0])).collect()  # compile warm-up
@@ -184,10 +189,11 @@ def _index_crossover(spark, entry, dirs) -> dict:
             "index_p50_ms": idx_ms,
             "build_ms": build_ms,
         }
-        # restore the shared handle's serving posture and drop the
+        # restore the shared handle's prior posture and drop the
         # measurement index — later sections reuse this G
         g._index_store.drop("V", "name")
-        g.query("SetConfig('caching', 'true')")
+        for k, v in prior.items():
+            g.query(f"SetConfig('{k}', '{'true' if v is None else v}')")
     return out
 
 
@@ -322,18 +328,38 @@ def main() -> None:
                 # 0.85), and the sf0.1 base they are ratioed against is
                 # itself a best-of-5 steady state
                 passes = 2 if name.startswith("doc_") else 4
-                ts, n = None, 0
+                per: list = []
+                n = 0
                 for _ in range(passes):
                     t0 = time.perf_counter()
                     n = qs[name](spark, sf1_dir).count()
-                    dt = time.perf_counter() - t0
-                    ts = dt if ts is None else min(ts, dt)
-                ts = round(ts, 3)
+                    per.append(round(time.perf_counter() - t0, 3))
+                # stall-detecting retries: the host injects random
+                # multi-second I/O stalls (r5's record kept
+                # doc_neardup_jaccard at 21.0s / ratio 9.0 while the
+                # same session measured 2.4s — every best-of-2 pass
+                # stalled). If the best pass is still >3x the 10x-data
+                # expectation of the sf0.1 base, presume a stall and
+                # run up to 3 extra passes so a clean one can land;
+                # EVERY pass is recorded ("passes") so a persistent
+                # stall is visible in the record instead of silently
+                # shaping the ratio.
+                extra = 0
+                while tb and min(per) > 3 * tb and extra < 3:
+                    t0 = time.perf_counter()
+                    n = qs[name](spark, sf1_dir).count()
+                    per.append(round(time.perf_counter() - t0, 3))
+                    extra += 1
+                ts = min(per)
                 sf1[name] = {
                     "base_s": tb, "sf1_s": ts,
                     "ratio": round(ts / tb, 2) if tb else None,
+                    "passes": per,
                 }
-                print(f"# sf1 {name}: {ts}s ({n} rows)", file=sys.stderr)
+                if max(per) > 3 * ts:
+                    # bimodal passes = host stall, not operator scaling
+                    sf1[name]["stall_passes"] = sum(1 for p in per if p > 3 * ts)
+                print(f"# sf1 {name}: {ts}s ({n} rows) passes={per}", file=sys.stderr)
             result["sf1"] = {
                 "gen_s": gen_s, "load_s": sf1_load_s, "queries": sf1,
             }

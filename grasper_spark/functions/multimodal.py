@@ -69,7 +69,10 @@ def _decode_batch(payloads: pd.Series) -> pd.DataFrame:
         {
             "n_bytes": n.astype("int32"),
             "byte_sum": s.astype("int64"),
-            "byte_mean": (s / n.clip(lower=1)).round(6),
+            # raw int/int division: deterministic on any engine (exact
+            # operands < 2^53); pandas .round(6) is half-EVEN and C
+            # engines round half-away, so rounding here would diverge
+            "byte_mean": s / n.clip(lower=1),
             "first_byte": pd.Series(first).astype("int32"),
         }
     )
@@ -109,12 +112,13 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     raw_schema = T.StructType([f for f in FEATURE_SCHEMA if f.name != "byte_mean"])
     out = media.mapInPandas(fn, raw_schema)
-    # derive the mean JVM-side: F.round is HALF_UP like the SQL oracles;
-    # pandas .round is banker's and diverges on exact .5 ties (which
-    # power-of-two byte counts produce)
+    # derive the mean JVM-side as the RAW division: exact int operands
+    # < 2^53 through one IEEE divide is bit-identical on any engine,
+    # while any rounding step (HALF_UP vs banker's vs multiply-based)
+    # can diverge on identical inputs
     return out.withColumn(
         "byte_mean",
-        F.round(F.col("byte_sum") / F.greatest(F.col("n_bytes"), F.lit(1)), 6),
+        F.col("byte_sum") / F.greatest(F.col("n_bytes"), F.lit(1)),
     ).select([f.name for f in FEATURE_SCHEMA])
 
 

@@ -322,6 +322,111 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Integer-exact (bit-reproducible) LSH top-k
+# ---------------------------------------------------------------------------
+#
+# Cross-engine regression gates (Spark vs DuckDB/Presto/…) cannot hash
+# float similarities: float FOLDS are order-sensitive (an engine may sum
+# a list pairwise instead of left-to-right) and decimal ROUNDING differs
+# between exact-decimal HALF_UP (Spark) and multiply-based rounding (C
+# engines) even on bit-identical inputs. The `qint_*` variants make the
+# whole pipeline exact: components are quantized by a POWER-OF-TWO scale
+# (`floor(v * 4096)` — the multiply is exact, no rounding step at all),
+# every dot/norm/bucket is an int64 fold (commutative, fold-order-free),
+# and the ranking key is sign(d) * (d² div n) — pure integer arithmetic,
+# so any engine reproduces identical rows bit-for-bit.
+#
+# Bounds at QINT_SCALE=4096 and dim 64 with |v| ≤ 1: |q_i| ≤ 4096,
+# |dot| ≤ 64·4096² ≈ 1.07e9, dot² ≈ 1.15e18 < 2^63 (8× headroom).
+
+QINT_SCALE = 4096
+
+
+def quantize_vec(vec: Column, scale: int = QINT_SCALE) -> Column:
+    """`floor(v_i * scale)` as array<long>. With a power-of-two scale the
+    multiply is exact in IEEE double, so the result depends only on the
+    input bits — reproducible on any engine."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(float(scale))))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two array<long> columns (fold-order-free)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def qint_lsh_bucket(
+    qvec: Column, dim: int, num_planes: int = 8, plane_offset: int = 0,
+    scale: int = QINT_SCALE,
+) -> Column:
+    """Sign-pattern bucket over the quantized components against
+    integer-quantized hyperplanes — the exact-arithmetic twin of
+    :func:`lsh_bucket` (bit differences only where a float plane dot is
+    within quantization noise of zero)."""
+    import math
+
+    bucket = F.lit(0)
+    for j in range(num_planes):
+        pq = [math.floor(p * scale) for p in _plane(dim, plane_offset + j)]
+        dot = int_dot(qvec, F.array(*[F.lit(v).cast("long") for v in pq]))
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def qint_lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
+    num_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = QINT_SCALE,
+) -> DataFrame:
+    """Integer-exact LSH top-k: same bucket-probe shape as
+    :func:`lsh_topk`, but every hashed quantity is an int64 and the
+    per-query ranking is by the exact integer key
+    ``sign(dot) * (dot² div ‖c‖²)`` (monotone in cos for a fixed query,
+    since the query norm is constant within a partition), ties broken by
+    neighbor_id. Returns (query_id, neighbor_id, dot_q, norm_q, rank) —
+    all integers, safe to hash-compare across engines.
+
+    Scale path is identical to lsh_topk: corpus bucketed once, queries
+    broadcast, candidates only — never all-pairs."""
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize_vec(F.col(vec_col), scale).alias("cq"),
+        )
+        .withColumn("bucket", qint_lsh_bucket(F.col("cq"), dim, num_planes, scale=scale))
+        .withColumn("norm_q", int_dot(F.col("cq"), F.col("cq")))
+        .filter(F.col("norm_q") > 0)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col), scale).alias("qq"),
+    ).withColumn("bucket", qint_lsh_bucket(F.col("qq"), dim, num_planes, scale=scale))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            int_dot(F.col("qq"), F.col("cq")).alias("dot_q"), "norm_q",
+        )
+    )
+    key = F.when(
+        F.col("dot_q") >= 0, F.expr("(dot_q * dot_q) div norm_q")
+    ).otherwise(-F.expr("(dot_q * dot_q) div norm_q"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qkey").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("qkey", key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "norm_q", "rank")
+    )
+
+
 def group_centroids(
     emb: DataFrame, group_col: str, vec_col: str = "embedding",
     dim: int = 64,

@@ -317,15 +317,21 @@ def topk_ngrams(
 
 
 def unigram_lm_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Per-doc mean log-probability under the corpus's OWN unigram LM —
     the cheap perplexity-proxy quality filter (CCNet-style): documents
     far below the corpus's typical mean logprob are gibberish/outliers,
     far above are repetitive boilerplate. p(tok) = corpus count of tok /
-    total tokens; score = mean over the doc's tokens of ln p(tok),
-    rounded to 4 dp (absorbs cross-row float-sum order). Returns
-    (id, n_tokens, lm_score) for non-empty docs.
+    total tokens; score = mean over the doc's tokens of ln p(tok).
+    Returns (id, n_tokens, lm_score) for non-empty docs.
+
+    `quantize=K` makes lm_score the int64 SUM of floor(ln(p)·K) instead
+    of the float mean: the per-token ln sees the identical double c/n on
+    any engine and the cross-row fold is pure integer, so exact-compare
+    gates can hash it (a float mean is fold-order-sensitive; with
+    n_tokens also emitted the mean is recoverable).
 
     Scale: one partial-aggregated vocab groupBy, one token→count join
     (vocab is Zipfian — AQE broadcasts when it fits, shuffle-joins
@@ -343,7 +349,11 @@ def unigram_lm_score(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("_c") / F.col("_n"))), 4).alias("lm_score"),
+            (
+                F.sum(F.floor(F.log(F.col("_c") / F.col("_n")) * F.lit(float(quantize))))
+                if quantize
+                else F.round(F.avg(F.log(F.col("_c") / F.col("_n"))), 4)
+            ).alias("lm_score"),
         )
     )
 

@@ -76,10 +76,23 @@ def _persisted_store(df: DataFrame) -> DataFrame:
     except Exception:
         return df.persist()  # no canonical key — persist unmanaged
     with _STORE_LRU_LOCK:
-        hit = _STORE_LRU.pop(key, None)
-        if hit is not None:
-            _STORE_LRU[key] = hit  # re-insert = move to MRU end
+        hit = _STORE_LRU.get(key)
+    if hit is not None:
+        # semanticHash is 32-bit — confirm plan equality before serving,
+        # or a collision would silently substitute a DIFFERENT relation
+        # as this query's side-effect store (py4j call outside the lock)
+        try:
+            same = df.sameSemantics(hit)
+        except Exception:
+            same = False
+        if same:
+            with _STORE_LRU_LOCK:
+                if key in _STORE_LRU:
+                    _STORE_LRU[key] = _STORE_LRU.pop(key)  # MRU bump
             return hit
+        # collision: the resident keeps its slot; this plan persists
+        # unmanaged (it just recomputes if referenced after GC)
+        return df.persist()
     p = df.persist()
     evicted = []
     with _STORE_LRU_LOCK:

@@ -138,10 +138,20 @@ _ROW_LRU_MAX = 1024
 _ENGINE_VERSION: Optional[str] = None
 
 #: serializes snapshot writes within a process (emu prepares templates
-#: concurrently; identical templates share a fingerprint)
+#: concurrently; identical templates share a fingerprint). PER
+#: FINGERPRINT: a single global lock would also serialize builds of
+#: DIFFERENT templates across the whole Spark materialization — the emu
+#: thread pool's concurrency was nullified and cold warm-up paid the
+#: SUM of the template builds instead of the max (r5 record: 27.2s).
 import threading as _threading
 
-_SNAP_LOCK = _threading.Lock()
+_SNAP_LOCKS: dict = {}
+_SNAP_LOCKS_GUARD = _threading.Lock()
+
+
+def _snap_lock(key: str) -> "_threading.Lock":
+    with _SNAP_LOCKS_GUARD:
+        return _SNAP_LOCKS.setdefault(key, _threading.Lock())
 
 
 def _engine_version() -> str:
@@ -245,7 +255,7 @@ class PreparedQuery:
             # in a thread pool; identical templates share a fingerprint)
             # may have just written this snapshot — two jobs overwriting
             # one parquet dir could mark a corrupt snapshot _SNAP_OK
-            with _SNAP_LOCK:
+            with _snap_lock(snap):
                 if self._load_snapshot(snap):
                     loaded = True
                 else:
@@ -319,6 +329,13 @@ class PreparedQuery:
         "string", "boolean", "date", "decimal",
     )
 
+    @classmethod
+    def _arrow_safe(cls, dt: str) -> bool:
+        # prefix match, EXCEPT interval dtypes: "interval day to second"
+        # would match the "int" prefix but Arrow renders intervals
+        # (MonthDayNano etc.) differently from Row.collect
+        return dt.startswith(cls._ARROW_SAFE) and not dt.startswith("interval")
+
     def _collect_local_map(self) -> dict:
         """Local-tier build: keyed dict of result-row lists. Uses the
         Arrow export (DataFrame.toArrow → per-column to_pylist) when
@@ -332,7 +349,7 @@ class PreparedQuery:
         single = len(self._pqcols) == 1
         m: dict = {}
         dtypes = dict(self._rel.dtypes)
-        if all(dtypes[c].startswith(self._ARROW_SAFE) for c in cols):
+        if all(self._arrow_safe(dtypes[c]) for c in cols):
             try:
                 tbl = self._rel.toArrow()
             except Exception:
@@ -442,7 +459,19 @@ class PreparedQuery:
                 import pickle
 
                 with open(os.path.join(snap, "local.pkl"), "rb") as fh:
-                    self._local_sidecar = pickle.load(fh)
+                    side = pickle.load(fh)
+                # shape-validate before trusting: a loadable-but-wrong
+                # sidecar would otherwise raise later in __init__ and
+                # convert to PrepareError, permanently demoting the
+                # template to per-query serving even though the parquet
+                # snapshot next to it is intact
+                if (
+                    isinstance(side, dict)
+                    and isinstance(side.get("local"), dict)
+                    and isinstance(side.get("total_rows"), int)
+                    and isinstance(side.get("empty_rows"), (list, tuple))
+                ):
+                    self._local_sidecar = side
             except Exception:
                 self._local_sidecar = None
             return True
@@ -456,7 +485,8 @@ class PreparedQuery:
         import threading
 
         # cross-PROCESS atomicity (the in-process race is held off by
-        # _SNAP_LOCK): write to a unique temp dir, then rename into
+        # the per-fingerprint _snap_lock): write to a unique temp dir,
+        # then rename into
         # place — rename onto an existing dir fails, so exactly one
         # writer wins and losers discard their copy
         data = os.path.join(snap, "data")
@@ -829,6 +859,19 @@ class PerQueryPrepared:
 
         self._row_lru: "OrderedDict" = OrderedDict()
         self._lru_lock = _threading.Lock()
+        # freshness epoch: df(value) always recompiles so it sees
+        # post-refresh data immediately — rows() must not keep serving
+        # pre-refresh cache entries or the two surfaces of one handle
+        # would disagree about freshness
+        self._epoch = getattr(g, "_invalidations", 0)
+
+    def _check_epoch(self) -> None:
+        cur = getattr(self._g, "_invalidations", 0)
+        if cur != self._epoch:
+            with self._lru_lock:
+                if self._epoch != cur:
+                    self._row_lru.clear()
+                    self._epoch = cur
 
     def _df_for(self, value: Any) -> DataFrame:
         vals = (value,) if len(self._idxs) == 1 else tuple(value)
@@ -849,6 +892,7 @@ class PerQueryPrepared:
         return self._df_for(value)
 
     def rows(self, value: Any) -> list[tuple]:
+        self._check_epoch()
         k = value if not isinstance(value, list) else tuple(value)
         try:
             with self._lru_lock:

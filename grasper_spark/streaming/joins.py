@@ -59,7 +59,10 @@ def interval_join(
         "user_id",
         F.date_format("click_ts", _FMT).alias("click_ts"),
         F.date_format("purchase_ts", _FMT).alias("purchase_ts"),
-        F.round("purchase_value", 4).alias("purchase_value"),
+        # raw passthrough: an untouched double hashes identically on any
+        # engine; round(·,4) does not (exact-decimal HALF_UP vs
+        # multiply-based rounding can differ on identical input bits)
+        F.col("purchase_value"),
     )
 
 
@@ -101,7 +104,10 @@ def interval_join_outer(
         "user_id",
         F.date_format("click_ts", _FMT).alias("click_ts"),
         F.date_format("purchase_ts", _FMT).alias("purchase_ts"),
-        F.round("purchase_value", 4).alias("purchase_value"),
+        # raw passthrough: an untouched double hashes identically on any
+        # engine; round(·,4) does not (exact-decimal HALF_UP vs
+        # multiply-based rounding can differ on identical input bits)
+        F.col("purchase_value"),
     )
 
 

@@ -72,12 +72,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",
-                    watermark: str = "2 hours") -> DataFrame:
-    """Tumbling-window count+sum per event_type (streaming or batch DF)."""
+                    watermark: str = "2 hours",
+                    quantize: int | None = None) -> DataFrame:
+    """Tumbling-window count+sum per event_type (streaming or batch DF).
+
+    `quantize=K` sums `floor(value*K)` as int64 instead of the float
+    sum — a cross-row float sum is fold-order-sensitive, so any
+    exact-compare gate (the DuckDB ledger, engine-migration audits)
+    should hash the quantized form; integer partial aggregation commutes
+    on any engine and any partitioning."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    sum_value = (
+        F.sum(F.floor(F.col("value") * F.lit(float(quantize))))
+        if quantize
+        else F.round(F.sum("value"), 4)
+    )
     return (
         src.groupBy(F.window("ts", window), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"), sum_value.alias("sum_value"))
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -88,8 +100,9 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
 
 
 def windowed_counts_batch(spark: SparkSession, sf_dir: str,
-                          window: str = "1 hour") -> DataFrame:
-    return windowed_counts(load_events(spark, sf_dir), window)
+                          window: str = "1 hour",
+                          quantize: int | None = None) -> DataFrame:
+    return windowed_counts(load_events(spark, sf_dir), window, quantize=quantize)
 
 
 def sessionize_batch(spark: SparkSession, sf_dir: str,
@@ -155,9 +168,18 @@ def session_rows_batch(spark: SparkSession, sf_dir: str,
     return session_rows(load_events(spark, sf_dir), gap)
 
 
+def _sum_expr(agg_col: str, quantize: int | None):
+    """Float sum (rounded for display) or — with quantize=K — the
+    fold-order-free int64 sum of floor(v*K) that exact-compare gates
+    hash (see windowed_counts)."""
+    if quantize:
+        return F.sum(F.floor(F.col(agg_col) * F.lit(float(quantize))))
+    return F.round(F.sum(agg_col), 4)
+
+
 def resample(
     events: DataFrame, every: str = "1 hour", agg_col: str = "value",
-    group_col: str | None = None,
+    group_col: str | None = None, quantize: int | None = None,
 ) -> DataFrame:
     """Regular time-series resampling WITH gap filling: one row per
     `every` bucket between the stream's min and max ts (per group when
@@ -180,7 +202,7 @@ def resample(
         .groupBy(*keys, "_bk")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(agg_col), 4).alias("sum_value"),
+            _sum_expr(agg_col, quantize).alias("sum_value"),
         )
     )
     bounds = events.select(*keys, bucket.alias("_bk")).groupBy(*keys).agg(
@@ -197,13 +219,17 @@ def resample(
                 "bucket_start"
             ),
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.coalesce(
+                "sum_value",
+                F.lit(0).cast("long") if quantize else F.lit(0.0),
+            ).alias("sum_value"),
         )
     )
     return out
 
 
-def time_rollup(events: DataFrame, agg_col: str = "value") -> DataFrame:
+def time_rollup(events: DataFrame, agg_col: str = "value",
+                quantize: int | None = None) -> DataFrame:
     """Hypertable-style continuous-aggregate shape: ONE pass producing
     day-level, (day, hour)-level, and grand-total rows via ROLLUP on the
     truncated time parts — the multi-granularity materialization a
@@ -220,7 +246,7 @@ def time_rollup(events: DataFrame, agg_col: str = "value") -> DataFrame:
         .rollup("_day", "_hour")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(agg_col), 4).alias("sum_value"),
+            _sum_expr(agg_col, quantize).alias("sum_value"),
         )
         .select(
             F.coalesce("_day", F.lit("ALL")).alias("day"),
