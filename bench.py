@@ -172,9 +172,15 @@ def _index_crossover(spark, entry, dirs) -> dict:
         # this G, so the restore must put back what was there, not
         # hardcode a posture (a forced indexing=true would change any
         # subsequently-built index's conversion behavior)
-        prior = {k: g._config.get(k) for k in ("caching", "indexing")}
+        prior = {
+            k: g._config.get(k)
+            for k in ("caching", "indexing", "index_scan_min_avoided")
+        }
         g.query("SetConfig('caching', 'false')")  # per-query, no serving tier
         g.query("SetConfig('indexing', 'false')")
+        # the point of this section is to MEASURE both paths — a floor
+        # seeded from a previous run must not veto the posting path
+        g.query("SetConfig('index_scan_min_avoided', '0')")
         g.query(tmpl.format(vals[0])).collect()  # compile warm-up
         scan_ms = p50()
         g.query("SetConfig('indexing', 'true')")
@@ -193,7 +199,12 @@ def _index_crossover(spark, entry, dirs) -> dict:
         # measurement index — later sections reuse this G
         g._index_store.drop("V", "name")
         for k, v in prior.items():
-            g.query(f"SetConfig('{k}', '{'true' if v is None else v}')")
+            if k == "index_scan_min_avoided":
+                g._config.pop(k, None)
+                if v is not None:
+                    g._config[k] = v
+            else:
+                g.query(f"SetConfig('{k}', '{'true' if v is None else v}')")
     return out
 
 
@@ -403,6 +414,12 @@ def main() -> None:
                     spark, entry, [(sf_dir, "sf0.1"), (sf1_dir, "sf1")]
                 )
                 result["sf1"]["index_crossover"] = xo
+                # persist the measurement so future sessions seed the
+                # index_scan_min_avoided floor from evidence
+                # (plans/index_store.load_measured_floor)
+                from grasper_spark.plans.index_store import record_crossover
+
+                record_crossover(xo)
                 print(f"# index_crossover: {xo}", file=sys.stderr)
             except Exception as ex:
                 print(f"# index_crossover skipped: {ex}", file=sys.stderr)

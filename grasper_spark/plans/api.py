@@ -486,8 +486,15 @@ class G:
         self._graph_loader = graph_loader
         self._seed = seed
         self._config: dict[str, Any] = {}
-        from grasper_spark.plans.index_store import IndexStore
+        from grasper_spark.plans.index_store import IndexStore, load_measured_floor
 
+        # seed the index-scan conversion floor from the last MEASURED
+        # crossover (bench.py records one per run via record_crossover)
+        # — absent a measurement the reference-parity default 0 stands;
+        # an explicit SetConfig('index_scan_min_avoided', …) overrides
+        floor = load_measured_floor()
+        if floor:
+            self._config["index_scan_min_avoided"] = str(floor)
         self._index_store = IndexStore()
         # compiled-plan cache: repeated query strings (console, emu
         # templates with repeated parameters) skip parse+compile+analyze

@@ -1341,7 +1341,25 @@ class GremlinCompiler:
 
     def _step_union(self, s: Stream, *branches: Sequence[Step]) -> Stream:
         # copy input into each sub-pipeline, merge outputs
-        # (/root/reference/expert/branch_expert.hpp:12-45)
+        # (/root/reference/expert/branch_expert.hpp:12-45).
+        # With 2+ branches each sub-plan embeds the full upstream
+        # subtree, so Spark would re-execute the input once PER BRANCH —
+        # at sf1 that re-scan was the steepest graph-side scaling ratio
+        # (2.60). Persist the stream at the fork (same LRU-managed
+        # registry as aggregate()'s side-effect store) so the upstream
+        # runs once and every branch reads the cached fork. Bare base
+        # scans are exempt: the graph relation is already cached, and
+        # persisting it again would double-cache the whole table.
+        if len(branches) > 1:
+            bare = any(
+                s.df is getattr(self.g, attr, None)
+                for attr in (
+                    "_compiler_v_renamed", "_compiler_e_renamed",
+                    "_compiler_e_dst_renamed",
+                )
+            )
+            if not bare:
+                s = replace(s, df=_persisted_store(s.df))
         outs = [self.compile(list(b), start=s) for b in branches]
         return self._align_union(outs)
 

@@ -99,6 +99,90 @@ def _local_match_count(counts: dict, pred: Pred) -> int | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# measured-crossover calibration
+# ---------------------------------------------------------------------------
+#
+# bench.py measures the point-query p50 through the pruned scan vs the
+# posting conversion at each data scale and records it here; a new G
+# handle seeds its `index_scan_min_avoided` floor from the LAST
+# measured crossover instead of the reference-parity default 0 — the
+# gate's floor is evidence, not folklore. SetConfig always overrides.
+
+#: env override for the calibration file (tests, deployments)
+CALIBRATION_ENV = "GRASPER_SPARK_CALIBRATION"
+_CALIBRATION_DEFAULT = ".bench_data/index_crossover.json"
+
+
+def _calibration_path(path: str | None = None) -> str:
+    import os
+
+    return (
+        path
+        or os.environ.get(CALIBRATION_ENV)
+        or os.path.join(os.getcwd(), _CALIBRATION_DEFAULT)
+    )
+
+
+def derive_min_avoided(measurements: dict) -> int:
+    """Floor (in avoided scanned rows) implied by crossover
+    measurements: {tag: {n_vertices, scan_p50_ms, index_p50_ms}}.
+
+    A size "wins" when the posting conversion beat the pruned scan by a
+    >10% margin (inside the margin the two are a wash and the simpler
+    scan plan should stand). The floor is the midpoint between the
+    largest non-winning size and the smallest winning size; if no
+    measured size won, everything measured is floored out."""
+    wins, losses = [], []
+    for m in measurements.values():
+        n = int(m.get("n_vertices", 0))
+        if n <= 0:
+            continue
+        if float(m["index_p50_ms"]) < 0.9 * float(m["scan_p50_ms"]):
+            wins.append(n)
+        else:
+            losses.append(n)
+    if wins:
+        w = min(wins)
+        lo = max([n for n in losses if n < w], default=0)
+        return (lo + w) // 2 if lo else 0
+    return max(losses, default=0)
+
+
+def record_crossover(measurements: dict, path: str | None = None) -> None:
+    """Persist a bench crossover measurement for future sessions."""
+    import json
+    import os
+
+    p = _calibration_path(path)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as fh:
+        json.dump(
+            {
+                "measurements": measurements,
+                "min_avoided": derive_min_avoided(measurements),
+            },
+            fh,
+        )
+
+
+def load_measured_floor(path: str | None = None) -> int | None:
+    """The floor from the last recorded crossover, or None if never
+    measured (→ reference-parity default 0)."""
+    import json
+    import os
+
+    p = _calibration_path(path)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as fh:
+            data = json.load(fh)
+        return max(0, int(data["min_avoided"]))
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
 class IndexStore:
     """One store per G handle (the reference holds one per worker)."""
 

@@ -197,15 +197,40 @@ def attach_bucketed_external(
     return read_bucketed(spark, table_prefix, name=name)
 
 
+def _write_text_parts(lines, dest: str) -> None:
+    """Distributed text write into the reference's `part_N` layout: the
+    line DataFrame writes per-partition files through the normal
+    parquet-grade committer (no driver collect), then the committed
+    part files are renamed to the reference's names — renames are O(#
+    files) metadata ops on the storage layer."""
+    import shutil
+
+    tmp = dest + ".__tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(dest, ignore_errors=True)
+    lines.write.mode("overwrite").text(tmp)
+    os.makedirs(dest, exist_ok=True)
+    n = 0
+    for fn in sorted(os.listdir(tmp)):
+        if fn.startswith("part-"):
+            n += 1
+            shutil.move(os.path.join(tmp, fn), os.path.join(dest, f"part_{n}"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def write_grasper_text(graph: PropertyGraph, out_dir: str) -> None:
     """Write the reference's native text format (inverse of
     sources/grasper_text.py) — proves data-model round-trip parity.
 
-    Driver-side by design: this is a debug/parity sink for toy-sized
-    graphs; parquet (above) is the scale path.
+    Distributed like the reference's own layout: the format is
+    per-partition ``part_*`` files (docs/Tutorial.md:10-42, loaded by
+    storage/data_store.cpp:41-268), so each table's lines are built as
+    JVM string expressions and written partition-parallel — no
+    driver-side collect anywhere in the bulk path. Only the tiny
+    dictionaries (labels, property indexes — bounded by schema, not
+    data) are driver-side.
 
-    Dictionaries are derived from the data; property values are
-    rendered with the reference's literal syntax (strings quoted,
+    Property values use the reference's literal syntax (strings quoted,
     type codes from Spark column types)."""
     os.makedirs(os.path.join(out_dir, "index"), exist_ok=True)
 
@@ -237,50 +262,78 @@ def write_grasper_text(graph: PropertyGraph, out_dir: str) -> None:
         for k, (pid, tc) in ep.items():
             f.write(f"{k}\t{pid}\t{tc}\n")
 
-    def _fmt(v, tc):
-        if tc == 2:
-            return repr(float(v))
-        if tc == 4:
-            return f'"{v}"'
-        return str(int(v))
-
-    os.makedirs(os.path.join(out_dir, "vtx_property"), exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "edge_property"), exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "vertices"), exist_ok=True)
-
-    vrows = graph.vertices.orderBy("vid").collect()
-    with open(os.path.join(out_dir, "vtx_property", "part_1"), "w") as f:
-        for r in vrows:
-            props = ",".join(
-                f"{vp[k][0]}:{_fmt(r[k], vp[k][1])}"
-                for k in graph.vertex_keys
-                if r[k] is not None
+    def _props_expr(idx: dict) -> F.Column:
+        """`[pid:val,...]` rendered per row, nulls skipped — pure string
+        expressions, codegen'd."""
+        parts = []
+        for k, (pid, tc) in idx.items():
+            if tc == 1:
+                val = F.col(k).cast("long").cast("string")
+            elif tc == 2:
+                val = F.col(k).cast("double").cast("string")
+            else:
+                val = F.concat(F.lit('"'), F.col(k).cast("string"), F.lit('"'))
+            parts.append(
+                F.when(F.col(k).isNotNull(), F.concat(F.lit(f"{pid}:"), val))
             )
-            f.write(f"{r['vid']}\t{v_label_id[r['label']]}\t[{props}]\n")
+        inner = (
+            F.array_join(F.array_compact(F.array(*parts)), ",")
+            if parts
+            else F.lit("")
+        )
+        return F.concat(F.lit("["), inner, F.lit("]"))
 
-    erows = graph.edges.orderBy("src", "dst").collect()
-    with open(os.path.join(out_dir, "edge_property", "part_1"), "w") as f:
-        for r in erows:
-            props = ",".join(
-                f"{ep[k][0]}:{_fmt(r[k], ep[k][1])}"
-                for k in graph.edge_keys
-                if r[k] is not None
-            )
-            f.write(f"{r['src']}\t{r['dst']}\t{e_label_id[r['label']]}\t[{props}]\n")
+    def _label_map(mapping: dict) -> F.Column:
+        return F.create_map(
+            *[F.lit(x) for pair in mapping.items() for x in pair]
+        )[F.col("label")].cast("string")
 
-    # adjacency lists: {vid}\t{num_in}\t{in..}\t{num_out}\t{out..}
-    adj_in = {r["vid"]: r["ins"] for r in graph.edges.groupBy(F.col("dst").alias("vid"))
-              .agg(F.sort_array(F.collect_list("src")).alias("ins")).collect()}
-    adj_out = {r["vid"]: r["outs"] for r in graph.edges.groupBy(F.col("src").alias("vid"))
-               .agg(F.sort_array(F.collect_list("dst")).alias("outs")).collect()}
-    with open(os.path.join(out_dir, "vertices", "part_1"), "w") as f:
-        for r in vrows:
-            ins = adj_in.get(r["vid"], [])
-            outs = adj_out.get(r["vid"], [])
-            f.write(
-                f"{r['vid']}\t{len(ins)}\t{' '.join(map(str, ins))}\t"
-                f"{len(outs)}\t{' '.join(map(str, outs))}\n"
-            )
+    tab = F.lit("\t")
+    _write_text_parts(
+        graph.vertices.select(
+            F.concat(
+                F.col("vid").cast("string"), tab, _label_map(v_label_id),
+                tab, _props_expr(vp),
+            ).alias("value")
+        ),
+        os.path.join(out_dir, "vtx_property"),
+    )
+    _write_text_parts(
+        graph.edges.select(
+            F.concat(
+                F.col("src").cast("string"), tab, F.col("dst").cast("string"),
+                tab, _label_map(e_label_id), tab, _props_expr(ep),
+            ).alias("value")
+        ),
+        os.path.join(out_dir, "edge_property"),
+    )
+
+    # adjacency lists: {vid}\t{num_in}\t{in..}\t{num_out}\t{out..} —
+    # two partial-aggregated groupBys keyed by vid (the per-line fanout
+    # the format itself mandates), left-joined onto the vid universe so
+    # isolated vertices still get a line
+    ins = graph.edges.groupBy(F.col("dst").alias("vid")).agg(
+        F.sort_array(F.collect_list("src")).alias("_ins")
+    )
+    outs = graph.edges.groupBy(F.col("src").alias("vid")).agg(
+        F.sort_array(F.collect_list("dst")).alias("_outs")
+    )
+    empty = F.array().cast("array<long>")
+    adj = (
+        graph.vertices.select("vid")
+        .join(ins, "vid", "left")
+        .join(outs, "vid", "left")
+        .select(
+            F.concat(
+                F.col("vid").cast("string"),
+                tab, F.size(F.coalesce("_ins", empty)).cast("string"),
+                tab, F.array_join(F.coalesce("_ins", empty).cast("array<string>"), " "),
+                tab, F.size(F.coalesce("_outs", empty)).cast("string"),
+                tab, F.array_join(F.coalesce("_outs", empty).cast("array<string>"), " "),
+            ).alias("value")
+        )
+    )
+    _write_text_parts(adj, os.path.join(out_dir, "vertices"))
 
 
 def zorder_code(cols, mins, maxs, bits: int = 16):

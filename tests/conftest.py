@@ -1,7 +1,15 @@
+import os
+
 import pytest
 from pyspark.sql import types as T
 
 from grasper_spark import G, PropertyGraph, get_spark
+from grasper_spark.plans.index_store import CALIBRATION_ENV
+
+# hermetic: a bench-recorded index-crossover calibration in the working
+# tree must not seed G handles built by tests (tests that exercise the
+# seeding point the env at their own file)
+os.environ.setdefault(CALIBRATION_ENV, "/nonexistent/grasper-calibration.json")
 
 MODERN_V = [
     (1, "person", "marko", 29, None),

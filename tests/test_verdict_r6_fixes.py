@@ -155,3 +155,168 @@ def test_unigram_lm_quantized_is_integer_sum(spark):
         ).alias("ok")
     )
     assert all(r["ok"] for r in j.collect())
+
+
+def test_grasper_text_export_is_distributed_multipart(spark, tmp_path):
+    """VERDICT r5 #5: the Grasper-text export writes per-partition
+    part files (the reference's own multi-part layout) with no
+    driver-side collect of V/E — round-trip a multi-partition graph and
+    require >1 part file per bulk table."""
+    import inspect
+    import os
+
+    from grasper_spark import PropertyGraph
+    from grasper_spark.sources.grasper_text import load_grasper_text
+    from grasper_spark.sources.sinks import write_grasper_text
+
+    n = 500
+    v = (
+        spark.range(n)
+        .repartition(6)
+        .select(
+            F.col("id").alias("vid"),
+            F.lit("node").alias("label"),
+            F.concat(F.lit("name_"), F.col("id").cast("string")).alias("name"),
+            (F.col("id") % 97).cast("int").alias("age"),
+            (F.col("id") * 0.5).cast("double").alias("score"),
+        )
+    )
+    e = (
+        spark.range(n - 1)
+        .repartition(6)
+        .select(
+            F.col("id").alias("src"),
+            (F.col("id") + 1).alias("dst"),
+            F.lit("next").alias("label"),
+            (F.col("id") * 0.25).cast("double").alias("weight"),
+        )
+    )
+    g = PropertyGraph(v, e, name="multipart")
+    out = str(tmp_path / "gtext")
+    write_grasper_text(g, out)
+
+    for table in ("vtx_property", "edge_property", "vertices"):
+        parts = [f for f in os.listdir(os.path.join(out, table)) if f.startswith("part_")]
+        assert len(parts) > 1, f"{table}: expected >1 part file, got {parts}"
+
+    # no full collect in the write path (bounded dictionary collects only)
+    src = inspect.getsource(write_grasper_text)
+    assert ".collect()" not in src.replace(
+        'graph.vertices.select("label").distinct().orderBy("label").collect()', ""
+    ).replace(
+        'graph.edges.select("label").distinct().orderBy("label").collect()', ""
+    )
+
+    # round-trip parity
+    back = load_grasper_text(spark, out)
+    assert back.vertices.count() == n
+    assert back.edges.count() == n - 1
+    want = {(r["vid"], r["name"], r["age"], r["score"]) for r in v.collect()}
+    got = {
+        (r["vid"], r["name"], r["age"], r["score"])
+        for r in back.vertices.collect()
+    }
+    assert got == want
+    ew = {(r["src"], r["dst"], r["weight"]) for r in e.collect()}
+    eg = {(r["src"], r["dst"], r["weight"]) for r in back.edges.collect()}
+    assert eg == ew
+
+
+def test_union_persists_branch_input_at_fork(spark):
+    """VERDICT r5 #6: a 2+-branch union persists the incoming stream at
+    the fork (one upstream execution, every branch reads the cached
+    fork) — bare base scans exempt (the graph relation is already
+    cached)."""
+    from grasper_spark import G, PropertyGraph
+    from grasper_spark.plans import compiler as C
+
+    v = spark.range(40).select(
+        F.col("id").alias("vid"), F.lit("n").alias("label"),
+        (F.col("id") % 5).cast("int").alias("grp"),
+    )
+    e = spark.range(39).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"),
+        F.lit("next").alias("label"), F.lit(1.0).alias("weight"),
+    )
+    g = G(PropertyGraph(v, e, name="union-fork").cache(), cache_plans=False)
+
+    with C._STORE_LRU_LOCK:
+        C._STORE_LRU.clear()
+    n = g.query(
+        'g.V().has("grp", 2).union(out().values("grp"), in().values("grp"))'
+    ).count()
+    assert n > 0
+    with C._STORE_LRU_LOCK:
+        forked = len(C._STORE_LRU)
+    assert forked == 1, "filtered union input should persist at the fork"
+
+    # bare scan input: no extra persist (the base relation is cached)
+    with C._STORE_LRU_LOCK:
+        C._STORE_LRU.clear()
+    g.query('g.V().union(out().values("grp"), in().values("grp"))').count()
+    with C._STORE_LRU_LOCK:
+        assert len(C._STORE_LRU) == 0
+
+
+def test_measured_crossover_seeds_conversion_floor(spark, tmp_path, monkeypatch):
+    """VERDICT r5 #7: a recorded crossover measurement seeds new G
+    handles' index_scan_min_avoided floor — a conversion avoiding fewer
+    rows than the measured wash point is vetoed, one above it is taken,
+    and SetConfig still overrides."""
+    from grasper_spark import G, PropertyGraph
+    from grasper_spark.plans.index_store import (
+        CALIBRATION_ENV, derive_min_avoided, load_measured_floor,
+        record_crossover,
+    )
+
+    # derivation unit cases
+    assert derive_min_avoided({
+        "small": {"n_vertices": 1000, "scan_p50_ms": 10, "index_p50_ms": 11},
+        "big": {"n_vertices": 100000, "scan_p50_ms": 50, "index_p50_ms": 20},
+    }) == (1000 + 100000) // 2
+    assert derive_min_avoided({  # never won → floor out everything measured
+        "a": {"n_vertices": 1000, "scan_p50_ms": 10, "index_p50_ms": 10},
+        "b": {"n_vertices": 100000, "scan_p50_ms": 50, "index_p50_ms": 49},
+    }) == 100000
+    assert derive_min_avoided({  # always won → reference parity
+        "a": {"n_vertices": 1000, "scan_p50_ms": 20, "index_p50_ms": 10},
+    }) == 0
+
+    cal = str(tmp_path / "crossover.json")
+    monkeypatch.setenv(CALIBRATION_ENV, cal)
+    assert load_measured_floor() is None  # never measured → no seed
+
+    n = 200
+    v = spark.range(n).select(
+        F.col("id").alias("vid"), F.lit("n").alias("label"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("name"),
+    )
+    e = spark.createDataFrame([(0, 1, "x", 1.0)],
+                              "src long, dst long, label string, weight double")
+    graph = PropertyGraph(v, e, name="xover").cache()
+
+    # measured wash point ABOVE this graph's size → conversion vetoed
+    record_crossover({
+        "a": {"n_vertices": 100, "scan_p50_ms": 10, "index_p50_ms": 10},
+        "b": {"n_vertices": 100000, "scan_p50_ms": 50, "index_p50_ms": 51},
+    })
+    assert load_measured_floor() == 100000
+    g1 = G(graph)
+    g1.query("BuildIndex(V, 'name')").collect()
+    c, _ = g1.V().has("name", "u7").values("name")._compile()
+    assert c.index_hits == 0  # avoided rows (199) < measured floor
+
+    # measured wash point BELOW this graph's size → conversion taken
+    record_crossover({
+        "a": {"n_vertices": 10, "scan_p50_ms": 10, "index_p50_ms": 10},
+        "b": {"n_vertices": 100, "scan_p50_ms": 50, "index_p50_ms": 20},
+    })
+    g2 = G(graph)
+    g2.query("BuildIndex(V, 'name')").collect()
+    c2, _ = g2.V().has("name", "u7").values("name")._compile()
+    assert c2.index_hits == 1  # avoided rows (199) > floor (55)
+
+    # explicit SetConfig overrides the seeded floor
+    g1.query("SetConfig('index_scan_min_avoided', '0')")
+    c3, _ = g1.V().has("name", "u7").values("name")._compile()
+    assert c3.index_hits == 1
