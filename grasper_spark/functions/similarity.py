@@ -8,8 +8,10 @@
   only their bucket (+ optional multi-probe neighbors).
 
 All arithmetic is JVM-side (`F.zip_with`/`F.aggregate` fold, double
-precision, left-to-right) and rounded to 6 dp so the DuckDB oracle can
-reproduce values bit-stably.
+precision, left-to-right), rounded to 6 dp for presentation. NOTE:
+6-dp rounding is NOT bit-stable across engines (fold order and the
+rounding step itself both differ) — exact-compare gates should use the
+`qint_*` integer-exact variants below instead of hashing these floats.
 """
 
 from __future__ import annotations

@@ -234,6 +234,18 @@ def main() -> None:
             "table (core/message.cpp:270-289).",
         ),
         (
+            "union(): branch input persisted at the fork",
+            'g.V().has("name","NATION_1").union(in("from_nation").hasLabel("customer").values("name"), in("from_nation").hasLabel("supplier").values("name"))',
+            g.V().has("name", "NATION_1").union(
+                A.in_("from_nation").hasLabel("customer").values("name"),
+                A.in_("from_nation").hasLabel("supplier").values("name"),
+            ).df(),
+            "2+ branches embed the same upstream subtree, which used to re-execute "
+            "once PER BRANCH (the steepest graph-side sf1 ratio in r5). The stream "
+            "now persists at the fork — the point filter runs once and every branch "
+            "reads the cached fork (the cached-relation reads below).",
+        ),
+        (
             "Bare skip: two-phase hashed slice",
             'g.V().hasLabel("customer").skip(100)',
             g.V().hasLabel("customer").skip(100).df(),
