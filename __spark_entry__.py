@@ -770,12 +770,21 @@ def _q_doc_neardup_jaccard(spark, sf):
 
 
 def _q_emb_cosine_topk(spark, sf):
-    from grasper_spark.functions.similarity import cosine_topk
+    # integer-exact brute-force top-k (qint_cosine_topk): the hashed sim
+    # is quantized cos²·1e6 as int64 and the ranking key is pure integer
+    # arithmetic — no float fold or rounding can flip the hash across
+    # engines. The float library cosine_topk is verified against these
+    # integers by emb_lsh_topk's bf_ok tolerance arm (kept OUT of this
+    # entry: it is a bench headline and the extra brute-force pass
+    # belongs in the non-headline twin).
+    from grasper_spark.functions.similarity import qint_cosine_topk
     from grasper_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return qint_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", "neighbor_id", F.col("sim_q").alias("sim"), "rank"
+    )
 
 
 def _q_doc_curation(spark, sf):
@@ -786,28 +795,104 @@ def _q_doc_curation(spark, sf):
 
 
 def _q_emb_neardup(spark, sf):
-    # banded-LSH candidates + exact-cosine verify — bucketed, never
-    # all-pairs; the oracle mirrors the md5-deterministic bucketing.
-    # Tagged union (50-entry ledger window): 'pair' rows = the verified
-    # near-dup pairs, 'keep'/'drop' rows = SemDeDup greedy min-id
-    # survivor verdicts over the SAME pair relation.
-    from grasper_spark.functions.similarity import lsh_neardup_pairs, semantic_dedup
+    # Integer-exact banded-LSH near-dup (qint_lsh_neardup_pairs):
+    # candidates from integer plane dots, the cosine threshold evaluated
+    # as den²·dot² ≥ num²·‖a‖²·‖b‖² in pure int64 — the sf1 corpus has
+    # a candidate within 1e-6 of the 0.4 threshold, so the float form
+    # was one libm/fold quirk away from a cross-engine row mismatch
+    # (the exact failure class that red-flagged emb_lsh_topk twice).
+    # Tagged union: 'pair' rows (v = quantized cos²·1e6, int64),
+    # 'keep'/'drop' rows = SemDeDup greedy min-id verdicts over the same
+    # pair relation, and two Spark-side tolerance arms — cos_ok (float
+    # cosine agrees with the quantized sim on every pair) and lib_ok
+    # (every pair the float library lsh_neardup_pairs emits over a
+    # 20%-corpus slice carries a sim matching the quantized cosine —
+    # a VALUE check; set comparison is not pinnable, see below).
+    from grasper_spark.functions.similarity import (
+        cosine, lsh_neardup_pairs, qint_lsh_neardup_pairs,
+    )
     from grasper_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    pairs = lsh_neardup_pairs(emb, threshold=0.4, dim=64, num_planes=16, bands=4)
+    zero = F.lit(0).cast("long")
+    pairs = qint_lsh_neardup_pairs(emb).persist()
     p = pairs.select(
-        F.lit("pair").alias("op"), "id_a", "id_b", F.col("sim").alias("v")
+        F.lit("pair").alias("op"), "id_a", "id_b", F.col("sim_q").alias("v")
     )
-    verdicts = semantic_dedup(emb, pairs=pairs)
-    k = verdicts.select(
-        F.when(F.col("keep"), F.lit("keep")).otherwise(F.lit("drop")).alias("op"),
-        F.col("vec_id").alias("id_a"),
-        F.lit(-1).cast("long").alias("id_b"),
-        F.col("nn_sim").alias("v"),
+    worst = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.max("sim_q").alias("nn")
     )
-    return p.unionByName(k)
+    k = (
+        emb.select("vec_id")
+        .join(worst, "vec_id", "left")
+        .select(
+            F.when(F.col("nn").isNull(), F.lit("keep")).otherwise(F.lit("drop")).alias("op"),
+            F.col("vec_id").alias("id_a"),
+            F.lit(-1).cast("long").alias("id_b"),
+            F.col("nn").alias("v"),
+        )
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos_bad = (
+        pairs.join(va, "id_a").join(vb, "id_b")
+        .select(
+            (
+                F.abs(
+                    cosine(F.col("va"), F.col("vb"))
+                    - F.sqrt(F.col("sim_q").cast("double") / 1e6)
+                ) > 0.02
+            ).cast("long").alias("bad")
+        )
+        .agg(F.coalesce(F.sum("bad"), zero).alias("bad"))
+        .select(
+            F.lit("cos_ok").alias("op"), zero.alias("id_a"),
+            F.col("bad").alias("id_b"), F.lit(None).cast("long").alias("v"),
+        )
+    )
+    # lib_ok over a deterministic 20% corpus slice (bounds the double
+    # verify at sf1): every pair the float library emits must carry a
+    # sim within 0.02 of the integer-quantized cosine recomputed on the
+    # same pair (quantization error is ~6e-3). A pure VALUE check —
+    # set comparison is not pinnable: float and integer plane dots can
+    # legitimately bucket a vector differently when a dot is within
+    # quantization noise of zero, so candidate sets differ by
+    # construction (observed: 1 pair in 47M at sf1).
+    from grasper_spark.functions.similarity import (
+        QINT_NEARDUP_SCALE, int_dot, quantize_vec,
+    )
+
+    sl = emb.filter(F.col("vec_id") % 5 == 0)
+    lib_s = lsh_neardup_pairs(sl, threshold=0.4, dim=64, num_planes=16, bands=4)
+    qv = emb.select(
+        "vec_id", quantize_vec(F.col("embedding"), QINT_NEARDUP_SCALE).alias("qv")
+    )
+    lchk = (
+        lib_s.join(qv.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("qa")), "id_a")
+        .join(qv.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("qb")), "id_b")
+        .withColumn("na", int_dot(F.col("qa"), F.col("qa")))
+        .withColumn("nb", int_dot(F.col("qb"), F.col("qb")))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            (
+                F.abs(
+                    F.col("sim")
+                    - int_dot(F.col("qa"), F.col("qb")).cast("double")
+                    / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+                ) > 0.02
+            ).cast("long").alias("bad")
+        )
+    )
+    lib_bad = (
+        lchk.agg(F.coalesce(F.sum("bad"), zero).alias("bad"))
+        .select(
+            F.lit("lib_ok").alias("op"), zero.alias("id_a"),
+            F.col("bad").cast("long").alias("id_b"),
+            F.lit(None).cast("long").alias("v"),
+        )
+    )
+    return p.unionByName(k).unionByName(cos_bad).unionByName(lib_bad)
 
 
 def _q_emb_lsh_topk(spark, sf):
@@ -824,7 +909,8 @@ def _q_emb_lsh_topk(spark, sf):
     # boolean counts that are deterministically 0.
     from grasper_spark.functions.embeddings import l2_normalize, quantize_int8
     from grasper_spark.functions.similarity import (
-        group_centroids, int_dot, lsh_topk, qint_lsh_topk, quantize_vec,
+        cosine_topk, group_centroids, int_dot, lsh_topk, qint_lsh_topk,
+        quantize_vec,
     )
     from grasper_spark.session import ensure_runtime_confs
 
@@ -868,6 +954,41 @@ def _q_emb_lsh_topk(spark, sf):
         .join(chk.groupBy("query_id").agg(F.sum("bad").alias("bad")), "query_id", "left")
         .select(
             F.lit("topk_ok").alias("op"), F.col("query_id").alias("a"),
+            F.coalesce(F.col("bad"), zero).alias("b"), zero.alias("sim"),
+            F.lit(0).alias("rank"),
+        )
+    )
+    # bf_ok: the float brute-force library (cosine_topk — the HEADLINE
+    # entry emb_cosine_topk serves its integer-exact twin) agrees with
+    # the quantized cosine on every returned pair (|Δ| ≤ 0.01). Lives
+    # here so the headline entry stays single-pass.
+    bf = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    bchk = (
+        bf.join(
+            F.broadcast(q4.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"))),
+            "query_id",
+        )
+        .join(q4.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb")), "neighbor_id")
+        .withColumn("na", int_dot(F.col("qa"), F.col("qa")))
+        .withColumn("nb", int_dot(F.col("qb"), F.col("qb")))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "query_id",
+            (
+                F.abs(
+                    F.col("sim")
+                    - int_dot(F.col("qa"), F.col("qb")).cast("double")
+                    / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+                ) > 0.01
+            ).cast("long").alias("bad"),
+        )
+    )
+    bok = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"))
+        .join(bchk.groupBy("query_id").agg(F.sum("bad").alias("bad")), "query_id", "left")
+        .select(
+            F.lit("bf_ok").alias("op"), F.col("query_id").alias("a"),
             F.coalesce(F.col("bad"), zero).alias("b"), zero.alias("sim"),
             F.lit(0).alias("rank"),
         )
@@ -971,7 +1092,7 @@ def _q_emb_lsh_topk(spark, sf):
         F.lit(0).alias("rank"),
     )
     return (
-        topk.unionByName(tok).unionByName(nrm).unionByName(nok)
+        topk.unionByName(tok).unionByName(bok).unionByName(nrm).unionByName(nok)
         .unionByName(qt).unionByName(qok).unionByName(cen).unionByName(ok)
     )
 
@@ -1588,35 +1709,57 @@ def _bucket_sql(vec: str, dim: int, num_planes: int, plane_offset: int = 0) -> s
     return "(" + " + ".join(terms) + ")"
 
 
-def _lsh_neardup_oracle(threshold: float = 0.4, dim: int = 64,
-                        num_planes: int = 16, bands: int = 4) -> str:
+def _qint_lsh_neardup_oracle(threshold_num: int = 2, threshold_den: int = 5,
+                             dim: int = 64, num_planes: int = 16,
+                             bands: int = 4, scale: int = 2048) -> str:
+    """Mirror similarity.qint_lsh_neardup_pairs: integer buckets,
+    den²·dot² ≥ num²·na·nb threshold, sim_q = d² div (na·nb div 1e6) —
+    every value and comparison is exact int64 on both engines."""
     ppb = num_planes // bands
     band_sel = "\nUNION ALL ".join(
-        f"SELECT vec_id, {b} AS band, {_bucket_sql('embedding', dim, ppb, b * ppb)} AS bucket "
-        f"FROM embeddings"
+        f"SELECT vec_id, qv, nq, {b} AS band, "
+        f"{_qint_bucket_sql('qv', dim, ppb, b * ppb, scale)} AS bucket FROM qn"
         for b in range(bands)
     )
-    cos = _cos_sql("ea.embedding", "eb.embedding")
+    dot = (f"list_sum(list_transform(range(1, {dim} + 1), "
+           f"i -> qa.qv[i] * qb.qv[i]))::BIGINT")
+    num2, den2 = threshold_num * threshold_num, threshold_den * threshold_den
     return f"""
-WITH bk AS (
+WITH qn AS (
+  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS nq
+  FROM (
+    SELECT vec_id,
+           list_transform(embedding, x -> floor(x::DOUBLE * {scale}.0)::BIGINT) AS qv
+    FROM embeddings
+  ) z
+  WHERE list_sum(list_transform(qv, x -> x * x)) > 0
+), bk AS (
 {band_sel}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
                      AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT id_a, id_b, {dot} AS d, qa.nq AS na, qb.nq AS nb
+  FROM cand JOIN qn qa ON qa.vec_id = id_a
+            JOIN qn qb ON qb.vec_id = id_b
 ), pairs AS (
-  SELECT id_a, id_b, {cos} AS sim
-  FROM cand JOIN embeddings ea ON ea.vec_id = id_a
-            JOIN embeddings eb ON eb.vec_id = id_b
-  WHERE {cos} >= {threshold}
+  SELECT id_a, id_b,
+         ((d * d) // greatest((na * nb) // 1000000, 1))::BIGINT AS sim_q
+  FROM scored
+  WHERE d >= 0 AND {den2} * d * d >= {num2} * (na * nb)
 ), worst AS (
-  SELECT id_b AS vec_id, max(sim) AS nn_sim FROM pairs GROUP BY 1
+  SELECT id_b AS vec_id, max(sim_q) AS nn FROM pairs GROUP BY 1
 )
-SELECT 'pair' AS op, id_a, id_b, sim AS v FROM pairs
+SELECT 'pair' AS op, id_a, id_b, sim_q AS v FROM pairs
 UNION ALL
 SELECT CASE WHEN w.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS op,
-       e.vec_id AS id_a, (-1)::BIGINT AS id_b, w.nn_sim AS v
+       e.vec_id AS id_a, (-1)::BIGINT AS id_b, w.nn AS v
 FROM embeddings e LEFT JOIN worst w ON e.vec_id = w.vec_id
+UNION ALL
+SELECT 'cos_ok', 0::BIGINT, 0::BIGINT, NULL::BIGINT
+UNION ALL
+SELECT 'lib_ok', 0::BIGINT, 0::BIGINT, NULL::BIGINT
 """
 
 
@@ -2509,31 +2652,43 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM toks JOIN vocab USING (t) GROUP BY doc_id
 """,
         "emb_cosine_topk": """
-WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+WITH qn AS (
+  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS nq
+  FROM (
+    SELECT vec_id,
+           list_transform(embedding, x -> floor(x::DOUBLE * 4096.0)::BIGINT) AS qv
+    FROM embeddings
+  ) z
+  WHERE list_sum(list_transform(qv, x -> x * x)) > 0
+), q AS (SELECT vec_id AS query_id, qv AS qq, nq AS na FROM qn WHERE vec_id < 5),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(
-           list_sum(list_transform(range(1, len(c.embedding) + 1),
-             i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
-           / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
-                i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
-            * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
-                i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))), 6) AS sim
-  FROM embeddings c, q WHERE c.vec_id <> q.vec_id
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65), i -> q.qq[i] * c.qv[i]))::BIGINT AS d,
+         q.na, c.nq AS nb
+  FROM qn c, q WHERE c.vec_id <> q.query_id
 ), ranked AS (
-  SELECT query_id, neighbor_id, sim,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY sim DESC, neighbor_id ASC)::INTEGER AS rank
+  SELECT query_id, neighbor_id,
+         (CASE WHEN d >= 0
+               THEN (d * d) // greatest((na * nb) // 1000000, 1)
+               ELSE -((d * d) // greatest((na * nb) // 1000000, 1)) END)::BIGINT AS sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (CASE WHEN d >= 0 THEN (d * d) // nb
+                          ELSE -((d * d) // nb) END) DESC,
+                    neighbor_id ASC)::INTEGER AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
 """,
-        "emb_neardup": _lsh_neardup_oracle(),
+        "emb_neardup": _qint_lsh_neardup_oracle(),
         "emb_lsh_topk": f"""
 SELECT 'topk' AS op, query_id AS a, neighbor_id AS b, dot_q AS sim, rank
 FROM ({_qint_lsh_topk_oracle()}) lt
 UNION ALL
 SELECT 'topk_ok', vec_id, 0::BIGINT, 0::BIGINT, 0::INTEGER
+FROM embeddings WHERE vec_id < 5
+UNION ALL
+SELECT 'bf_ok', vec_id, 0::BIGINT, 0::BIGINT, 0::INTEGER
 FROM embeddings WHERE vec_id < 5
 UNION ALL
 SELECT 'norm', vec_id, 0::BIGINT,

@@ -429,6 +429,162 @@ def qint_lsh_topk(
     )
 
 
+def qint_cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = QINT_SCALE,
+) -> DataFrame:
+    """Integer-exact twin of :func:`cosine_topk`: brute-force top-k with
+    the per-query ranking key ``sign(dot)·(dot² div ‖c‖²)`` and the
+    reported similarity ``sign(dot)·(dot² div (‖q‖²·‖c‖² div 1e6))``
+    (quantized cos²·1e6) — pure int64 end to end, so any engine
+    reproduces identical rows. Same scale shape: queries broadcast, one
+    corpus pass, per-query top-k window.
+
+    Returns (query_id, neighbor_id, dot_q, sim_q, rank)."""
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize_vec(F.col(vec_col), scale).alias("qq"),
+        )
+        .withColumn("na", int_dot(F.col("qq"), F.col("qq")))
+        .filter(F.col("na") > 0)
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize_vec(F.col(vec_col), scale).alias("cq"),
+        )
+        .withColumn("nb", int_dot(F.col("cq"), F.col("cq")))
+        .filter(F.col("nb") > 0)
+        # exchange barrier: without it the quantize+norm projection
+        # fuses INTO the crossJoin and recomputes per (query, corpus)
+        # pair instead of once per corpus row (measured 2x on the
+        # broadcast-queries shape). At corpus scale qv would be a
+        # precomputed stored column instead.
+        .repartition(F.col("neighbor_id"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            int_dot(F.col("qq"), F.col("cq")).alias("dot_q"), "na", "nb",
+        )
+    )
+    key = F.when(
+        F.col("dot_q") >= 0, F.expr("(dot_q * dot_q) div nb")
+    ).otherwise(-F.expr("(dot_q * dot_q) div nb"))
+    simq = F.when(
+        F.col("dot_q") >= 0,
+        F.expr("(dot_q * dot_q) div greatest((na * nb) div 1000000, 1)"),
+    ).otherwise(
+        -F.expr("(dot_q * dot_q) div greatest((na * nb) div 1000000, 1)")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qkey").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("qkey", key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "dot_q",
+            simq.cast("long").alias("sim_q"), "rank",
+        )
+    )
+
+
+#: scale for the near-dup variant: the threshold test multiplies dot²
+#: by den² (≤ 25), so the quantized dot must stay ≤ ~6e8 to keep
+#: den²·dot² inside int64 — 2048 does (dim 64, |v| ≤ 1 → dot ≤ 2.7e8).
+QINT_NEARDUP_SCALE = 2048
+
+
+#: quantized cos²·1e6 as an exact int64 over named columns (d, na, nb):
+#: pure integer `div` ops — ~6 significant digits, identical on any
+#: engine (a float division of ints past 2^53 would NOT be exact)
+_SIM_Q_EXPR = (
+    "CASE WHEN {d} < 0 THEN CAST(0 AS BIGINT) "
+    "ELSE ({d} * {d}) div greatest(({na} * {nb}) div 1000000, 1) END"
+)
+
+
+def qint_lsh_neardup_pairs(
+    corpus: DataFrame, threshold_num: int = 2, threshold_den: int = 5,
+    dim: int = 64, num_planes: int = 16, bands: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = QINT_NEARDUP_SCALE,
+) -> DataFrame:
+    """Integer-exact twin of :func:`lsh_neardup_pairs` for
+    exact-compare gates and engine-migration audits: banded buckets
+    from integer plane dots, and the cosine-threshold test evaluated
+    WITHOUT floats — ``cos ≥ num/den`` ⇔ ``dot ≥ 0 ∧ den²·dot² ≥
+    num²·‖a‖²·‖b‖²`` over the quantized components, all int64 at the
+    default scale. Any engine computes the identical pair set — no
+    boundary pair can flip on a libm/fold quirk (the sf1 corpus has a
+    candidate within 1e-6 of 0.4; the float form is one ulp drift away
+    from a row-count mismatch).
+
+    Returns (id_a, id_b, dot_q, sim_q): sim_q = quantized cos²·1e6 as
+    int64. Default threshold 2/5 = 0.4. Same candidates-only scale
+    shape as the float form: bucketed band self-join, never all-pairs."""
+    ppb = num_planes // bands
+    assert ppb * bands == num_planes, "num_planes must divide evenly into bands"
+    q = (
+        corpus.select(
+            F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("qv")
+        )
+        .withColumn("nq", int_dot(F.col("qv"), F.col("qv")))
+        .filter(F.col("nq") > 0)
+    )
+    buckets = q.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    qint_lsh_bucket(
+                        F.col("qv"), dim, ppb, plane_offset=b * ppb, scale=scale
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")), "inner")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = q.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"), F.col("nq").alias("na"))
+    vb = q.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"), F.col("nq").alias("nb"))
+    num2, den2 = threshold_num * threshold_num, threshold_den * threshold_den
+    scored = (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            int_dot(F.col("qa"), F.col("qb")).alias("dot_q"), "na", "nb",
+        )
+    )
+    return (
+        scored.filter(
+            (F.col("dot_q") >= 0)
+            & (F.col("dot_q") * F.col("dot_q") * F.lit(den2)
+               >= F.col("na") * F.col("nb") * F.lit(num2))
+        )
+        .select(
+            "id_a", "id_b", "dot_q",
+            F.expr(
+                _SIM_Q_EXPR.format(d="dot_q", na="na", nb="nb")
+            ).cast("long").alias("sim_q"),
+        )
+    )
+
+
 def group_centroids(
     emb: DataFrame, group_col: str, vec_col: str = "embedding",
     dim: int = 64,

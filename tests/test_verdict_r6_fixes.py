@@ -48,14 +48,15 @@ def _has_float(dt) -> bool:
 
 def test_emb_lsh_topk_schema_is_float_free(spark):
     """VERDICT r5 #1 done-criterion: no DoubleType column reaches the
-    hash for this entry."""
+    hash for ANY embedding entry (the family that red-flagged r4+r5)."""
     entry = _load_entry()
-    df = entry.queries()["emb_lsh_topk"](spark, SF0001)
-    for f in df.schema.fields:
-        assert not _has_float(f.dataType), (
-            f"emb_lsh_topk hashes float column {f.name}: {f.dataType} — "
-            "the ledger compares by exact repr; quantize to integers"
-        )
+    for name in ("emb_lsh_topk", "emb_cosine_topk", "emb_neardup"):
+        df = entry.queries()[name](spark, SF0001)
+        for f in df.schema.fields:
+            assert not _has_float(f.dataType), (
+                f"{name} hashes float column {f.name}: {f.dataType} — "
+                "the ledger compares by exact repr; quantize to integers"
+            )
 
 
 def test_emb_lsh_topk_tolerance_arms_zero(spark):
@@ -320,3 +321,35 @@ def test_measured_crossover_seeds_conversion_floor(spark, tmp_path, monkeypatch)
     g1.query("SetConfig('index_scan_min_avoided', '0')")
     c3, _ = g1.V().has("name", "u7").values("name")._compile()
     assert c3.index_hits == 1
+
+
+def test_emb_neardup_entry_is_float_free_and_consistent(spark):
+    """emb_neardup hashed the same round(float,6) shape that red-flagged
+    emb_lsh_topk twice — and the sf1 corpus has a candidate within 1e-6
+    of the 0.4 threshold. The entry is now integer-exact: no Double/
+    Float column in its schema, and its Spark-side tolerance arms
+    (cos_ok / lib_ok) are zero."""
+    entry = _load_entry()
+    df = entry.queries()["emb_neardup"](spark, SF0001)
+    for f in df.schema.fields:
+        assert not _has_float(f.dataType), f"{f.name}: {f.dataType}"
+    arms = {r["op"]: r["id_b"] for r in df.filter(F.col("op").isin("cos_ok", "lib_ok")).collect()}
+    assert arms == {"cos_ok": 0, "lib_ok": 0}
+
+
+def test_qint_neardup_matches_float_off_boundary(spark):
+    """The integer threshold test agrees with the float library away
+    from the boundary (quantization error ~6e-3 on cos, margin 0.02)."""
+    from grasper_spark.functions.similarity import (
+        lsh_neardup_pairs, qint_lsh_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    fl = {(r["id_a"], r["id_b"]): r["sim"] for r in lsh_neardup_pairs(emb).collect()}
+    qi = {(r["id_a"], r["id_b"]): r["sim_q"] for r in qint_lsh_neardup_pairs(emb).collect()}
+    for k, sim in fl.items():
+        if sim >= 0.42:
+            assert k in qi, f"float pair {k} (sim {sim}) missing from integer set"
+    for k, sq in qi.items():
+        if sq >= 176400:  # quantized cos² ≥ 0.42²·1e6
+            assert k in fl, f"integer pair {k} (sim_q {sq}) missing from float set"
