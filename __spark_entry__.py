@@ -1190,13 +1190,30 @@ def _q_algo_paths(spark, sf):
 
 
 def _q_algo_pagerank(spark, sf):
-    # fixed 5 iterations + 4-dp rounding — deterministic, so the oracle
-    # unrolls the same 5 power steps as chained CTEs
-    from grasper_spark.algos import pagerank
+    # fixed 5 iterations of the INTEGER-exact power step (pagerank_qint
+    # — nano-unit ranks, pure int64 arithmetic), so the hashed value is
+    # fold-order-free and engine-identical; the float round(rank,4) form
+    # was a cross-row float sum through rounding (the r4/r5 bug class —
+    # at sf1's 1.86M vertices a ~1e-8 per-vertex boundary-flip chance is
+    # material). The float library pagerank is verified by the vid=-1
+    # tolerance row: count of vertices where |rank_q/1e9 - rank| > 1e-4,
+    # deterministically 0 (observed drift < 1e-7).
+    from grasper_spark.algos import pagerank, pagerank_qint
 
-    return pagerank(_graph(spark, sf).graph, iterations=5).select(
-        "vid", F.round("rank", 4).alias("rank")
+    g = _graph(spark, sf).graph
+    qint = pagerank_qint(g, iterations=5)
+    fl = pagerank(g, iterations=5)
+    ok = (
+        qint.join(fl, "vid")
+        .select(
+            (
+                F.abs(F.col("rank_q").cast("double") / 1e9 - F.col("rank")) > 1e-4
+            ).cast("long").alias("bad")
+        )
+        .agg(F.coalesce(F.sum("bad"), F.lit(0).cast("long")).alias("bad"))
+        .select(F.lit(-1).cast("long").alias("vid"), F.col("bad").alias("rank"))
     )
+    return qint.select("vid", F.col("rank_q").alias("rank")).unionByName(ok)
 
 
 def _q_doc_sampling(spark, sf):
@@ -2045,15 +2062,18 @@ def _kcore_oracle(rounds: int = 6, k: int = 2) -> str:
     return "".join(parts)
 
 
-def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
-    """Unrolled power iteration mirroring algos.pagerank exactly: same
-    vertex/edge FK projection, same dangling redistribution, same float
-    expression tree ((1-d) + d*(in_sum + dang/n)); 4-dp rounding absorbs
-    sum-order nondeterminism on both engines. Every CTE is MATERIALIZED:
-    each r{i} is referenced twice by round i+1, and DuckDB inlines plain
-    CTEs, re-expanding the chain exponentially — the round-3 sf1
-    'infeasibility' was exactly that."""
-    base = repr(1 - damping)  # 0.15000000000000002 — the exact Spark literal
+def _pagerank_oracle(iters: int = 5, damping_num: int = 17,
+                     damping_den: int = 20, scale: int = 10**9) -> str:
+    """Unrolled power iteration mirroring algos.pagerank_qint exactly:
+    same vertex/edge FK projection, same dangling redistribution, and
+    the INTEGER update ((den-num)·scale div den + num·(in_sum +
+    dang div n) div den) — every value is int64, so the hash cannot
+    flip on fold order or rounding differences. Every CTE is
+    MATERIALIZED: each r{i} is referenced twice by round i+1, and
+    DuckDB inlines plain CTEs, re-expanding the chain exponentially —
+    the round-3 sf1 'infeasibility' was exactly that. The vid=-1 row
+    pins the Spark-side float-library tolerance check at 0."""
+    base = ((damping_den - damping_num) * scale) // damping_den
     parts = ["""WITH verts AS MATERIALIZED (
   SELECT r_regionkey::BIGINT AS vid FROM region
   UNION ALL SELECT (n_nationkey + 10)::BIGINT FROM nation
@@ -2071,26 +2091,30 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
 ), deg AS MATERIALIZED (
   SELECT src AS vid, count(*)::BIGINT AS deg FROM edges GROUP BY 1
 ), nn AS MATERIALIZED (
-  SELECT count(*)::DOUBLE AS n FROM verts
+  SELECT count(*)::BIGINT AS n FROM verts
 ), r0 AS MATERIALIZED (
-  SELECT vid, 1.0::DOUBLE AS rank FROM verts
-)"""]
+  SELECT vid, {scale}::BIGINT AS rank_q FROM verts
+)""".format(scale=scale)]
     for i in range(1, iters + 1):
         p = i - 1
         parts.append(f""", s{i} AS MATERIALIZED (
-  SELECT e.dst AS vid, sum(r.rank / d.deg) AS in_sum
+  SELECT e.dst AS vid, sum(r.rank_q // d.deg)::BIGINT AS in_sum
   FROM r{p} r JOIN deg d ON d.vid = r.vid JOIN edges e ON e.src = r.vid
   GROUP BY 1
 ), d{i} AS MATERIALIZED (
-  SELECT coalesce(sum(r.rank), 0.0) AS dang
+  SELECT coalesce(sum(r.rank_q), 0)::BIGINT AS dang
   FROM r{p} r LEFT JOIN deg d ON d.vid = r.vid WHERE d.vid IS NULL
 ), r{i} AS MATERIALIZED (
   SELECT v.vid,
-         {base} + {damping!r} * (coalesce(s.in_sum, 0.0)
-           + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS rank
+         ({base} + ({damping_num} * (coalesce(s.in_sum, 0)
+           + (SELECT dang FROM d{i}) // (SELECT n FROM nn)))
+          // {damping_den})::BIGINT AS rank_q
   FROM verts v LEFT JOIN s{i} s ON s.vid = v.vid
 )""")
-    parts.append(f"\nSELECT vid, round(rank, 4) AS rank FROM r{iters}")
+    parts.append(
+        f"\nSELECT vid, rank_q AS rank FROM r{iters}"
+        "\nUNION ALL SELECT (-1)::BIGINT, 0::BIGINT"
+    )
     return "".join(parts)
 
 

@@ -217,6 +217,67 @@ def pagerank(
     return ranks
 
 
+def pagerank_qint(
+    graph: PropertyGraph,
+    iterations: int = 10,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 10**9,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Integer-exact PageRank for exact-compare gates: ranks are int64
+    nano-units (`scale` per initial unit) and every step is pure integer
+    arithmetic — per-edge contribution ``rank_q div deg``, fold-order-
+    free integer sums, and the update ``(den-num)·scale div den +
+    num·(in_sum + dang div n) div den`` with damping = num/den (default
+    17/20 = 0.85). Truncation (≤1 nano-unit per op) is deterministic,
+    so ANY engine reproduces identical values — unlike the float form,
+    whose cross-row sums are fold-order-sensitive and whose rounding
+    differs across engines (the ledger's r4/r5 bug class).
+
+    Same plan shape as :func:`pagerank`: one job per iteration, the
+    dangling-mass scalar broadcast in-plan. int64 bound: total mass is
+    ~|V|·scale, so |V| ≤ ~9e9 at the default scale."""
+    v = graph.vertices.select("vid")
+    n = v.count()
+    out_deg = graph.edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = v.withColumn("rank_q", F.lit(scale).cast("long"))
+    edges = graph.edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    base = ((damping_den - damping_num) * scale) // damping_den
+    for i in range(iterations):
+        contribs = (
+            ranks.join(out_deg, "vid", "inner").alias("r")
+            .join(edges.alias("e"), F.col("r.vid") == F.col("e._s"), "inner")
+            .select(
+                F.col("e._d").alias("vid"),
+                F.expr("rank_q div deg").alias("c"),
+            )
+            .groupBy("vid")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = (
+            ranks.join(out_deg, "vid", "left_anti")
+            .agg(F.coalesce(F.sum("rank_q"), F.lit(0).cast("long")).alias("_dang"))
+        )
+        ranks = (
+            v.join(contribs, "vid", "left")
+            .na.fill({"in_sum": 0})
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vid",
+                F.expr(
+                    f"{base} + ({damping_num} * (in_sum + _dang div {n})) "
+                    f"div {damping_den}"
+                ).cast("long").alias("rank_q"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def personalized_pagerank(
     graph: PropertyGraph,
     seeds: list[int],
