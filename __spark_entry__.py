@@ -1384,7 +1384,9 @@ def _q_events_asof(spark, sf):
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
-        .agg(F.round(F.max("value"), 4).alias("purchase_value"))
+        # raw max: a selection of an untouched double hashes identically
+        # on any engine; round(·,4) does not
+        .agg(F.max("value").alias("purchase_value"))
     )
     out = as_of_join(clicks, purchases, key="user_id", ts="ts", value_cols=["purchase_value"])
     return out.select("event_id", "user_id", "asof_purchase_value")
@@ -2935,7 +2937,7 @@ SELECT 'deg_dist', degree, count(*)::DOUBLE FROM (
 WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ), purchases AS (
-  SELECT user_id, ts, round(max(value), 4) AS purchase_value
+  SELECT user_id, ts, max(value) AS purchase_value
   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
 )
 SELECT c.event_id, c.user_id, p.purchase_value AS asof_purchase_value
