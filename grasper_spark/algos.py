@@ -240,6 +240,13 @@ def pagerank_qint(
     ~|V|·scale, so |V| ≤ ~9e9 at the default scale."""
     v = graph.vertices.select("vid")
     n = v.count()
+    if n == 0:
+        return v.withColumn("rank_q", F.lit(0).cast("long"))
+    if n * scale * damping_num > 2**62:
+        raise ValueError(
+            f"pagerank_qint: |V|·scale·num = {n * scale * damping_num} "
+            f"risks int64 overflow — lower the scale"
+        )
     out_deg = graph.edges.groupBy(F.col("src").alias("vid")).agg(
         F.count(F.lit(1)).alias("deg")
     )

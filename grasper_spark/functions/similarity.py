@@ -345,6 +345,19 @@ def lsh_topk(
 QINT_SCALE = 4096
 
 
+def _check_qint_bounds(scale: int, dim: int, den: int) -> None:
+    """int64-overflow guard for the qint operators: with |v| ≤ 1 the
+    worst dot is dim·scale², and the ranking/threshold tests square it
+    (×den²). Spark longs wrap SILENTLY outside ANSI mode — reject
+    configurations that could, instead of returning wrong integers."""
+    worst_dot = dim * scale * scale
+    if worst_dot * worst_dot > (2**63 - 1) // max(den * den, 1):
+        raise ValueError(
+            f"qint scale {scale} with dim {dim} (den {den}) can overflow "
+            f"int64 in dot²·den² — use a smaller scale"
+        )
+
+
 def quantize_vec(vec: Column, scale: int = QINT_SCALE) -> Column:
     """`floor(v_i * scale)` as array<long>. With a power-of-two scale the
     multiply is exact in IEEE double, so the result depends only on the
@@ -442,6 +455,7 @@ def qint_cosine_topk(
     corpus pass, per-query top-k window.
 
     Returns (query_id, neighbor_id, dot_q, sim_q, rank)."""
+    _check_qint_bounds(scale, 64, 1)
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -529,6 +543,7 @@ def qint_lsh_neardup_pairs(
     Returns (id_a, id_b, dot_q, sim_q): sim_q = quantized cos²·1e6 as
     int64. Default threshold 2/5 = 0.4. Same candidates-only scale
     shape as the float form: bucketed band self-join, never all-pairs."""
+    _check_qint_bounds(scale, dim, threshold_den)
     ppb = num_planes // bands
     assert ppb * bands == num_planes, "num_planes must divide evenly into bands"
     q = (

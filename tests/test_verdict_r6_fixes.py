@@ -353,3 +353,28 @@ def test_qint_neardup_matches_float_off_boundary(spark):
     for k, sq in qi.items():
         if sq >= 176400:  # quantized cos² ≥ 0.42²·1e6
             assert k in fl, f"integer pair {k} (sim_q {sq}) missing from float set"
+
+
+def test_qint_overflow_guards():
+    """qint operators reject scales that could silently wrap int64
+    (Spark longs wrap outside ANSI mode — wrong integers, no error)."""
+    import pytest as _pytest
+
+    from grasper_spark.functions import similarity as S
+
+    S._check_qint_bounds(4096, 64, 1)      # the defaults are in-bounds
+    S._check_qint_bounds(2048, 64, 5)
+    with _pytest.raises(ValueError):
+        S._check_qint_bounds(10**6, 64, 5)
+    with _pytest.raises(ValueError):
+        S._check_qint_bounds(100000, 64, 1)
+
+
+def test_pagerank_qint_empty_graph(spark):
+    from grasper_spark import PropertyGraph
+    from grasper_spark.algos import pagerank_qint
+
+    v = spark.createDataFrame([], "vid long, label string")
+    e = spark.createDataFrame([], "src long, dst long, label string, weight double")
+    out = pagerank_qint(PropertyGraph(v, e, name="empty"), iterations=2)
+    assert out.count() == 0
