@@ -2662,7 +2662,7 @@ SELECT 'importance', doc_id, printf('%.6f', q) FROM (
     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bk
   FROM documents
 ) i
-WHERE bk / 10000.0 < least(1.0, greatest(0.05, pow(q, 2.0)))
+WHERE bk / 10000.0 < least(1.0, greatest(0.05, q * q))
 """,
         "doc_unigram_lm": r"""
 WITH toks AS (

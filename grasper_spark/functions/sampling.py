@@ -284,10 +284,19 @@ def importance_sample(
     `score_col` is expected in [0, 1] (e.g. text.quality_score);
     `power` > 1 sharpens the preference, `floor` guarantees minimum
     representation of the low end (the DoReMi-ish smoothing knob).
-    Pure column arithmetic — scan-speed, zero shuffle."""
-    p = F.least(
-        F.lit(1.0),
-        F.greatest(F.lit(float(floor)), F.pow(F.col(score_col), F.lit(float(power)))),
-    )
+    Pure column arithmetic — scan-speed, zero shuffle.
+
+    Small integer powers expand to repeated multiplication: each
+    multiply is a single correctly-rounded IEEE op, identical on any
+    engine, while pow() may route through exp/ln on some platforms and
+    drift a ulp — enough to flip the keep/drop threshold comparison for
+    a boundary row in a cross-engine exact-compare gate."""
+    if float(power).is_integer() and 1 <= int(power) <= 4:
+        powed = F.col(score_col)
+        for _ in range(int(power) - 1):
+            powed = powed * F.col(score_col)
+    else:
+        powed = F.pow(F.col(score_col), F.lit(float(power)))
+    p = F.least(F.lit(1.0), F.greatest(F.lit(float(floor)), powed))
     u = (_md5_int(F.col(id_col).cast("string")) % BUCKETS) / F.lit(float(BUCKETS))
     return df.filter(u < p)
