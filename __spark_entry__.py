@@ -1303,16 +1303,19 @@ def _q_doc_topk_ngrams(spark, sf):
         F.col("cnt").cast("double").alias("v"),
         "rank",
     )
-    tf = tfidf_top_terms(_docs(spark, sf), k=3).select(
+    # quantize=10000: hashed v is an integral floor(value*1e4) (cast to
+    # double for the union with the ngram-count arm — exact < 2^53);
+    # PMI's top-k ORDER uses the exact count ratio, not ln (monotone)
+    tf = tfidf_top_terms(_docs(spark, sf), k=3, quantize=10000).select(
         F.lit("tfidf").alias("op"),
         F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("term")).alias("k"),
-        F.col("tfidf").alias("v"),
+        F.col("tfidf").cast("double").alias("v"),
         "rank",
     )
-    pmi = pmi_bigrams(_docs(spark, sf), k=20).select(
+    pmi = pmi_bigrams(_docs(spark, sf), k=20, quantize=10000).select(
         F.lit("pmi").alias("op"),
         F.col("bigram").alias("k"),
-        F.col("pmi").alias("v"),
+        F.col("pmi").cast("double").alias("v"),
         "rank",
     )
     return top.unionByName(tf).unionByName(pmi)
@@ -2473,7 +2476,7 @@ SELECT 'tfidf', k, v, rank FROM (
   nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM t2),
   scored AS (
     SELECT doc_id, term,
-           round(tf * ln((SELECT n FROM nd) / df), 6) AS tfidf
+           floor(tf * ln((SELECT n FROM nd) / df) * 10000.0) AS tfidf
     FROM tf JOIN dfq USING (term)
   )
   SELECT doc_id::VARCHAR || ':' || term AS k, tfidf AS v, rank::INTEGER AS rank
@@ -2501,12 +2504,13 @@ SELECT 'pmi', k, v, rank FROM (
          GROUP BY 1, 2 HAVING count(*) >= 2),
   scored AS (
     SELECT a || ' ' || b AS bigram, bc.n,
-           round(ln(bc.n * (SELECT n FROM tot) / (ua.c * ub.c)), 6) AS pmi
+           bc.n * (SELECT n FROM tot) / (ua.c * ub.c) AS r,
+           floor(ln(bc.n * (SELECT n FROM tot) / (ua.c * ub.c)) * 10000.0) AS pmi
     FROM bc JOIN uni ua ON ua.t = a JOIN uni ub ON ub.t = b
   )
   SELECT bigram AS k, pmi AS v,
-         (row_number() OVER (ORDER BY pmi DESC, bigram))::INTEGER AS rank
-  FROM scored ORDER BY pmi DESC, bigram LIMIT 20
+         (row_number() OVER (ORDER BY r DESC, bigram))::INTEGER AS rank
+  FROM scored ORDER BY r DESC, bigram LIMIT 20
 ) pm
 """,
         "doc_export_shards": """

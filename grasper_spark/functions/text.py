@@ -359,7 +359,8 @@ def unigram_lm_score(
 
 
 def tfidf_top_terms(
-    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF (the classic
     keyword/feature extractor): tf = in-doc count, idf = ln(N / df)
@@ -378,7 +379,16 @@ def tfidf_top_terms(
     n_docs = df.filter(F.length(F.trim(F.col(text_col))) > 0).count()
     scored = tf.join(dfreq, "term").select(
         id_col, "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        (
+            # quantize=K: hash-stable int64 floor(tfidf*K) — round(·,6)
+            # of an ln-derived float can flip across engines (see
+            # unigram_lm_score)
+            F.floor(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * F.lit(float(quantize))
+            )
+            if quantize
+            else F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        ).alias("tfidf"),
     )
     from pyspark.sql import Window
 
@@ -392,6 +402,7 @@ def tfidf_top_terms(
 def pmi_bigrams(
     df: DataFrame, k: int = 50, min_count: int = 2,
     text_col: str = "text", id_col: str = "doc_id",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Top-k collocations: adjacent token bigrams ranked by pointwise
     mutual information, PMI = ln(c_ab · T / (c_a · c_b)) with T = total
@@ -418,20 +429,28 @@ def pmi_bigrams(
     bc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") >= min_count
     )
+    # ORDER by the raw ratio n·T/(ca·cb): exact-int products < 2^53
+    # through one division are bit-identical on any engine, and ln is
+    # strictly monotone so the ranking is the same — keeping ln out of
+    # the sort removes the one cross-engine nondeterminism (libm ulp
+    # drift) from the top-k cut
+    ratio = F.col("n") * F.lit(float(total)) / (F.col("ca") * F.col("cb"))
     scored = (
         bc.join(uni.select(F.col("t").alias("a"), F.col("c").alias("ca")), "a")
         .join(uni.select(F.col("t").alias("b"), F.col("c").alias("cb")), "b")
         .select(
             F.concat_ws(" ", "a", "b").alias("bigram"),
             "n",
-            F.round(
-                F.log(F.col("n") * F.lit(float(total)) / (F.col("ca") * F.col("cb"))),
-                6,
+            ratio.alias("_r"),
+            (
+                F.floor(F.log(ratio) * F.lit(float(quantize)))
+                if quantize
+                else F.round(F.log(ratio), 6)
             ).alias("pmi"),
         )
     )
-    top = scored.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(k)
+    top = scored.orderBy(F.col("_r").desc(), F.col("bigram")).limit(k)
     return top.withColumn(
         "rank",
-        F.row_number().over(Window.orderBy(F.col("pmi").desc(), F.col("bigram"))),
-    )
+        F.row_number().over(Window.orderBy(F.col("_r").desc(), F.col("bigram"))),
+    ).drop("_r")
