@@ -715,12 +715,17 @@ def _q_doc_line_dedup(spark, sf):
 
 
 def _q_doc_exact_dedup(spark, sf):
-    # exact dedup groups + incremental dedup-against-corpus in one tagged
+    # exact dedup groups + incremental dedup-against-corpus + repeated
+    # n-gram spans (Lee et al. 2022 exact substring dedup) in one tagged
     # union over (op, k, id, v): batch = doc_id % 5 == 0 probed against
     # the rest — the "don't re-ingest what we already have" op, exact
-    # fp short-circuit + banded-LSH candidates + exact-Jaccard verify,
-    # all mirrored in the DuckDB oracle
-    from grasper_spark.functions.dedup import dedup_against, exact_dedup
+    # fp short-circuit + banded-LSH candidates + exact-Jaccard verify;
+    # rngram rows are the maximal token spans covered by 10-grams that
+    # repeat corpus-wide (k = 'start:end' integers, v = merged seed
+    # count — every hashed value integer-or-string-exact on both engines)
+    from grasper_spark.functions.dedup import (
+        dedup_against, exact_dedup, repeated_ngram_spans,
+    )
 
     docs = _docs(spark, sf)
     groups = exact_dedup(docs).select(
@@ -737,7 +742,13 @@ def _q_doc_exact_dedup(spark, sf):
         F.col("doc_id").alias("id"),
         F.coalesce(F.col("jaccard"), F.lit(-1.0)).alias("v"),
     )
-    return groups.unionByName(incr)
+    rng = repeated_ngram_spans(docs, n=10, min_count=2).select(
+        F.lit("rngram").alias("op"),
+        F.concat_ws(":", "span_start", "span_end").alias("k"),
+        F.col("doc_id").alias("id"),
+        F.col("n_grams").cast("double").alias("v"),
+    )
+    return groups.unionByName(incr).unionByName(rng)
 
 
 def _q_doc_minhash_sig(spark, sf):
@@ -1663,6 +1674,37 @@ WHERE round(common / (sa.sz + sb.sz - common), 6) >= {threshold}
 """
 
 
+def _repeated_ngram_oracle(n: int = 10, min_count: int = 2) -> str:
+    """Mirror dedup.repeated_ngram_spans: hot word n-grams (>= min_count
+    corpus-wide) -> seed positions -> gaps-and-islands merge into maximal
+    spans. Oracle groups by the gram STRING where Spark groups by its
+    xxhash64 (identical up to a ~2^-64 collision, same contract as the
+    jaccard inverted index). Every output value is an exact integer."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+{n - 1}], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+), hot AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= {min_count}
+), seeds AS (
+  SELECT doc_id, pos FROM grams JOIN hot USING (g)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {n}
+              THEN 1 ELSE 0 END AS f
+  FROM seeds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl AS (
+  SELECT doc_id, pos, sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + {n})::BIGINT AS span_end,
+       count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc_id, isl
+"""
+
+
 _LANG_CASE = """CASE
     WHEN v_fr > v_en AND v_fr > v_de AND v_fr > v_es THEN 'fr'
     WHEN v_es > v_en AND v_es > v_de AND v_es >= v_fr THEN 'es'
@@ -1705,16 +1747,6 @@ SELECT doc_id, lang_pred, quality, n_tokens, fingerprint FROM (
   FROM gated
 ) t WHERE rn = 1
 """
-
-
-# cosine in DuckDB list algebra — same left-to-right double fold as the
-# Spark F.aggregate path, so round-6 values match bit-stably
-def _cos_sql(a: str, b: str) -> str:
-    def dot(x, y):
-        return (f"list_sum(list_transform(range(1, len({x}) + 1), "
-                f"i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))")
-
-    return f"round({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})), 6)"
 
 
 def _bucket_sql(vec: str, dim: int, num_planes: int, plane_offset: int = 0) -> str:
@@ -2595,6 +2627,11 @@ SELECT 'groups' AS op, md5({_NORM}) AS k, min(doc_id)::BIGINT AS id,
 FROM documents GROUP BY 2
 UNION ALL
 SELECT op, k, id, v FROM ({_dedup_against_oracle()}) da
+UNION ALL
+SELECT 'rngram' AS op,
+       (span_start::VARCHAR || ':' || span_end::VARCHAR) AS k,
+       doc_id::BIGINT AS id, n_grams::DOUBLE AS v
+FROM ({_repeated_ngram_oracle(n=10, min_count=2)}) rn
 """,
         "doc_minhash_sig": _minhash_oracle(),
         "doc_simhash": _simhash_oracle(),

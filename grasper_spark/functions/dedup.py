@@ -723,3 +723,161 @@ def pair_mass_estimate(
             .alias(f"pair_mass_cap{cap}")
         )
     return dfs.agg(*aggs)
+
+
+# size-1 registry for the positional-gram relation (separate from
+# _SH_PERSISTED so a tagged entry using BOTH the shingle inverted index
+# and repeated-span grams doesn't thrash one slot mid-query)
+_RN_PERSISTED: list = []
+
+
+def _persisted_grams(g: DataFrame) -> DataFrame:
+    jp = g._jdf.queryExecution().analyzed()
+    h = jp.semanticHash()
+    if _RN_PERSISTED and _RN_PERSISTED[0][0] == h and (
+        _RN_PERSISTED[0][1]._jdf.queryExecution().analyzed().sameResult(jp)
+    ):
+        return _RN_PERSISTED[0][1]
+    while _RN_PERSISTED:
+        _RN_PERSISTED.pop()[1].unpersist()
+    g.persist()
+    _RN_PERSISTED.append((h, g))
+    return g
+
+
+def _positional_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int,
+) -> DataFrame:
+    """(id, pos, k) — every full word n-gram with its 0-based start token
+    index, keyed by xxhash64 of the gram string (8-byte join/agg keys
+    instead of ~50-byte strings; identical groups up to a ~2^-64
+    collision). Same posexplode + window-lead formulation as
+    _exploded_shingles — whole pipeline stays in WholeStageCodegen."""
+    from pyspark.sql import Window
+
+    toks = _spread(df).select(
+        F.col(id_col), F.posexplode(tokens(normalize(F.col(text_col)))).alias("pos", "t")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
+    return (
+        toks.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.xxhash64(F.concat_ws(" ", *leads)).alias("k"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+
+
+def repeated_ngram_spans(
+    df: DataFrame, n: int = 10, min_count: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated-substring spans — the 'remove any long substring
+    that appears verbatim more than once in the corpus' dedup from Lee
+    et al. 2022 (Deduplicating Training Data Makes Language Models
+    Better), re-expressed relationally instead of via a suffix array.
+
+    Returns (id_col, span_start, span_end, n_grams): the MAXIMAL token
+    spans covered by word n-grams occurring >= min_count times
+    corpus-wide. Token indices are 0-based over the normalized token
+    stream; span_end is exclusive; n_grams counts the seed grams merged
+    into the span.
+
+    100 TB design: tokenize once (posexplode + lead, codegen, one window
+    shuffle by doc); hot grams via ONE partial-agg groupBy on 8-byte
+    xxhash64 keys (only distinct-gram partials shuffle); a semi-join
+    marks seed positions (AQE broadcasts the hot side when small — the
+    common case, duplicated grams are the tail); gaps-and-islands
+    windows merge seeds into maximal spans with per-doc state bounded by
+    doc length. No all-pairs join anywhere; pair mass never enters the
+    plan, unlike Jaccard candidates."""
+    from pyspark.sql import Window
+
+    grams = _persisted_grams(_positional_grams(df, text_col, id_col, n))
+    hot = (
+        grams.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("k")
+    )
+    seeds = grams.join(hot, "k", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lagp = F.lag("pos").over(w)
+    # intervals [p, p+n) chain-merge while the next seed starts at or
+    # before the previous seed's end; seeds ascend, so checking the
+    # immediately previous seed is transitive-complete
+    flagged = seeds.select(
+        id_col, "pos",
+        F.when(lagp.isNull() | (F.col("pos") > lagp + n), 1).otherwise(0).alias("_f"),
+    )
+    isl = flagged.select(
+        id_col, "pos",
+        F.sum("_f").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_isl"),
+    )
+    return (
+        isl.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .drop("_isl")
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame, spans: DataFrame | None = None, n: int = 10,
+    min_count: int = 2, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Cleaned corpus with every repeated-span token dropped (ALL
+    occurrences — the conservative Lee-et-al. policy; keep-one requires
+    a global occurrence order, which at corpus scale is an arbitrary
+    tiebreak anyway). Returns (id_col, text, n_tokens, n_removed) where
+    `text` is the NORMALIZED token stream re-joined with single spaces
+    (span indices address normalized tokens, so removal must too).
+
+    Plan: equi-join token rows to spans on the doc id with a range
+    post-filter (spans per doc are few — cost is tokens x spans/doc,
+    not a shuffle explosion), left-anti to keep uncovered tokens, one
+    groupBy per doc to rebuild. Docs with zero surviving tokens keep
+    their row with text='' (the caller decides whether to drop)."""
+    if spans is None:
+        spans = repeated_ngram_spans(
+            df, n=n, min_count=min_count, text_col=text_col, id_col=id_col
+        )
+    toks = _spread(df).select(
+        F.col(id_col), F.posexplode(tokens(normalize(F.col(text_col)))).alias("pos", "t")
+    )
+    sp = spans.select(
+        F.col(id_col).alias("_sid"), "span_start", "span_end"
+    )
+    covered = (
+        toks[id_col] == sp["_sid"]
+    ) & (toks["pos"] >= sp["span_start"]) & (toks["pos"] < sp["span_end"])
+    kept = toks.join(sp, covered, "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "t"))).alias("_a"),
+    ).select(
+        id_col,
+        F.concat_ws(" ", F.transform("_a", lambda s: s["t"])).alias("text"),
+        F.size("_a").cast("long").alias("n_tokens"),
+    )
+    totals = _spread(df).select(
+        F.col(id_col),
+        F.size(tokens(normalize(F.col(text_col)))).cast("long").alias("_total"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            (F.col("_total") - F.coalesce(F.col("n_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
