@@ -1165,15 +1165,34 @@ def _q_events_interval_join(spark, sf):
 
 
 def _q_multimodal_features(spark, sf):
-    from grasper_spark.functions.multimodal import documents_as_media, extract_features
-
-    return extract_features(documents_as_media(_docs(spark, sf))).select(
-        "media_id",
-        F.col("n_bytes").cast("long").alias("n_bytes"),
-        "byte_sum",
-        "byte_mean",
-        F.col("first_byte").cast("long").alias("first_byte"),
+    # tagged all-integer union (op, media_id, a, b, c, d):
+    # - bytes rows: Arrow byte-stat plumbing over the text payloads
+    #   (a=n_bytes, b=byte_sum, c=first_byte) — the codec-agnostic path
+    # - wav/bmp rows: REAL container decode — synthetic_media builds
+    #   actual RIFF/PCM and 24bpp BMP payloads from closed-form integer
+    #   formulas, media_decode_features sniffs magic bytes and decodes
+    #   them back (chunk walk, stride padding, bottom-up rows), and the
+    #   DuckDB oracle recomputes the features straight from the formulas
+    #   — a decoder bug is a ledger mismatch, not a silent pass
+    # - error rows: ids % 97 == 0 carry a JPEG-magic payload, exercising
+    #   the honest compressed-codec NotImplementedError hook under the
+    #   production on_error='null' posture
+    from grasper_spark.functions.multimodal import (
+        documents_as_media, extract_features, media_decode_features,
+        synthetic_media,
     )
+
+    docs = _docs(spark, sf)
+    by = extract_features(documents_as_media(docs)).select(
+        F.lit("bytes").alias("op"),
+        "media_id",
+        F.col("n_bytes").cast("long").alias("a"),
+        F.col("byte_sum").alias("b"),
+        F.col("first_byte").cast("long").alias("c"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    real = media_decode_features(synthetic_media(docs))
+    return by.unionByName(real)
 
 
 def _q_algo_paths(spark, sf):
@@ -2843,21 +2862,49 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """,
         # byte-based (UTF-8 blob), not codepoint-based: matches the Spark
         # path's encode+uint8 view for non-ASCII text too
+        # bytes arm: byte stats recomputed from hex(encode(text));
+        # wav/bmp arms: the synthesis closed forms re-evaluated directly
+        # (s[i] = (id*7919 + i*104729)%65536 - 32768; luma = integer
+        # BT.601 over the pixel formulas) — Spark's values went through
+        # REAL RIFF/BMP bytes and back, so equality proves the decoders
         "multimodal_features": """
 WITH b AS (
   SELECT doc_id, octet_length(encode(text)) AS nb, hex(encode(text)) AS hx
   FROM documents
 )
-SELECT doc_id AS media_id,
-       nb::BIGINT AS n_bytes,
+SELECT 'bytes' AS op, doc_id AS media_id,
+       nb::BIGINT AS a,
        (CASE WHEN nb = 0 THEN 0 ELSE list_sum(list_transform(range(0, nb),
-           i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) END)::BIGINT AS byte_sum,
-       ((CASE WHEN nb = 0 THEN 0 ELSE list_sum(list_transform(range(0, nb),
-           i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) END)::BIGINT
-             / greatest(nb, 1)) AS byte_mean,
+           i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT)) END)::BIGINT AS b,
        (CASE WHEN nb = 0 THEN -1
-             ELSE ('0x' || substr(hx, 1, 2))::BIGINT END) AS first_byte
+             ELSE ('0x' || substr(hx, 1, 2))::BIGINT END) AS c,
+       0::BIGINT AS d
 FROM b
+UNION ALL
+SELECT 'error' AS op, doc_id AS media_id,
+       -1::BIGINT, -1::BIGINT, -1::BIGINT, -1::BIGINT
+FROM documents WHERE doc_id % 97 = 0
+UNION ALL
+SELECT 'wav' AS op, doc_id AS media_id,
+       8000::BIGINT AS a,
+       (64 + doc_id % 64)::BIGINT AS b,
+       list_sum(list_transform(range(0, 64 + doc_id % 64),
+         i -> ((doc_id*7919 + i*104729) % 65536 - 32768)
+            * ((doc_id*7919 + i*104729) % 65536 - 32768)))::BIGINT AS c,
+       list_max(list_transform(range(0, 64 + doc_id % 64),
+         i -> abs((doc_id*7919 + i*104729) % 65536 - 32768)))::BIGINT AS d
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
+UNION ALL
+SELECT 'bmp' AS op, doc_id AS media_id,
+       (4 + doc_id % 5)::BIGINT AS a,
+       (3 + doc_id % 4)::BIGINT AS b,
+       list_sum(list_transform(range(0, (4 + doc_id % 5) * (3 + doc_id % 4)),
+         i -> (  77 * ((doc_id + 3*(i % (4 + doc_id % 5)) + 7*(i // (4 + doc_id % 5))) % 256)
+               + 150 * ((2*doc_id + 5*(i % (4 + doc_id % 5)) + (i // (4 + doc_id % 5))) % 256)
+               +  29 * (((i % (4 + doc_id % 5)) * (i // (4 + doc_id % 5)) + doc_id) % 256)
+              ) // 256))::BIGINT AS c,
+       ((77 * (doc_id % 256) + 150 * ((2*doc_id) % 256) + 29 * (doc_id % 256)) // 256)::BIGINT AS d
+FROM documents WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0
 """,
         # BFS over the FK graph from regions, direction 'in': the layered
         # star schema makes the exact distances closed-form

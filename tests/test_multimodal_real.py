@@ -1,0 +1,140 @@
+"""Real WAV/BMP decode: byte-level round-trips, chunk walking, stride
+padding, error policy, and the Spark mapInPandas pipeline."""
+
+import struct
+
+import numpy as np
+import pytest
+
+
+def test_wav_round_trip_exact():
+    from grasper_spark.functions.multimodal import decode_wav, wav_bytes
+
+    s = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+    sr, ch, got = decode_wav(wav_bytes(s, sample_rate=44100))
+    assert (sr, ch) == (44100, 1)
+    assert np.array_equal(got, s)
+
+
+def test_wav_odd_data_length_word_aligned():
+    from grasper_spark.functions.multimodal import decode_wav, wav_bytes
+
+    # 3 samples -> 6 data bytes (even), craft an odd-size unknown chunk
+    # AFTER fmt and BEFORE data to force the aligned walk
+    s = np.array([5, -5, 7], dtype=np.int16)
+    payload = wav_bytes(s)
+    # splice a 3-byte 'junk' chunk right after the fmt chunk (ends at
+    # 12 + 8 + 16 = 36)
+    junk = struct.pack("<4sI", b"junk", 3) + b"abc" + b"\x00"  # padded
+    spliced = payload[:36] + junk + payload[36:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    sr, ch, got = decode_wav(spliced)
+    assert np.array_equal(got, s)
+
+
+def test_wav_8bit_pcm_rebased():
+    from grasper_spark.functions.multimodal import decode_wav
+
+    data = bytes([128, 129, 127, 255, 0])
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data + b"\x00"
+    payload = struct.pack("<4sI", b"RIFF", len(body)) + body
+    _, _, got = decode_wav(payload)
+    assert got.tolist() == [0, 1, -1, 127, -128]
+
+
+def test_wav_rejects_compressed_and_garbage():
+    from grasper_spark.functions.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"\xff\xd8\xff\xe0 not riff")
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 7, 1, 8000, 8000, 1, 8)  # mu-law
+    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", 1) + b"\x00" + b"\x00"
+    with pytest.raises(ValueError, match="compressed WAV"):
+        decode_wav(struct.pack("<4sI", b"RIFF", len(body)) + body)
+
+
+@pytest.mark.parametrize("w,h", [(4, 3), (5, 2), (6, 4), (7, 1), (1, 1)])
+def test_bmp_round_trip_all_strides(w, h):
+    from grasper_spark.functions.multimodal import bmp_bytes, decode_bmp
+
+    rng = np.random.default_rng(w * 100 + h)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(bmp_bytes(px)), px)
+
+
+def test_bmp_top_down_layout():
+    from grasper_spark.functions.multimodal import bmp_bytes, decode_bmp
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    payload = bytearray(bmp_bytes(px))
+    # flip the height sign to -2 (top-down) and reverse the stored rows
+    payload[22:26] = struct.pack("<i", -2)
+    stride = (2 * 3 + 3) // 4 * 4
+    off = 54
+    r0, r1 = payload[off:off + stride], payload[off + stride:off + 2 * stride]
+    payload[off:off + 2 * stride] = r1 + r0
+    assert np.array_equal(decode_bmp(bytes(payload)), px)
+
+
+def test_bmp_rejects_unsupported():
+    from grasper_spark.functions.multimodal import bmp_bytes, decode_bmp
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(bmp_bytes(px))
+    payload[28:30] = struct.pack("<H", 8)  # 8bpp palette
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_bmp(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_bmp(b"PK\x03\x04 definitely a zip")
+
+
+def test_synth_formulas_match_decoders():
+    from grasper_spark.functions.multimodal import (
+        bmp_bytes, decode_bmp, decode_wav, synth_bmp_pixels,
+        synth_wav_samples, wav_bytes,
+    )
+
+    for mid in (0, 1, 2, 17, 96, 97, 128):
+        s = synth_wav_samples(mid)
+        assert len(s) == 64 + mid % 64
+        _, _, got = decode_wav(wav_bytes(s))
+        assert np.array_equal(got, s)
+        px = synth_bmp_pixels(mid)
+        assert px.shape == (3 + mid % 4, 4 + mid % 5, 3)
+        assert np.array_equal(decode_bmp(bmp_bytes(px)), px)
+
+
+def test_pipeline_decodes_and_flags_errors(spark):
+    from grasper_spark.functions.multimodal import (
+        luma_int, media_decode_features, synth_bmp_pixels,
+        synth_wav_samples, synthetic_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(40)] + [(97,)], ["doc_id"])
+    rows = {r.media_id: r for r in
+            media_decode_features(synthetic_media(docs)).collect()}
+    assert len(rows) == 41
+    # id 0 and 97: JPEG magic -> error rows under the null policy
+    assert rows[0].op == "error" and rows[0].a == -1
+    assert rows[97].op == "error"
+    # even ids: wav features equal the closed form
+    s = synth_wav_samples(2).astype(np.int64)
+    assert rows[2].op == "wav" and rows[2].a == 8000
+    assert rows[2].b == len(s) and rows[2].c == int((s * s).sum())
+    assert rows[2].d == int(np.abs(s).max())
+    # odd ids: bmp features equal the closed form
+    lu = luma_int(synth_bmp_pixels(7))
+    assert rows[7].op == "bmp"
+    assert (rows[7].a, rows[7].b) == (4 + 7 % 5, 3 + 7 % 4)  # (w=6, h=6)
+    assert rows[7].c == int(lu.sum()) and rows[7].d == int(lu[0, 0])
+
+
+def test_pipeline_raise_policy_propagates(spark):
+    from grasper_spark.functions.multimodal import media_decode_features, synthetic_media
+
+    docs = spark.createDataFrame([(0,)], ["doc_id"])  # 0 % 97 == 0 -> jpeg stub
+    with pytest.raises(Exception, match="NotImplementedError|decode libs"):
+        media_decode_features(synthetic_media(docs), on_error="raise").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        media_decode_features(synthetic_media(docs), on_error="ignore")
