@@ -130,6 +130,23 @@ def test_pipeline_decodes_and_flags_errors(spark):
     assert rows[7].c == int(lu.sum()) and rows[7].d == int(lu[0, 0])
 
 
+def test_extract_features_vectorized_handles_empty_payloads(spark):
+    from pyspark.sql import functions as F
+
+    from grasper_spark.functions.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, b"abc"), (2, b""), (3, None), (4, b"\x00"), (5, b"zz")],
+        ["media_id", "payload"],
+    ).withColumn("media_type", F.lit("image"))
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert (rows[1].n_bytes, rows[1].byte_sum, rows[1].first_byte) == (3, 294, 97)
+    for mid in (2, 3):  # empty and null payloads mid-batch
+        assert (rows[mid].n_bytes, rows[mid].byte_sum, rows[mid].first_byte) == (0, 0, -1)
+    assert (rows[4].n_bytes, rows[4].byte_sum, rows[4].first_byte) == (1, 0, 0)
+    assert (rows[5].n_bytes, rows[5].byte_sum, rows[5].first_byte) == (2, 244, 122)
+
+
 def test_pipeline_raise_policy_propagates(spark):
     from grasper_spark.functions.multimodal import media_decode_features, synthetic_media
 
