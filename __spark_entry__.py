@@ -1196,8 +1196,9 @@ def _q_multimodal_features(spark, sf):
         import pandas as pd
 
         from grasper_spark.functions.multimodal import (
-            WAV_SR, bmp_bytes, decode_bmp, decode_wav, luma_int,
-            synth_bmp_pixels, synth_wav_samples, wav_bytes,
+            WAV_SR, audio_decimate, bmp_bytes, decode_bmp, decode_wav,
+            image_resize_nn, luma_int, synth_bmp_pixels, synth_wav_samples,
+            wav_bytes,
         )
 
         for pdf in batches:
@@ -1244,11 +1245,20 @@ def _q_multimodal_features(spark, sf):
                     s64 = s.astype(np.int64)
                     emit("wav", mid, sr, len(s), int((s64 * s64).sum()),
                          int(np.abs(s64).max()))
+                    # decimated twin: the cheap-resample kernel, same
+                    # exact-integer features over every 4th sample
+                    d4 = audio_decimate(s64, 4)
+                    emit("dec", mid, 4, len(d4), int((d4 * d4).sum()),
+                         int(np.abs(d4).max()))
                 else:
                     px = decode_bmp(bmp_bytes(synth_bmp_pixels(mid)))
                     lu = luma_int(px)
                     emit("bmp", mid, px.shape[1], px.shape[0],
                          int(lu.sum()), int(lu[0, 0]))
+                    # nearest-neighbor 2x2 thumbnail over the DECODED
+                    # pixels — integer index math, oracle-reproducible
+                    rz = luma_int(image_resize_nn(px, 2, 2))
+                    emit("rsz", mid, 2, 2, int(rz.sum()), int(rz[0, 0]))
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(fn, DECODED_SCHEMA)
@@ -2954,6 +2964,16 @@ SELECT 'wav' AS op, doc_id AS media_id,
          i -> abs((doc_id*7919 + i*104729) % 65536 - 32768)))::BIGINT AS d
 FROM documents WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
 UNION ALL
+SELECT 'dec' AS op, doc_id AS media_id,
+       4::BIGINT AS a,
+       ((64 + doc_id % 64 + 3) // 4)::BIGINT AS b,
+       list_sum(list_transform(range(0, (64 + doc_id % 64 + 3) // 4),
+         j -> ((doc_id*7919 + 4*j*104729) % 65536 - 32768)
+            * ((doc_id*7919 + 4*j*104729) % 65536 - 32768)))::BIGINT AS c,
+       list_max(list_transform(range(0, (64 + doc_id % 64 + 3) // 4),
+         j -> abs((doc_id*7919 + 4*j*104729) % 65536 - 32768)))::BIGINT AS d
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
+UNION ALL
 SELECT 'bmp' AS op, doc_id AS media_id,
        (4 + doc_id % 5)::BIGINT AS a,
        (3 + doc_id % 4)::BIGINT AS b,
@@ -2962,6 +2982,19 @@ SELECT 'bmp' AS op, doc_id AS media_id,
                + 150 * ((2*doc_id + 5*(i % (4 + doc_id % 5)) + (i // (4 + doc_id % 5))) % 256)
                +  29 * (((i % (4 + doc_id % 5)) * (i // (4 + doc_id % 5)) + doc_id) % 256)
               ) // 256))::BIGINT AS c,
+       ((77 * (doc_id % 256) + 150 * ((2*doc_id) % 256) + 29 * (doc_id % 256)) // 256)::BIGINT AS d
+FROM documents WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0
+UNION ALL
+SELECT 'rsz' AS op, doc_id AS media_id,
+       2::BIGINT AS a, 2::BIGINT AS b,
+       list_sum(list_transform(range(0, 4), i ->
+         (  77 * ((doc_id + 3*(((i % 2) * (4 + doc_id % 5)) // 2)
+                          + 7*(((i // 2) * (3 + doc_id % 4)) // 2)) % 256)
+          + 150 * ((2*doc_id + 5*(((i % 2) * (4 + doc_id % 5)) // 2)
+                            + (((i // 2) * (3 + doc_id % 4)) // 2)) % 256)
+          +  29 * (((((i % 2) * (4 + doc_id % 5)) // 2)
+                    * (((i // 2) * (3 + doc_id % 4)) // 2) + doc_id) % 256)
+         ) // 256))::BIGINT AS c,
        ((77 * (doc_id % 256) + 150 * ((2*doc_id) % 256) + 29 * (doc_id % 256)) // 256)::BIGINT AS d
 FROM documents WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0
 """,

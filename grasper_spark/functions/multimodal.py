@@ -167,6 +167,31 @@ def decode_bmp(payload: bytes):
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def image_resize_nn(rgb, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an HxWxC uint8 array — the standard
+    thumbnail/feature-grid step after decode. Pure integer index math
+    (src_y = y*H // out_h), so resized features stay exactly
+    reproducible cross-engine."""
+    import numpy as np
+
+    px = np.asarray(rgb)
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[ys][:, xs]
+
+
+def audio_decimate(samples, factor: int):
+    """Decimate PCM by an integer factor (every factor-th sample) — the
+    cheap resample used for fingerprinting/dedup sketches. (A proper
+    low-pass resample needs scipy; this is the exact-integer kernel.)"""
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    return np.asarray(samples)[::factor]
+
+
 def luma_int(rgb) -> "object":
     """Integer BT.601-ish luma (77R + 150G + 29B) >> 8 — exact on any
     engine (pure int arithmetic; the floats-never-hash contract)."""

@@ -130,6 +130,67 @@ def test_pipeline_decodes_and_flags_errors(spark):
     assert rows[7].c == int(lu.sum()) and rows[7].d == int(lu[0, 0])
 
 
+def test_image_resize_nn_exact_indices():
+    from grasper_spark.functions.multimodal import image_resize_nn
+
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    rz = image_resize_nn(px, 2, 2)
+    # ys = (0*6//2, 1*6//2) = (0, 3); xs = (0, 2)
+    assert rz.shape == (2, 2, 3)
+    assert np.array_equal(rz[0, 0], px[0, 0]) and np.array_equal(rz[0, 1], px[0, 2])
+    assert np.array_equal(rz[1, 0], px[3, 0]) and np.array_equal(rz[1, 1], px[3, 2])
+    # identity resize
+    assert np.array_equal(image_resize_nn(px, 6, 4), px)
+    # upscale duplicates nearest rows/cols
+    up = image_resize_nn(px[:2, :2], 4, 4)
+    assert np.array_equal(up[0], up[1]) and np.array_equal(up[:, 0], up[:, 1])
+
+
+def test_audio_decimate():
+    from grasper_spark.functions.multimodal import audio_decimate
+
+    s = np.arange(10, dtype=np.int16)
+    assert audio_decimate(s, 1).tolist() == s.tolist()
+    assert audio_decimate(s, 4).tolist() == [0, 4, 8]
+    assert audio_decimate(s, 3).tolist() == [0, 3, 6, 9]
+    with pytest.raises(ValueError):
+        audio_decimate(s, 0)
+
+
+def test_dec_rsz_oracle_arms_match_library():
+    """The entry's dec/rsz DuckDB closed forms must equal the library
+    kernels applied to the decoded arrays — checked here without Spark."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from grasper_spark.functions.multimodal import (
+        audio_decimate, image_resize_nn, luma_int, synth_bmp_pixels,
+        synth_wav_samples,
+    )
+
+    ids = [1, 2, 3, 4, 17, 96, 98, 101]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": ids, "text": ["x"] * len(ids)}))
+    sql = e.oracle_sql()["multimodal_features"]
+    got = {
+        (r[0], r[1]): tuple(r[2:])
+        for r in con.execute(sql).fetchall()
+        if r[0] in ("dec", "rsz")
+    }
+    for mid in ids:
+        if mid % 97 == 0:
+            continue
+        if mid % 2 == 0:
+            d4 = audio_decimate(synth_wav_samples(mid).astype(np.int64), 4)
+            assert got[("dec", mid)] == (
+                4, len(d4), int((d4 * d4).sum()), int(np.abs(d4).max())
+            )
+        else:
+            rz = luma_int(image_resize_nn(synth_bmp_pixels(mid), 2, 2))
+            assert got[("rsz", mid)] == (2, 2, int(rz.sum()), int(rz[0, 0]))
+
+
 def test_extract_features_vectorized_handles_empty_payloads(spark):
     from pyspark.sql import functions as F
 
