@@ -130,6 +130,71 @@ def test_pipeline_decodes_and_flags_errors(spark):
     assert rows[7].c == int(lu.sum()) and rows[7].d == int(lu[0, 0])
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-32768, max_value=32767), max_size=300),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def test_wav_round_trip_property(samples, sr):
+        from grasper_spark.functions.multimodal import decode_wav, wav_bytes
+
+        s = np.array(samples, dtype=np.int16)
+        got_sr, ch, got = decode_wav(wav_bytes(s, sample_rate=sr))
+        assert got_sr == sr and ch == 1
+        assert np.array_equal(got, s)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.lists(
+            st.tuples(
+                st.binary(min_size=4, max_size=4),
+                st.binary(min_size=0, max_size=9),
+            ),
+            max_size=3,
+        ),
+    )
+    def test_bmp_and_chunk_walk_property(w, h, seed, junk_chunks):
+        """BMP round-trips at every stride; WAV survives arbitrary junk
+        chunks spliced between fmt and data (word-aligned walk)."""
+        import struct
+
+        from grasper_spark.functions.multimodal import (
+            bmp_bytes, decode_bmp, decode_wav, wav_bytes,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(bmp_bytes(px)), px)
+
+        s = rng.integers(-32768, 32768, size=int(seed % 17), dtype=np.int64).astype(np.int16)
+        payload = wav_bytes(s)
+        splice = b""
+        for cid, body in junk_chunks:
+            if cid in (b"fmt ", b"data", b"RIFF", b"WAVE"):
+                cid = b"junk"
+            splice += struct.pack("<4sI", cid, len(body)) + body
+            if len(body) % 2:
+                splice += b"\x00"
+        spliced = payload[:36] + splice + payload[36:]
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        _, _, got = decode_wav(spliced)
+        assert np.array_equal(got, s)
+
+
 def test_image_resize_nn_exact_indices():
     from grasper_spark.functions.multimodal import image_resize_nn
 
