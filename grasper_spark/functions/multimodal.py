@@ -308,7 +308,9 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
     at any real duration) — nothing float ever leaves the decoder."""
     if on_error not in ("null", "raise"):
         raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
-    if media.rdd.getNumPartitions() == 1:
+    # stateless op — runs unchanged over streaming inputs, where .rdd
+    # is illegal (micro-batch partitioning is the source's business)
+    if not media.isStreaming and media.rdd.getNumPartitions() == 1:
         target = min(8, media.sparkSession.sparkContext.defaultParallelism)
         media = media.repartition(target)
 

@@ -273,6 +273,38 @@ def test_extract_features_vectorized_handles_empty_payloads(spark):
     assert (rows[5].n_bytes, rows[5].byte_sum, rows[5].first_byte) == (2, 244, 122)
 
 
+def test_streaming_media_decode_matches_batch(spark, tmp_path):
+    """media_decode_features is stateless mapInPandas, so it runs
+    unchanged over a stream — the decode twin for ingest pipelines."""
+    from grasper_spark.functions.multimodal import (
+        media_decode_features, synthetic_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+    src = str(tmp_path / "media_stream")
+    synthetic_media(docs).write.parquet(src)
+    stream = spark.readStream.schema(
+        "media_id long, payload binary, media_type string"
+    ).parquet(src)
+    q = (
+        media_decode_features(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("media_decode_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.sql("select * from media_decode_out").collect())
+    want = sorted(
+        tuple(r)
+        for r in media_decode_features(
+            spark.read.parquet(src)
+        ).collect()
+    )
+    assert got == want and len(got) == 8
+
+
 def test_pipeline_raise_policy_propagates(spark):
     from grasper_spark.functions.multimodal import media_decode_features, synthetic_media
 
