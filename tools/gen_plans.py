@@ -129,6 +129,13 @@ def _semantic_dedup_df(spark):
     return semantic_dedup(emb, threshold=0.4, dim=64)
 
 
+def _rngram_df(spark):
+    from grasper_spark.functions.dedup import repeated_ngram_spans
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    return repeated_ngram_spans(docs, n=10, min_count=2)
+
+
 def _sqlfn_df(spark):
     from grasper_spark.sqlfns import register_sql_functions
 
@@ -365,6 +372,16 @@ def main() -> None:
             "(band, bucket)), never an all-pairs product; verdicts are one "
             "partial-aggregated groupBy(id_b) plus one left join back to the id "
             "set. No CartesianProduct / BroadcastNestedLoop anywhere.",
+        ),
+        (
+            "Repeated n-gram spans (exact substring dedup)",
+            "repeated_ngram_spans(documents, n=10, min_count=2)",
+            _rngram_df(spark),
+            "Positional grams build in one codegen window pass (posexplode + "
+            "lead) and persist keyed by xxhash64; hot grams come from ONE "
+            "partial-aggregated groupBy and semi-join back (AQE broadcasts the "
+            "hot side); span merging is a per-doc gaps-and-islands window. No "
+            "pair join anywhere — pair mass never enters the plan.",
         ),
         (
             "Pure-SQL pipeline (gs_* SQL UDFs)",
