@@ -54,6 +54,24 @@ def test_wav_rejects_compressed_and_garbage():
         decode_wav(struct.pack("<4sI", b"RIFF", len(body)) + body)
 
 
+def test_truncated_payloads():
+    """Production posture: a WAV whose data chunk is cut mid-sample
+    decodes the complete samples present (demuxer behavior); a BMP with
+    a truncated pixel array raises (caught by on_error='null')."""
+    from grasper_spark.functions.multimodal import (
+        bmp_bytes, decode_bmp, decode_wav, wav_bytes,
+    )
+
+    s = np.array([100, -200, 300, -400], dtype=np.int16)
+    payload = wav_bytes(s)
+    # cutting 3 bytes leaves 5 data bytes -> 2 complete samples
+    _, _, got = decode_wav(payload[:-3])
+    assert got.tolist() == [100, -200]
+    px = np.ones((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        decode_bmp(bmp_bytes(px)[:-10])
+
+
 @pytest.mark.parametrize("w,h", [(4, 3), (5, 2), (6, 4), (7, 1), (1, 1)])
 def test_bmp_round_trip_all_strides(w, h):
     from grasper_spark.functions.multimodal import bmp_bytes, decode_bmp
