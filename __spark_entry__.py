@@ -1196,9 +1196,9 @@ def _q_multimodal_features(spark, sf):
         import pandas as pd
 
         from grasper_spark.functions.multimodal import (
-            WAV_SR, audio_decimate, bmp_bytes, decode_bmp, decode_wav,
-            image_resize_nn, luma_int, synth_bmp_pixels, synth_wav_samples,
-            wav_bytes,
+            WAV_SR, audio_decimate, bmp_bytes, byte_stats, decode_bmp,
+            decode_wav, image_resize_nn, luma_int, synth_bmp_pixels,
+            synth_wav_samples, wav_bytes,
         )
 
         for pdf in batches:
@@ -1212,20 +1212,9 @@ def _q_multimodal_features(spark, sf):
                 out["c"].append(c)
                 out["d"].append(d)
 
-            # bytes rows, vectorized (one buffer + reduceat)
-            payloads = [p if p is not None else b"" for p in pdf["payload"]]
-            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
-                               count=len(payloads))
-            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            if len(buf):
-                sums = np.add.reduceat(buf.astype(np.int64),
-                                       np.minimum(offsets, len(buf) - 1))
-                sums[lens == 0] = 0
-                firsts = np.where(lens > 0, buf[np.minimum(offsets, len(buf) - 1)], -1)
-            else:
-                sums = np.zeros(len(lens), dtype=np.int64)
-                firsts = np.full(len(lens), -1, dtype=np.int64)
+            # bytes rows: the shared vectorized kernel (one buffer +
+            # reduceat over non-empty starts — empty-safe at batch ends)
+            lens, sums, firsts = byte_stats(pdf["payload"])
             mids = pdf["media_id"].to_numpy()
             out["op"].extend(["bytes"] * len(mids))
             out["media_id"].extend(mids.tolist())

@@ -214,18 +214,26 @@ def minhash_lsh_pairs(
 _SH_PERSISTED: list[tuple[int, DataFrame]] = []
 
 
-def _persisted_shingles(sh: DataFrame) -> DataFrame:
-    jp = sh._jdf.queryExecution().analyzed()
+def _persist_one_slot(df: DataFrame, registry: list) -> DataFrame:
+    """One-slot persisted-relation cache: a semanticHash hit confirmed
+    by sameResult reuses the cached relation; anything else evicts and
+    unpersists the old occupant (executor storage stays bounded to one
+    relation per slot)."""
+    jp = df._jdf.queryExecution().analyzed()
     h = jp.semanticHash()
-    if _SH_PERSISTED and _SH_PERSISTED[0][0] == h and (
-        _SH_PERSISTED[0][1]._jdf.queryExecution().analyzed().sameResult(jp)
+    if registry and registry[0][0] == h and (
+        registry[0][1]._jdf.queryExecution().analyzed().sameResult(jp)
     ):
-        return _SH_PERSISTED[0][1]
-    while _SH_PERSISTED:
-        _SH_PERSISTED.pop()[1].unpersist()
-    sh.persist()
-    _SH_PERSISTED.append((h, sh))
-    return sh
+        return registry[0][1]
+    while registry:
+        registry.pop()[1].unpersist()
+    df.persist()
+    registry.append((h, df))
+    return df
+
+
+def _persisted_shingles(sh: DataFrame) -> DataFrame:
+    return _persist_one_slot(sh, _SH_PERSISTED)
 
 
 def _hashed_shingle_relation(
@@ -732,17 +740,7 @@ _RN_PERSISTED: list = []
 
 
 def _persisted_grams(g: DataFrame) -> DataFrame:
-    jp = g._jdf.queryExecution().analyzed()
-    h = jp.semanticHash()
-    if _RN_PERSISTED and _RN_PERSISTED[0][0] == h and (
-        _RN_PERSISTED[0][1]._jdf.queryExecution().analyzed().sameResult(jp)
-    ):
-        return _RN_PERSISTED[0][1]
-    while _RN_PERSISTED:
-        _RN_PERSISTED.pop()[1].unpersist()
-    g.persist()
-    _RN_PERSISTED.append((h, g))
-    return g
+    return _persist_one_slot(g, _RN_PERSISTED)
 
 
 def _positional_grams(
@@ -845,13 +843,17 @@ def remove_repeated_spans(
     not a shuffle explosion), left-anti to keep uncovered tokens, one
     groupBy per doc to rebuild. Docs with zero surviving tokens keep
     their row with text='' (the caller decides whether to drop)."""
+    from grasper_spark.functions.text import token_count
+
     if spans is None:
         spans = repeated_ngram_spans(
             df, n=n, min_count=min_count, text_col=text_col, id_col=id_col
         )
+    # drop the phantom '' token split('') produces for empty/whitespace
+    # docs — otherwise an empty document reports n_tokens=1
     toks = _spread(df).select(
         F.col(id_col), F.posexplode(tokens(normalize(F.col(text_col)))).alias("pos", "t")
-    )
+    ).filter(F.col("t") != "")
     sp = spans.select(
         F.col(id_col).alias("_sid"), "span_start", "span_end"
     )
@@ -866,9 +868,11 @@ def remove_repeated_spans(
         F.concat_ws(" ", F.transform("_a", lambda s: s["t"])).alias("text"),
         F.size("_a").cast("long").alias("n_tokens"),
     )
+    # token_count (not size(tokens)): the '' guard again — and taken
+    # from df, not toks, so zero-token docs keep their output row
     totals = _spread(df).select(
         F.col(id_col),
-        F.size(tokens(normalize(F.col(text_col)))).cast("long").alias("_total"),
+        token_count(normalize(F.col(text_col))).cast("long").alias("_total"),
     )
     return (
         totals.join(rebuilt, id_col, "left")

@@ -57,6 +57,29 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def byte_stats(payloads):
+    """Vectorized per-payload byte statistics over a batch: returns
+    (lens, sums, firsts) int64 arrays. One concatenated buffer + ONE
+    reduceat over the starts of the NON-EMPTY payloads — empty/null
+    segments never enter the index list, so they can't truncate a
+    neighbor's segment (offset-clipping corrupted the LAST non-empty
+    payload when a batch ended with empties)."""
+    import numpy as np
+
+    ps = [p if p is not None else b"" for p in payloads]
+    lens = np.fromiter((len(p) for p in ps), dtype=np.int64, count=len(ps))
+    sums = np.zeros(len(ps), dtype=np.int64)
+    firsts = np.full(len(ps), -1, dtype=np.int64)
+    nz = lens > 0
+    if nz.any():
+        buf = np.frombuffer(b"".join(ps), dtype=np.uint8)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        starts = offsets[nz]  # strictly increasing, every one < len(buf)
+        sums[nz] = np.add.reduceat(buf.astype(np.int64), starts)
+        firsts[nz] = buf[starts]
+    return lens, sums, firsts
+
+
 def decode_real(payload: bytes) -> bytes:  # pragma: no cover
     """Production decode hook for COMPRESSED codecs — requires
     PIL/ffmpeg, absent here. Uncompressed WAV/BMP decode IS implemented
@@ -105,6 +128,8 @@ def decode_wav(payload: bytes):
         cid, size = struct.unpack("<4sI", payload[pos:pos + 8])
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -386,8 +411,9 @@ def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction — Arrow batches in, Arrow batches
     out; scales with partitions (repartition upstream for 100 TB).
 
-    The UDF closure is self-contained (decode logic inlined, stdlib/numpy
-    only) so workers never need grasper_spark on their PYTHONPATH."""
+    The closure imports the shared `byte_stats` kernel from this module
+    (one implementation for every byte-stat surface) — workers need the
+    package importable, like any shipped pipeline (--py-files / pip)."""
     # single-partition local inputs serialize the whole stage; a bounded
     # fan-out keeps Arrow batches large while using several workers
     if media.rdd.getNumPartitions() == 1:
@@ -398,26 +424,12 @@ def extract_features(media: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from grasper_spark.functions.multimodal import byte_stats
+
         for pdf in batches:
             # fully vectorized: one concatenated buffer + reduceat, no
             # per-row numpy allocation (≈4× over the row loop at 5k rows)
-            payloads = [p if p is not None else b"" for p in pdf["payload"]]
-            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
-                               count=len(payloads))
-            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            if len(buf):
-                # reduceat misbehaves on empty segments (repeats the
-                # next segment); zero them explicitly after
-                sums = np.add.reduceat(buf.astype(np.int64),
-                                       np.minimum(offsets, len(buf) - 1))
-                sums[lens == 0] = 0
-                firsts = np.where(
-                    lens > 0, buf[np.minimum(offsets, len(buf) - 1)], -1
-                )
-            else:
-                sums = np.zeros(len(lens), dtype=np.int64)
-                firsts = np.full(len(lens), -1, dtype=np.int64)
+            lens, sums, firsts = byte_stats(pdf["payload"])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,

@@ -274,6 +274,34 @@ def test_dec_rsz_oracle_arms_match_library():
             assert got[("rsz", mid)] == (2, 2, int(rz.sum()), int(rz[0, 0]))
 
 
+def test_byte_stats_trailing_empty_does_not_corrupt_neighbor():
+    """Regression: offset-clipped reduceat truncated the LAST non-empty
+    payload's segment whenever the batch ended with empty payloads
+    ([b'abc', b''] summed 195 instead of 294)."""
+    from grasper_spark.functions.multimodal import byte_stats
+
+    lens, sums, firsts = byte_stats([b"abc", b""])
+    assert sums.tolist() == [294, 0] and lens.tolist() == [3, 0]
+    assert firsts.tolist() == [97, -1]
+    lens, sums, firsts = byte_stats([b"abc", None, b"", b"zz", b"", None])
+    assert sums.tolist() == [294, 0, 0, 244, 0, 0]
+    lens, sums, firsts = byte_stats([b"", None])
+    assert sums.tolist() == [0, 0] and firsts.tolist() == [-1, -1]
+    lens, sums, firsts = byte_stats([])
+    assert len(lens) == 0
+
+
+def test_wav_truncated_fmt_raises_valueerror():
+    from grasper_spark.functions.multimodal import decode_wav, wav_bytes
+
+    import numpy as _np
+
+    payload = wav_bytes(_np.array([1, 2], dtype=_np.int16))
+    # cut INSIDE the fmt body (fmt chunk spans bytes 12..36)
+    with pytest.raises(ValueError, match="truncated fmt"):
+        decode_wav(payload[:30])
+
+
 def test_extract_features_vectorized_handles_empty_payloads(spark):
     from pyspark.sql import functions as F
 

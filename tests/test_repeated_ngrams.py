@@ -99,6 +99,22 @@ def test_remove_fully_covered_doc_keeps_empty_row(spark):
         assert r.text == "" and r.n_tokens == 0 and r.n_removed == 3
 
 
+def test_remove_spans_empty_doc_reports_zero_tokens(spark):
+    """Regression: split('') yields [''], and the phantom token made an
+    empty document claim n_tokens=1."""
+    from grasper_spark.functions.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real tokens here")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in remove_repeated_spans(docs, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    for mid in (1, 2):
+        r = out[mid]
+        assert (r.text, r.n_tokens, r.n_removed) == ("", 0, 0)
+    assert out[3].n_tokens == 3
+
+
 def test_removal_normalizes_like_span_indexing(spark):
     from grasper_spark.functions.dedup import remove_repeated_spans
 
