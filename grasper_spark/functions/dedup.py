@@ -743,26 +743,43 @@ def _persisted_grams(g: DataFrame) -> DataFrame:
     return _persist_one_slot(g, _RN_PERSISTED)
 
 
+def _positional_units(df: DataFrame, text_col: str, id_col: str, unit: str):
+    """(id, pos, t) token rows for unit='word' (whitespace tokens of the
+    normalized text) or unit='char' (codepoints — the robust setting for
+    unsegmented scripts, mirroring _exploded_shingles). The phantom ''
+    element split('') yields for empty docs is filtered in both units."""
+    if unit == "char":
+        units = F.split(normalize(F.col(text_col)), "")
+    elif unit == "word":
+        units = tokens(normalize(F.col(text_col)))
+    else:
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    return (
+        _spread(df)
+        .select(F.col(id_col), F.posexplode(units).alias("pos", "t"))
+        .filter(F.col("t") != "")
+    )
+
+
 def _positional_grams(
-    df: DataFrame, text_col: str, id_col: str, n: int,
+    df: DataFrame, text_col: str, id_col: str, n: int, unit: str = "word",
 ) -> DataFrame:
-    """(id, pos, k) — every full word n-gram with its 0-based start token
-    index, keyed by xxhash64 of the gram string (8-byte join/agg keys
-    instead of ~50-byte strings; identical groups up to a ~2^-64
-    collision). Same posexplode + window-lead formulation as
-    _exploded_shingles — whole pipeline stays in WholeStageCodegen."""
+    """(id, pos, k) — every full n-gram with its 0-based start index,
+    keyed by xxhash64 of the gram string (8-byte join/agg keys instead
+    of ~50-byte strings; identical groups up to a ~2^-64 collision).
+    Same posexplode + window-lead formulation as _exploded_shingles —
+    whole pipeline stays in WholeStageCodegen."""
     from pyspark.sql import Window
 
-    toks = _spread(df).select(
-        F.col(id_col), F.posexplode(tokens(normalize(F.col(text_col)))).alias("pos", "t")
-    )
+    toks = _positional_units(df, text_col, id_col, unit)
+    sep = " " if unit == "word" else ""
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
     return (
         toks.select(
             F.col(id_col),
             F.col("pos"),
-            F.xxhash64(F.concat_ws(" ", *leads)).alias("k"),
+            F.xxhash64(F.concat_ws(sep, *leads)).alias("k"),
             leads[-1].alias("_last"),
         )
         .filter(F.col("_last").isNotNull())
@@ -772,7 +789,7 @@ def _positional_grams(
 
 def repeated_ngram_spans(
     df: DataFrame, n: int = 10, min_count: int = 2,
-    text_col: str = "text", id_col: str = "doc_id",
+    text_col: str = "text", id_col: str = "doc_id", unit: str = "word",
 ) -> DataFrame:
     """Exact repeated-substring spans — the 'remove any long substring
     that appears verbatim more than once in the corpus' dedup from Lee
@@ -780,10 +797,12 @@ def repeated_ngram_spans(
     Better), re-expressed relationally instead of via a suffix array.
 
     Returns (id_col, span_start, span_end, n_grams): the MAXIMAL token
-    spans covered by word n-grams occurring >= min_count times
-    corpus-wide. Token indices are 0-based over the normalized token
-    stream; span_end is exclusive; n_grams counts the seed grams merged
-    into the span.
+    spans covered by n-grams occurring >= min_count times corpus-wide.
+    Indices are 0-based over the normalized token stream; span_end is
+    exclusive; n_grams counts the seed grams merged into the span.
+    unit='char' switches to codepoint n-grams (use n≈30-50) for
+    unsegmented scripts (CJK), where whitespace tokenization sees one
+    giant token per document — span indices then address codepoints.
 
     100 TB design: tokenize once (posexplode + lead, codegen, one window
     shuffle by doc); hot grams via ONE partial-agg groupBy on 8-byte
@@ -795,7 +814,7 @@ def repeated_ngram_spans(
     plan, unlike Jaccard candidates."""
     from pyspark.sql import Window
 
-    grams = _persisted_grams(_positional_grams(df, text_col, id_col, n))
+    grams = _persisted_grams(_positional_grams(df, text_col, id_col, n, unit))
     hot = (
         grams.groupBy("k")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -830,30 +849,31 @@ def repeated_ngram_spans(
 def remove_repeated_spans(
     df: DataFrame, spans: DataFrame | None = None, n: int = 10,
     min_count: int = 2, text_col: str = "text", id_col: str = "doc_id",
+    unit: str = "word",
 ) -> DataFrame:
     """Cleaned corpus with every repeated-span token dropped (ALL
     occurrences — the conservative Lee-et-al. policy; keep-one requires
     a global occurrence order, which at corpus scale is an arbitrary
     tiebreak anyway). Returns (id_col, text, n_tokens, n_removed) where
-    `text` is the NORMALIZED token stream re-joined with single spaces
-    (span indices address normalized tokens, so removal must too).
+    `text` is the NORMALIZED token stream re-joined (single spaces for
+    unit='word', directly for unit='char' — span indices address
+    normalized units, so removal must too; a caller-supplied `spans`
+    must have been computed with the same unit).
 
     Plan: equi-join token rows to spans on the doc id with a range
     post-filter (spans per doc are few — cost is tokens x spans/doc,
     not a shuffle explosion), left-anti to keep uncovered tokens, one
     groupBy per doc to rebuild. Docs with zero surviving tokens keep
     their row with text='' (the caller decides whether to drop)."""
-    from grasper_spark.functions.text import token_count
-
     if spans is None:
         spans = repeated_ngram_spans(
-            df, n=n, min_count=min_count, text_col=text_col, id_col=id_col
+            df, n=n, min_count=min_count, text_col=text_col, id_col=id_col,
+            unit=unit,
         )
-    # drop the phantom '' token split('') produces for empty/whitespace
-    # docs — otherwise an empty document reports n_tokens=1
-    toks = _spread(df).select(
-        F.col(id_col), F.posexplode(tokens(normalize(F.col(text_col)))).alias("pos", "t")
-    ).filter(F.col("t") != "")
+    sep = " " if unit == "word" else ""
+    # _positional_units drops the phantom '' element split('') produces
+    # for empty docs — otherwise an empty document reports n_tokens=1
+    toks = _positional_units(df, text_col, id_col, unit)
     sp = spans.select(
         F.col(id_col).alias("_sid"), "span_start", "span_end"
     )
@@ -865,14 +885,17 @@ def remove_repeated_spans(
         F.array_sort(F.collect_list(F.struct("pos", "t"))).alias("_a"),
     ).select(
         id_col,
-        F.concat_ws(" ", F.transform("_a", lambda s: s["t"])).alias("text"),
+        F.concat_ws(sep, F.transform("_a", lambda s: s["t"])).alias("text"),
         F.size("_a").cast("long").alias("n_tokens"),
     )
-    # token_count (not size(tokens)): the '' guard again — and taken
-    # from df, not toks, so zero-token docs keep their output row
+    # totals from df (not toks) so zero-token docs keep their output
+    # row; the when() guards the phantom '' unit of empty docs
+    norm = normalize(F.col(text_col))
+    total = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(tokens(norm)) if unit == "word" else F.length(norm)
+    )
     totals = _spread(df).select(
-        F.col(id_col),
-        token_count(normalize(F.col(text_col))).cast("long").alias("_total"),
+        F.col(id_col), total.cast("long").alias("_total"),
     )
     return (
         totals.join(rebuilt, id_col, "left")

@@ -127,6 +127,46 @@ def test_removal_normalizes_like_span_indexing(spark):
     assert out[1] == "keep1 keep2" and out[2] == ""
 
 
+def test_char_unit_spans_for_unsegmented_text(spark):
+    """unit='char': codepoint n-grams catch repeated substrings in text
+    whitespace tokenization sees as one giant token (CJK-style)."""
+    from grasper_spark.functions.dedup import repeated_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "xxABCDEFGHyy"),
+            (2, "zzABCDEFGHqq"),
+            (3, "nothingshared"),
+        ],
+        ["doc_id", "text"],
+    )
+    # word unit: each doc is ONE token, no full 6-gram exists -> empty
+    assert _spans(docs, n=6, min_count=2) == {}
+    got = _spans(docs, n=6, min_count=2, unit="char")
+    # normalize lowercases: 'abcdefgh' (8 chars) repeats at pos 2..10
+    assert got == {(1, 2, 10): 3, (2, 2, 10): 3}
+
+
+def test_char_unit_removal(spark):
+    from grasper_spark.functions.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "xxABCDEFGHyy"), (2, "zzABCDEFGHqq")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in
+           remove_repeated_spans(docs, n=6, unit="char").collect()}
+    assert out[1].text == "xxyy" and out[1].n_removed == 8
+    assert out[2].text == "zzqq" and out[2].n_tokens == 4
+
+
+def test_unit_validation(spark):
+    from grasper_spark.functions.dedup import repeated_ngram_spans
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="unit"):
+        repeated_ngram_spans(docs, n=3, unit="byte")
+
+
 def test_repeated_spans_match_duckdb(spark):
     duckdb = pytest.importorskip("duckdb")
     import pandas as pd
