@@ -1168,12 +1168,13 @@ def _q_multimodal_features(spark, sf):
     # tagged all-integer union (op, media_id, a, b, c, d):
     # - bytes rows: Arrow byte-stat plumbing over the text payloads
     #   (a=n_bytes, b=byte_sum, c=first_byte) — the codec-agnostic path
-    # - wav/bmp rows: REAL container decode — synthetic_media builds
-    #   actual RIFF/PCM and 24bpp BMP payloads from closed-form integer
-    #   formulas, media_decode_features sniffs magic bytes and decodes
-    #   them back (chunk walk, stride padding, bottom-up rows), and the
-    #   DuckDB oracle recomputes the features straight from the formulas
-    #   — a decoder bug is a ledger mismatch, not a silent pass
+    # - wav/bmp/png rows: REAL container decode — actual RIFF/PCM,
+    #   24bpp BMP and zlib-compressed PNG payloads built from
+    #   closed-form integer formulas, decoded back through the real
+    #   parsers (chunk walk, stride padding, bottom-up rows, CRC check,
+    #   all five PNG scanline filters), and the DuckDB oracle recomputes
+    #   the features straight from the formulas — a decoder bug is a
+    #   ledger mismatch, not a silent pass
     # - error rows: ids % 97 == 0 carry a JPEG-magic payload, exercising
     #   the honest compressed-codec NotImplementedError hook under the
     #   production on_error='null' posture
@@ -1197,8 +1198,8 @@ def _q_multimodal_features(spark, sf):
 
         from grasper_spark.functions.multimodal import (
             WAV_SR, audio_decimate, bmp_bytes, byte_stats, decode_bmp,
-            decode_wav, image_resize_nn, luma_int, synth_bmp_pixels,
-            synth_wav_samples, wav_bytes,
+            decode_png, decode_wav, image_resize_nn, luma_int, png_bytes,
+            synth_bmp_pixels, synth_png_pixels, synth_wav_samples, wav_bytes,
         )
 
         for pdf in batches:
@@ -1248,6 +1249,21 @@ def _q_multimodal_features(spark, sf):
                     # pixels — integer index math, oracle-reproducible
                     rz = luma_int(image_resize_nn(px, 2, 2))
                     emit("rsz", mid, 2, 2, int(rz.sum()), int(rz[0, 0]))
+                    # real PNG round trip: closed-form pixels -> actual
+                    # zlib-compressed IDAT with the filter type cycling
+                    # per scanline ((row+id)%5 — all five filters hit
+                    # the decoder across the corpus) -> CRC-checked
+                    # chunk walk + unfilter; RGBA when id%4==3, whose
+                    # d-feature is the exact alpha sum
+                    ppx = decode_png(png_bytes(synth_png_pixels(mid), filter_seed=mid))
+                    plu = luma_int(ppx[..., :3])
+                    pd_ = (
+                        int(ppx[..., 3].astype(np.int64).sum())
+                        if ppx.shape[2] == 4
+                        else int(plu[0, 0])
+                    )
+                    emit("png", mid, ppx.shape[1], ppx.shape[0],
+                         int(plu.sum()), pd_)
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(fn, DECODED_SCHEMA)
@@ -2986,6 +3002,36 @@ SELECT 'rsz' AS op, doc_id AS media_id,
          ) // 256))::BIGINT AS c,
        ((77 * (doc_id % 256) + 150 * ((2*doc_id) % 256) + 29 * (doc_id % 256)) // 256)::BIGINT AS d
 FROM documents WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0
+UNION ALL
+-- png rows: Spark pushed the closed-form pixels through a REAL
+-- zlib-compressed PNG (per-scanline filters cycling over all five
+-- types) and the real CRC-checked decoder; the oracle re-evaluates the
+-- formulas directly (w = 3 + id%5, h = 2 + id%4, x = i%w, y = i//w;
+-- r=(5id+x+2y)%256, g=(id+4x+3y)%256, b=(xy+2id)%256). RGB arm
+-- (id%4==1): d = luma(0,0); RGBA arm (id%4==3): d = sum of
+-- a=(id+x+y)%256 over all pixels
+SELECT 'png' AS op, doc_id AS media_id,
+       (3 + doc_id % 5)::BIGINT AS a,
+       (2 + doc_id % 4)::BIGINT AS b,
+       list_sum(list_transform(range(0, (3 + doc_id % 5) * (2 + doc_id % 4)),
+         i -> (  77 * ((5*doc_id + (i % (3 + doc_id % 5)) + 2*(i // (3 + doc_id % 5))) % 256)
+               + 150 * ((doc_id + 4*(i % (3 + doc_id % 5)) + 3*(i // (3 + doc_id % 5))) % 256)
+               +  29 * (((i % (3 + doc_id % 5)) * (i // (3 + doc_id % 5)) + 2*doc_id) % 256)
+              ) // 256))::BIGINT AS c,
+       ((77 * ((5*doc_id) % 256) + 150 * (doc_id % 256) + 29 * ((2*doc_id) % 256)) // 256)::BIGINT AS d
+FROM documents WHERE doc_id % 4 = 1 AND doc_id % 97 <> 0
+UNION ALL
+SELECT 'png' AS op, doc_id AS media_id,
+       (3 + doc_id % 5)::BIGINT AS a,
+       (2 + doc_id % 4)::BIGINT AS b,
+       list_sum(list_transform(range(0, (3 + doc_id % 5) * (2 + doc_id % 4)),
+         i -> (  77 * ((5*doc_id + (i % (3 + doc_id % 5)) + 2*(i // (3 + doc_id % 5))) % 256)
+               + 150 * ((doc_id + 4*(i % (3 + doc_id % 5)) + 3*(i // (3 + doc_id % 5))) % 256)
+               +  29 * (((i % (3 + doc_id % 5)) * (i // (3 + doc_id % 5)) + 2*doc_id) % 256)
+              ) // 256))::BIGINT AS c,
+       list_sum(list_transform(range(0, (3 + doc_id % 5) * (2 + doc_id % 4)),
+         i -> (doc_id + (i % (3 + doc_id % 5)) + (i // (3 + doc_id % 5))) % 256))::BIGINT AS d
+FROM documents WHERE doc_id % 4 = 3 AND doc_id % 97 <> 0
 """,
         # BFS over the FK graph from regions, direction 'in': the layered
         # star schema makes the exact distances closed-form

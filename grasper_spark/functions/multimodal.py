@@ -4,15 +4,19 @@ Real pipelines store image/audio/video as `binary` columns with a
 metadata struct, and run decode / feature-extraction as Arrow-batched
 Pandas UDFs over `mapInPandas`.
 
-Decode is REAL for the uncompressed container formats a numpy-only
-environment can parse byte-for-byte:
+Decode is REAL for every container format a numpy+stdlib environment
+can parse byte-for-byte:
 - WAV / RIFF PCM (8- and 16-bit): full chunk walk (`decode_wav`)
 - BMP, 24bpp uncompressed, bottom-up or top-down (`decode_bmp`)
-Compressed codecs (JPEG/PNG/MP3/H.264...) require PIL/ffmpeg, which are
-NOT in this container — `decode_real` stays the honestly-labeled
-NotImplementedError hook for those, and `media_decode_features` routes
-unknown magic bytes there (or to an `error` row under the production
-`on_error='null'` policy, so one corrupt file cannot kill a 100 TB job).
+- PNG, 8-bit truecolor RGB/RGBA non-interlaced: CRC-checked chunk
+  walk, stdlib-zlib IDAT inflate, all five scanline filters reversed
+  (`decode_png`)
+Codecs needing entropy coders beyond zlib (JPEG/MP3/H.264...) require
+PIL/ffmpeg, which are NOT in this container — `decode_real` stays the
+honestly-labeled NotImplementedError hook for those, and
+`media_decode_features` routes unknown magic bytes there (or to an
+`error` row under the production `on_error='null'` policy, so one
+corrupt file cannot kill a 100 TB job).
 
 `_decode_batch` (byte statistics) remains the codec-agnostic fake used
 where tests need a payload-independent feature contract.
@@ -75,15 +79,18 @@ def byte_stats(payloads):
         buf = np.frombuffer(b"".join(ps), dtype=np.uint8)
         offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
         starts = offsets[nz]  # strictly increasing, every one < len(buf)
-        sums[nz] = np.add.reduceat(buf.astype(np.int64), starts)
+        # dtype=int64 makes reduceat ACCUMULATE in int64 over the uint8
+        # view directly — no 8x materialized copy of the batch buffer
+        sums[nz] = np.add.reduceat(buf, starts, dtype=np.int64)
         firsts[nz] = buf[starts]
     return lens, sums, firsts
 
 
 def decode_real(payload: bytes) -> bytes:  # pragma: no cover
-    """Production decode hook for COMPRESSED codecs — requires
-    PIL/ffmpeg, absent here. Uncompressed WAV/BMP decode IS implemented
-    (decode_wav / decode_bmp)."""
+    """Production decode hook for codecs needing entropy coders beyond
+    zlib (JPEG/MP3/H.264) — requires PIL/ffmpeg, absent here. WAV, BMP
+    and PNG decode ARE implemented (decode_wav / decode_bmp /
+    decode_png)."""
     raise NotImplementedError("compressed-media decode libs not available in this environment")
 
 
@@ -157,13 +164,14 @@ def bmp_bytes(pixels) -> bytes:
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape[0], px.shape[1]
     stride = (w * 3 + 3) // 4 * 4
-    rows = bytearray()
-    pad = b"\x00" * (stride - w * 3)
-    for y in range(h - 1, -1, -1):  # bottom-up
-        rows += px[y, :, ::-1].tobytes() + pad  # stored as BGR
+    # whole pixel block in one vectorized write: bottom-up row order,
+    # BGR channel order, zero-padded to the 4-byte stride
+    block = np.zeros((h, stride), dtype=np.uint8)
+    block[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    rows = block.tobytes()
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 14 + 40)
-    return header + info + bytes(rows)
+    return header + info + rows
 
 
 def decode_bmp(payload: bytes):
@@ -190,6 +198,176 @@ def decode_bmp(payload: bytes):
     if not top_down:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_predict(left, up, upleft):
+    """Vectorized Paeth predictor (PNG spec §9.4): pick the neighbor
+    closest to left + up - upleft, ties resolved left > up > upleft."""
+    import numpy as np
+
+    a = left.astype(np.int16)
+    b = up.astype(np.int16)
+    c = upleft.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+
+
+def png_bytes(pixels, filter_seed: int = 0) -> bytes:
+    """Encode an HxWx3 (RGB, color type 2) or HxWx4 (RGBA, color type
+    6) uint8 array as a real PNG: CRC-checked chunks, zlib-compressed
+    IDAT, 8-bit non-interlaced. Each scanline's filter type cycles
+    (row + filter_seed) % 5, so a payload taller than 4 rows exercises
+    every filter (None/Sub/Up/Average/Paeth) through the decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch not in (3, 4):
+        raise ValueError(f"expected 3 (RGB) or 4 (RGBA) channels, got {ch}")
+    color_type = 2 if ch == 3 else 6
+    raw = px.reshape(h, w * ch)
+    stream = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        line = raw[y]
+        # left/upleft neighbors shifted by one PIXEL (ch bytes); uint8
+        # subtraction wraps mod 256, exactly the spec's filter output
+        left = np.concatenate([np.zeros(ch, dtype=np.uint8), line[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.uint8), prev[:-ch]])
+        f = (y + filter_seed) % 5
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - prev
+        elif f == 3:
+            filt = line - ((left.astype(np.int16) + prev.astype(np.int16)) // 2).astype(np.uint8)
+        else:
+            filt = line - _paeth_predict(left, prev, upleft)
+        stream += bytes([f]) + filt.tobytes()
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Parse an 8-bit non-interlaced truecolor PNG (color type 2 RGB or
+    6 RGBA) into an HxWxC uint8 array. Full chunk walk with CRC32
+    verification, multi-IDAT concatenation, stdlib-zlib inflate, and
+    all five scanline filters reversed (None/Sub/Up/Average/Paeth —
+    Sub vectorizes as a per-lane cumsum; Average/Paeth carry a true
+    left-pixel recurrence, so they run a per-pixel loop over ch-wide
+    lanes). Palette/grayscale/16-bit/interlaced payloads raise
+    ValueError, as do truncated or CRC-corrupt chunks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    saw_iend = False
+    while pos + 8 <= len(payload):
+        size, ctype = struct.unpack(">I4s", payload[pos:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size or pos + 12 + size > len(payload):
+            raise ValueError(f"truncated {ctype.decode('latin1')} chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + size:pos + 12 + size])
+        if crc != zlib.crc32(ctype + body):
+            raise ValueError(f"CRC mismatch in {ctype.decode('latin1')} chunk")
+        if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("bad IHDR length")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + size
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    if not saw_iend:
+        raise ValueError("missing IEND")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"{depth}-bit PNG unsupported (8-bit only)")
+    if color_type not in (2, 6):
+        raise ValueError(f"color type {color_type} unsupported (truecolor 2/6 only)")
+    if comp != 0 or filt_method != 0:
+        raise ValueError("nonstandard compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    ch = 3 if color_type == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    if len(raw) != h * (1 + w * ch):
+        raise ValueError(
+            f"IDAT size mismatch: got {len(raw)}, want {h * (1 + w * ch)}"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * ch)
+    ftypes, data = arr[:, 0], arr[:, 1:]
+    recon = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        f, line = int(ftypes[y]), data[y]
+        if f == 0:
+            cur = line.copy()
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-ch] == per-lane cumsum mod 256
+            cur = (
+                line.reshape(w, ch).cumsum(axis=0, dtype=np.int64) % 256
+            ).astype(np.uint8).reshape(w * ch)
+        elif f == 2:  # Up: wraps mod 256 in uint8
+            cur = line + prev
+        elif f == 3:  # Average: true left recurrence -> per-pixel loop
+            cur = np.zeros(w * ch, dtype=np.uint8)
+            left = np.zeros(ch, dtype=np.int16)
+            for x in range(w):
+                sl = slice(x * ch, (x + 1) * ch)
+                cur[sl] = (
+                    line[sl].astype(np.int16)
+                    + (left + prev[sl].astype(np.int16)) // 2
+                ).astype(np.uint8)
+                left = cur[sl].astype(np.int16)
+        elif f == 4:  # Paeth: left/upleft recurrence -> per-pixel loop
+            cur = np.zeros(w * ch, dtype=np.uint8)
+            left = np.zeros(ch, dtype=np.uint8)
+            upleft = np.zeros(ch, dtype=np.uint8)
+            for x in range(w):
+                sl = slice(x * ch, (x + 1) * ch)
+                up = prev[sl]
+                cur[sl] = line[sl] + _paeth_predict(left, up, upleft)
+                left, upleft = cur[sl], up
+        else:
+            raise ValueError(f"invalid scanline filter type {f}")
+        recon[y] = cur
+        prev = cur
+    return recon.reshape(h, w, ch)
 
 
 def image_resize_nn(rgb, out_h: int, out_w: int):
@@ -261,18 +439,41 @@ def synth_bmp_pixels(media_id: int):
     ).astype("uint8")
 
 
+def synth_png_pixels(media_id: int):
+    """w = 3 + id%5, h = 2 + id%4; RGBA when id%4==3 else RGB.
+    r=(5id+x+2y)%256, g=(id+4x+3y)%256, b=(x*y+2id)%256,
+    a=(id+x+y)%256 — SQL-expressible closed forms, like the BMP/WAV
+    twins, so the oracle recomputes features the real decoder must
+    reproduce byte-for-byte."""
+    import numpy as np
+
+    w, h = 3 + media_id % 5, 2 + media_id % 4
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    planes = [
+        (5 * media_id + x + 2 * y) % 256,
+        (media_id + 4 * x + 3 * y) % 256,
+        (x * y + 2 * media_id) % 256,
+    ]
+    if media_id % 4 == 3:
+        planes.append((media_id + x + y) % 256)
+    return np.stack([np.broadcast_to(p, (h, w)) for p in planes], axis=-1).astype("uint8")
+
+
 def synthetic_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One media row per document: even ids get a PCM WAV payload, odd
-    ids a 24bpp BMP, and ids % 97 == 0 a JPEG-magic stub payload (the
+    ids a 24bpp BMP (id%4==1) or a real zlib-compressed PNG (id%4==3,
+    RGBA), and ids % 97 == 0 a JPEG-magic stub payload (the
     compressed-codec path). Payload bytes are REAL containers built by
-    wav_bytes/bmp_bytes from the synth_* closed forms."""
+    wav_bytes/bmp_bytes/png_bytes from the synth_* closed forms."""
     from typing import Iterator as _It
 
     ids = docs.select(F.col(id_col).cast("long").alias("media_id"))
 
     def fn(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         from grasper_spark.functions.multimodal import (
-            WAV_SR, bmp_bytes, synth_bmp_pixels, synth_wav_samples, wav_bytes,
+            WAV_SR, bmp_bytes, png_bytes, synth_bmp_pixels,
+            synth_png_pixels, synth_wav_samples, wav_bytes,
         )
 
         for pdf in batches:
@@ -285,6 +486,9 @@ def synthetic_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 elif mid % 2 == 0:
                     payloads.append(wav_bytes(synth_wav_samples(mid), WAV_SR))
                     kinds.append("audio")
+                elif mid % 4 == 3:
+                    payloads.append(png_bytes(synth_png_pixels(mid), filter_seed=mid))
+                    kinds.append("image")
                 else:
                     payloads.append(bmp_bytes(synth_bmp_pixels(mid)))
                     kinds.append("image")
@@ -324,10 +528,16 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
 
     - RIFF/WAV  -> ('wav',  id, sample_rate, n_samples, sum(s^2), max|s|)
     - BMP       -> ('bmp',  id, width, height, sum(luma), luma[0,0])
-    - JPEG/PNG/other -> decode_real (NotImplementedError), which under
+    - PNG       -> ('png',  id, width, height, sum(luma),
+                    sum(alpha) if RGBA else luma[0,0])
+    - JPEG/other -> decode_real (NotImplementedError), which under
       on_error='null' (production posture: a corrupt or unsupported file
       must not kill the job) becomes ('error', id, -1, -1, -1, -1);
       on_error='raise' propagates.
+
+    Only the DECODE step sits under the on_error policy — a bug in the
+    feature math is a programming error and always surfaces; only
+    malformed/unsupported payloads become 'error' rows.
 
     Every feature is exact int64 (sum-of-squares of int16 needs < 2^41
     at any real duration) — nothing float ever leaves the decoder."""
@@ -343,7 +553,7 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
         import numpy as np
 
         from grasper_spark.functions.multimodal import (
-            decode_bmp, decode_real, decode_wav, luma_int,
+            PNG_SIG, decode_bmp, decode_png, decode_real, decode_wav, luma_int,
         )
 
         for pdf in batches:
@@ -359,24 +569,38 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
 
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 mid = int(mid)
+                p = bytes(payload) if payload is not None else b""
                 try:
-                    p = bytes(payload) if payload is not None else b""
+                    # ONLY decode sits in the try: on_error='null' is a
+                    # malformed-payload policy, not a bug-swallower —
+                    # feature math below runs outside the except path
                     if p[:4] == b"RIFF":
-                        sr, ch, s = decode_wav(p)
-                        s64 = s.astype(np.int64)
-                        emit("wav", mid, sr, len(s),
-                             int((s64 * s64).sum()), int(np.abs(s64).max()) if len(s64) else 0)
+                        kind, decoded = "wav", decode_wav(p)
                     elif p[:2] == b"BM":
-                        px = decode_bmp(p)
-                        lu = luma_int(px)
-                        emit("bmp", mid, px.shape[1], px.shape[0],
-                             int(lu.sum()), int(lu[0, 0]))
+                        kind, decoded = "bmp", decode_bmp(p)
+                    elif p[:8] == PNG_SIG:
+                        kind, decoded = "png", decode_png(p)
                     else:
                         decode_real(p)
+                        continue  # pragma: no cover — decode_real raises
                 except Exception:
                     if on_error == "raise":
                         raise
                     emit("error", mid, -1, -1, -1, -1)
+                    continue
+                if kind == "wav":
+                    sr, ch, s = decoded
+                    s64 = s.astype(np.int64)
+                    emit("wav", mid, sr, len(s),
+                         int((s64 * s64).sum()), int(np.abs(s64).max()) if len(s64) else 0)
+                else:
+                    px = decoded
+                    lu = luma_int(px[..., :3])
+                    if kind == "png" and px.shape[2] == 4:
+                        d = int(px[..., 3].astype(np.int64).sum())
+                    else:
+                        d = int(lu[0, 0])
+                    emit(kind, mid, px.shape[1], px.shape[0], int(lu.sum()), d)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(fn, DECODED_SCHEMA)

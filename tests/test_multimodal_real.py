@@ -141,11 +141,20 @@ def test_pipeline_decodes_and_flags_errors(spark):
     assert rows[2].op == "wav" and rows[2].a == 8000
     assert rows[2].b == len(s) and rows[2].c == int((s * s).sum())
     assert rows[2].d == int(np.abs(s).max())
-    # odd ids: bmp features equal the closed form
-    lu = luma_int(synth_bmp_pixels(7))
-    assert rows[7].op == "bmp"
-    assert (rows[7].a, rows[7].b) == (4 + 7 % 5, 3 + 7 % 4)  # (w=6, h=6)
-    assert rows[7].c == int(lu.sum()) and rows[7].d == int(lu[0, 0])
+    # odd ids % 4 == 1: bmp features equal the closed form
+    lu = luma_int(synth_bmp_pixels(5))
+    assert rows[5].op == "bmp"
+    assert (rows[5].a, rows[5].b) == (4 + 5 % 5, 3 + 5 % 4)  # (w=4, h=4)
+    assert rows[5].c == int(lu.sum()) and rows[5].d == int(lu[0, 0])
+    # odd ids % 4 == 3: real zlib-compressed PNG (RGBA)
+    from grasper_spark.functions.multimodal import synth_png_pixels
+
+    ppx = synth_png_pixels(7)
+    plu = luma_int(ppx[..., :3])
+    assert rows[7].op == "png"
+    assert (rows[7].a, rows[7].b) == (ppx.shape[1], ppx.shape[0])
+    assert rows[7].c == int(plu.sum())
+    assert rows[7].d == int(ppx[..., 3].astype(np.int64).sum())
 
 
 try:

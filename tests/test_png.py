@@ -1,0 +1,225 @@
+"""Real PNG decode: CRC-checked chunk walk, stdlib-zlib IDAT inflate,
+and the five scanline filters — round-trips, a hand-crafted IDAT check
+that is independent of the encoder, rejection of the unsupported
+shapes (16-bit / palette / interlaced), and the on_error pipeline
+policy for truncated payloads."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _png(w, h, depth, color_type, interlace, idat_raw) -> bytes:
+    from grasper_spark.functions.multimodal import PNG_SIG
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(idat_raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ch", [3, 4])
+@pytest.mark.parametrize("seed", range(5))
+def test_png_round_trip_every_filter_phase(ch, seed):
+    """filter_seed rotates which filter each row gets; 6 rows >= 5
+    filters, so every (filter, channel-count) pair round-trips."""
+    from grasper_spark.functions.multimodal import decode_png, png_bytes
+
+    rng = np.random.default_rng(100 * ch + seed)
+    px = rng.integers(0, 256, size=(6, 5, ch), dtype=np.uint8)
+    assert np.array_equal(decode_png(png_bytes(px, filter_seed=seed)), px)
+
+
+def test_png_handcrafted_scanlines_decode_exactly():
+    """Filtered bytes written BY HAND (not via png_bytes), with the
+    expected reconstruction hand-computed per the PNG spec — a shared
+    encoder/decoder bug cannot cancel out here.
+
+    2x4 RGB image, raw rows:
+      row0 = (10,20,30) (110,220,130)
+      row1 = (15,25,35) (115,225,135)
+      row2 = (20,30,40) (120,230,140)
+      row3 = (21,31,41) (121,231,141)
+    """
+    from grasper_spark.functions.multimodal import decode_png
+
+    # row0 Sub(1):  px0 - 0 = (10,20,30); px1 - px0 = (100,200,100)
+    r0 = bytes([1, 10, 20, 30, 100, 200, 100])
+    # row1 Up(2):   raw - row0 = (5,5,5) (5,5,5)
+    r1 = bytes([2, 5, 5, 5, 5, 5, 5])
+    # row2 Avg(3):  px0: raw - (0 + up)//2 = (20,30,40) - (7,12,17)
+    #               px1: raw - (left + up)//2 = (120,230,140) - ((20+115)//2,(30+225)//2,(40+135)//2)
+    #                    = (120-67, 230-127, 140-87)
+    r2 = bytes([3, 13, 18, 23, 53, 103, 53])
+    # row3 Paeth(4): px0: pred=paeth(0, up=(20,30,40), 0)=up -> raw-up=(1,1,1)
+    #                px1: pred=paeth(left=(21,31,41), up=(120,230,140), ul=(20,30,40))
+    #                p = left+up-ul = (121,231,141); pa=|p-left|=(100,200,100),
+    #                pb=|p-up|=(1,1,1), pc=|p-ul|=(101,201,101) -> up wins
+    #                raw - up = (1,1,1)
+    r3 = bytes([4, 1, 1, 1, 1, 1, 1])
+    got = decode_png(_png(2, 4, 8, 2, 0, r0 + r1 + r2 + r3))
+    want = np.array(
+        [
+            [[10, 20, 30], [110, 220, 130]],
+            [[15, 25, 35], [115, 225, 135]],
+            [[20, 30, 40], [120, 230, 140]],
+            [[21, 31, 41], [121, 231, 141]],
+        ],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, want)
+
+
+def test_png_multiple_idat_chunks_concatenate():
+    from grasper_spark.functions.multimodal import PNG_SIG, decode_png, png_bytes
+
+    px = np.arange(3 * 4 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    payload = png_bytes(px, filter_seed=2)
+    # re-split the single IDAT into two chunks at an arbitrary byte
+    sig_ihdr = payload[: 8 + 12 + 13]
+    idat_len = struct.unpack(">I", payload[33:37])[0]
+    idat_body = payload[41 : 41 + idat_len]
+    rest = payload[41 + idat_len + 4 :]  # IEND chunk
+    split = max(1, len(idat_body) // 2)
+    rebuilt = (
+        sig_ihdr
+        + _chunk(b"IDAT", idat_body[:split])
+        + _chunk(b"IDAT", idat_body[split:])
+        + rest
+    )
+    assert rebuilt[:8] == PNG_SIG
+    assert np.array_equal(decode_png(rebuilt), px)
+
+
+def test_png_crc_mismatch_raises():
+    from grasper_spark.functions.multimodal import decode_png, png_bytes
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(png_bytes(px))
+    # flip one bit inside the IDAT body (after IHDR = 8 + 25 bytes)
+    payload[8 + 25 + 8 + 2] ^= 0x40
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(payload))
+
+
+def test_png_rejects_unsupported_shapes():
+    from grasper_spark.functions.multimodal import decode_png
+
+    line = bytes([0, 0, 0, 0])  # filter byte + 1 grayscale-ish px
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_png(_png(1, 1, 16, 2, 0, bytes([0, 0, 0, 0, 0, 0, 0])))
+    with pytest.raises(ValueError, match="color type 3"):
+        decode_png(_png(1, 1, 8, 3, 0, line))
+    with pytest.raises(ValueError, match="color type 0"):
+        decode_png(_png(1, 1, 8, 0, 0, line))
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(_png(1, 1, 8, 2, 1, bytes([0, 1, 2, 3])))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+def test_png_truncation_and_stream_errors():
+    from grasper_spark.functions.multimodal import decode_png, png_bytes
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = png_bytes(px)
+    # cut inside the IEND/IDAT tail -> truncated chunk or missing IEND
+    with pytest.raises(ValueError):
+        decode_png(payload[:-15])
+    # valid chunks but the inflated stream is the wrong size
+    short = zlib.decompress  # noqa: F841 (doc: stream len checked post-inflate)
+    bad = _png(3, 2, 8, 2, 0, bytes([0] * (1 + 9)))  # one row missing
+    with pytest.raises(ValueError, match="IDAT size mismatch"):
+        decode_png(bad)
+    # invalid filter type byte
+    bad_filter = _png(1, 1, 8, 2, 0, bytes([7, 1, 2, 3]))
+    with pytest.raises(ValueError, match="invalid scanline filter"):
+        decode_png(bad_filter)
+    # corrupt deflate stream with a VALID chunk CRC
+    from grasper_spark.functions.multimodal import PNG_SIG
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    junk = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"\x01notdeflate")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        decode_png(junk)
+
+
+def test_synth_png_formulas_match_decoder():
+    from grasper_spark.functions.multimodal import (
+        decode_png, png_bytes, synth_png_pixels,
+    )
+
+    for mid in (1, 3, 5, 7, 17, 97, 101, 195):
+        px = synth_png_pixels(mid)
+        assert px.shape == (2 + mid % 4, 3 + mid % 5, 4 if mid % 4 == 3 else 3)
+        assert np.array_equal(decode_png(png_bytes(px, filter_seed=mid)), px)
+
+
+def test_pipeline_png_rows_and_truncated_idat_policy(spark):
+    from grasper_spark.functions.multimodal import (
+        decode_png, luma_int, media_decode_features, png_bytes,
+        synth_png_pixels, synthetic_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (1, 3, 7, 11)], ["doc_id"])
+    rows = {r.media_id: r for r in
+            media_decode_features(synthetic_media(docs)).collect()}
+    # synthetic_media routes id%4==3 to PNG (RGBA), id%4==1 stays BMP
+    assert rows[1].op == "bmp" and rows[3].op == "png" and rows[7].op == "png"
+    px = synth_png_pixels(7)
+    lu = luma_int(px[..., :3])
+    assert (rows[7].a, rows[7].b) == (px.shape[1], px.shape[0])
+    assert rows[7].c == int(lu.sum())
+    assert rows[7].d == int(px[..., 3].astype(np.int64).sum())
+
+    # truncated IDAT: error row under on_error='null', raise under 'raise'
+    good = png_bytes(synth_png_pixels(3))
+    media = spark.createDataFrame(
+        [(1, good[: len(good) - 18], "image"), (2, good, "image")],
+        ["media_id", "payload", "media_type"],
+    )
+    got = {r.media_id: r for r in media_decode_features(media).collect()}
+    assert got[1].op == "error" and got[1].a == -1
+    assert got[2].op == "png"
+    with pytest.raises(Exception):
+        media_decode_features(media, on_error="raise").collect()
+
+
+if True:  # keep hypothesis import pattern consistent with the suite
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.integers(min_value=1, max_value=9),
+            st.integers(min_value=1, max_value=9),
+            st.sampled_from([3, 4]),
+            st.integers(min_value=0, max_value=2**31 - 1),
+        )
+        def test_png_round_trip_property(w, h, ch, seed):
+            from grasper_spark.functions.multimodal import decode_png, png_bytes
+
+            rng = np.random.default_rng(seed)
+            px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            assert np.array_equal(decode_png(png_bytes(px, filter_seed=seed)), px)
+
+    except ImportError:  # pragma: no cover
+        pass
