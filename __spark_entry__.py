@@ -764,20 +764,43 @@ def _q_doc_simhash(spark, sf):
 
 
 def _q_doc_neardup_jaccard(spark, sf):
-    # symmetric Jaccard + asymmetric containment pairs in one tagged
-    # entry (50-entry ledger window) — both read the SAME persisted
-    # trigram shingle relation, so the union costs one extra join, not
-    # a second shingling pass
-    from grasper_spark.functions.dedup import containment_pairs, ngram_jaccard_pairs
+    # symmetric Jaccard + asymmetric containment pairs derived from ONE
+    # overlap_pair_stats pass (r6: the two arms each ran the inverted-
+    # index self-join + pair groupBy — 2.37s of headline, 25% of the
+    # total; the shared base halves the pair work). Both measures are
+    # per-row projections of (common, sz_a, sz_b): the tagged rows come
+    # from one explode over three candidate structs, filtered by each
+    # op's own threshold — no union re-executing the join tree.
+    from grasper_spark.functions.dedup import overlap_pair_stats
 
-    j = ngram_jaccard_pairs(_docs(spark, sf), threshold=0.2).select(
-        F.lit("jaccard").alias("op"), "id_a", "id_b", F.col("jaccard").alias("v")
+    stats = overlap_pair_stats(_docs(spark, sf))
+    jac = F.round(
+        F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
     )
-    c = containment_pairs(_docs(spark, sf), threshold=0.5).select(
-        F.lit("containment").alias("op"), "id_a", "id_b",
-        F.col("containment").alias("v"),
+    rows = stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("jaccard").alias("op"),
+                    F.col("id_a"), F.col("id_b"), jac.alias("v"),
+                ),
+                F.struct(
+                    F.lit("containment").alias("op"),
+                    F.col("id_a"), F.col("id_b"),
+                    F.round(F.col("common") / F.col("sz_a"), 6).alias("v"),
+                ),
+                F.struct(
+                    F.lit("containment").alias("op"),
+                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"),
+                    F.round(F.col("common") / F.col("sz_b"), 6).alias("v"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.filter(
+        ((F.col("op") == "jaccard") & (F.col("v") >= 0.2))
+        | ((F.col("op") == "containment") & (F.col("v") >= 0.5))
     )
-    return j.unionByName(c)
 
 
 def _q_emb_cosine_topk(spark, sf):

@@ -252,21 +252,22 @@ def _hashed_shingle_relation(
     )
 
 
-def ngram_jaccard_pairs(
+def overlap_pair_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_n: int = 3, threshold: float = 0.5, max_shingle_df: int = 10000,
-    unit: str = "word",
+    shingle_n: int = 3, max_shingle_df: int = 10000, unit: str = "word",
 ) -> DataFrame:
-    """Exact Jaccard near-dup pairs via inverted-index join (no cross
-    join; `max_shingle_df` drops degenerate hot shingles to bound skew).
-    unit='char' switches to codepoint n-grams (use shingle_n≈5) for
-    unsegmented scripts — same plan shape, same pair-mass budget."""
-    # persist the raw shingle relation: the hot-shingle aggregate reads
-    # it once, and the anti-joined consumers below (both join sides +
-    # sizes) re-traverse it without recomputing the window shingling.
-    # Shingles are xxhash64'd inside the persisted relation: the
-    # self-join and every aggregate shuffle 8-byte longs instead of
-    # ~25-byte trigram strings (same counts up to a ~2^-64 collision)
+    """(id_a < id_b, common, sz_a, sz_b) for every candidate pair that
+    shares ≥1 non-hot shingle — the SHARED base of ngram_jaccard_pairs
+    and containment_pairs: one inverted-index self-join + one pair
+    groupBy, from which every overlap measure (Jaccard, containment,
+    overlap coefficient) is a per-row projection. Running two measures
+    over a corpus costs ONE pair pass, not two.
+
+    The raw shingle relation is persisted (one-slot cache, xxhash64'd
+    8-byte keys, repartitioned by shingle hash before the persist): the
+    hot-shingle aggregate reads it once and the anti-joined consumers
+    (both self-join sides + sizes) re-traverse it with zero exchange
+    and no window re-shingling."""
     sh = _hashed_shingle_relation(df, text_col, id_col, shingle_n, unit)
     hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
         F.col("df_cnt") > max_shingle_df
@@ -284,8 +285,20 @@ def ngram_jaccard_pairs(
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     # sizes is one row per DOC (tiny vs the pair stream) — broadcast
     # both joins or the 10M+-row candidate relation shuffles twice
+    return common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.5, max_shingle_df: int = 10000,
+    unit: str = "word",
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via inverted-index join (no cross
+    join; `max_shingle_df` drops degenerate hot shingles to bound skew).
+    unit='char' switches to codepoint n-grams (use shingle_n≈5) for
+    unsegmented scripts — same plan shape, same pair-mass budget."""
     return (
-        common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        overlap_pair_stats(df, text_col, id_col, shingle_n, max_shingle_df, unit)
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
@@ -615,29 +628,16 @@ def containment_pairs(
     near 1.0 here but low Jaccard (the union is dominated by the long
     side). Both directions are emitted independently.
 
-    Scale: identical shape to ngram_jaccard_pairs — the same persisted
-    inverted-index self-join with the hot-shingle cap; only the final
-    normalization differs (divide by ONE side's size). |a ∩ b| is
-    symmetric, so the self-join runs once on a < b and mirrors — half
-    the pair traffic of an a != b join."""
-    sh = _hashed_shingle_relation(df, text_col, id_col, shingle_n, unit)
-    hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
-        F.col("df_cnt") > max_shingle_df
-    ).select("sh")
-    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    half = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    Scale: identical shape to ngram_jaccard_pairs — built on the same
+    overlap_pair_stats base (persisted inverted-index self-join with
+    the hot-shingle cap); only the final normalization differs (divide
+    by ONE side's size). |a ∩ b| is symmetric, so the self-join runs
+    once on a < b and mirrors — half the pair traffic of an a != b
+    join."""
+    half = overlap_pair_stats(df, text_col, id_col, shingle_n, max_shingle_df, unit)
     # emit both directions from ONE join tree (explode of two structs —
     # a union of mirrored selects would re-run the join+agg subtree)
-    both = half.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b").select(
+    both = half.select(
         F.explode(
             F.array(
                 F.struct(
