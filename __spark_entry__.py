@@ -1125,9 +1125,69 @@ def _q_emb_lsh_topk(spark, sf):
         F.col("bad").cast("long").alias("b"), F.lit(0).cast("long").alias("sim"),
         F.lit(0).alias("rank"),
     )
+    # ivf: the REAL IVF path (seeded KMeans train, centroid probe
+    # ranking, cluster-bucket candidate join — ivf_index/ivf_topk) run
+    # at n_probe = n_clusters, where probing degenerates to exhaustive
+    # search: the served pairs must then equal the integer-exact
+    # brute-force top-k, so a lost cluster, wrong assignment, or broken
+    # probe ranking surfaces as missing/mismatched hashed rows instead
+    # of a silent recall dip. The float candidate cut keeps k+8 (float
+    # and integer orderings can swap near-ties inside the margin; a
+    # probe bug drops whole clusters — far beyond it), then the integer
+    # key re-ranks and cuts to 10.
+    from pyspark.sql import Window as _W
+
+    from grasper_spark.functions.similarity import ivf_index, ivf_topk
+
+    assigned, cents = ivf_index(emb, n_clusters=8, max_iter=2)
+    cand = ivf_topk(
+        assigned, cents, emb.filter(F.col("vec_id") < 3), k=18, n_probe=8
+    ).select("query_id", "neighbor_id")
+    qa4 = q4.withColumn("n", int_dot(F.col("qv"), F.col("qv")))
+    iv = (
+        cand.join(
+            F.broadcast(
+                qa4.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("qv").alias("qq"), F.col("n").alias("na"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            qa4.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("qv").alias("cq"), F.col("n").alias("nb"),
+            ),
+            "neighbor_id",
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .withColumn("d", int_dot(F.col("qq"), F.col("cq")))
+    )
+    ikey = F.when(F.col("d") >= 0, F.expr("(d * d) div nb")).otherwise(
+        -F.expr("(d * d) div nb")
+    )
+    isim = F.when(
+        F.col("d") >= 0,
+        F.expr("(d * d) div greatest((na * nb) div 1000000, 1)"),
+    ).otherwise(-F.expr("(d * d) div greatest((na * nb) div 1000000, 1)"))
+    iw = _W.partitionBy("query_id").orderBy(
+        F.col("ikey").desc(), F.col("neighbor_id").asc()
+    )
+    ivf = (
+        iv.withColumn("ikey", ikey)
+        .withColumn("rank", F.row_number().over(iw))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.lit("ivf").alias("op"), F.col("query_id").alias("a"),
+            F.col("neighbor_id").alias("b"), isim.cast("long").alias("sim"),
+            "rank",
+        )
+    )
     return (
         topk.unionByName(tok).unionByName(bok).unionByName(nrm).unionByName(nok)
         .unionByName(qt).unionByName(qok).unionByName(cen).unionByName(ok)
+        .unionByName(ivf)
     )
 
 
@@ -2913,6 +2973,40 @@ FROM (
 UNION ALL
 SELECT 'centroid_ok', label::BIGINT, 0::BIGINT, 0::BIGINT, 0::INTEGER
 FROM (SELECT DISTINCT label FROM embeddings) dl
+UNION ALL
+-- ivf: Spark ran the REAL KMeans-trained IVF probe at n_probe =
+-- n_clusters (exhaustive) and re-ranked by the exact integer key; the
+-- oracle recomputes the integer brute-force top-10 directly — any
+-- cluster/assignment/probe bug on the Spark side loses candidates and
+-- hash-mismatches here
+SELECT 'ivf' AS op, query_id, neighbor_id, sim, rank
+FROM (
+  WITH ivqn AS (
+    SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS nq
+    FROM (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(x::DOUBLE * 4096.0)::BIGINT) AS qv
+      FROM embeddings
+    ) z
+    WHERE list_sum(list_transform(qv, x -> x * x)) > 0
+  ), ivq AS (SELECT vec_id AS query_id, qv AS qq, nq AS na FROM ivqn WHERE vec_id < 3),
+  ivscored AS (
+    SELECT ivq.query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, 65), i -> ivq.qq[i] * c.qv[i]))::BIGINT AS d,
+           ivq.na, c.nq AS nb
+    FROM ivqn c, ivq WHERE c.vec_id <> ivq.query_id
+  )
+  SELECT query_id, neighbor_id,
+         (CASE WHEN d >= 0
+               THEN (d * d) // greatest((na * nb) // 1000000, 1)
+               ELSE -((d * d) // greatest((na * nb) // 1000000, 1)) END)::BIGINT AS sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (CASE WHEN d >= 0 THEN (d * d) // nb
+                          ELSE -((d * d) // nb) END) DESC,
+                    neighbor_id ASC)::INTEGER AS rank
+  FROM ivscored
+) ivr WHERE rank <= 10
 """,
         "doc_minhash_lsh_pairs": _minhash_lsh_oracle(),
         "doc_neardup_clusters": _neardup_clusters_oracle(),

@@ -116,23 +116,30 @@ def run_emu(
         # concurrently (FAIR scheduler), warm-up cost ≈ max, not sum
         def _prep(t):
             try:
-                # fallback=False: the emu has its OWN per-query mode
-                # (BuildIndex + domain sampling below) and measures it
-                # as a distinct tier — a PerQueryPrepared here would
-                # hide that split
+                # fallback=False so the grouped tier and the per-query
+                # tier stay SEPARATE measurements (modes dict below)
                 return prepare(
                     g, t.query, cache_dir=prepare_cache_dir, fallback=False
                 )
             except (PrepareError, CompileError):
                 # out-of-scope shape OR a template that only fails under
-                # grouped compilation — fall back to per-query mode
-                return None
+                # grouped compilation — per-query mode, served through
+                # PerQueryPrepared (pre-parsed steps + per-value plan
+                # and row LRUs: repeated values recompile zero times);
+                # raw g.query strings remain the last resort
+                try:
+                    from grasper_spark.plans.prepared import PerQueryPrepared
+
+                    return PerQueryPrepared(g, t.query)
+                except Exception:
+                    return None
 
         with ThreadPoolExecutor(max_workers=min(4, len(templates))) as wex:
             prepared = list(wex.map(_prep, templates))
     for i, t in enumerate(templates):
         element = "E" if t.query.lstrip().startswith("g.E()") else "V"
-        if prepared[i] is not None:
+        fallback_mode = getattr(prepared[i], "mode", None) == "fallback"
+        if prepared[i] is not None and not fallback_mode:
             # sample parameters from the materialized domain — the
             # reference samples $RAND from its index store the same way
             vals = prepared[i].param_values()
@@ -142,7 +149,7 @@ def run_emu(
                 # can still run it (empty results per query)
                 prepared[i].close()
                 prepared[i] = None
-        if prepared[i] is not None:
+        if prepared[i] is not None and not fallback_mode:
             modes[i] = "prepared"
         else:
             modes[i] = "per-query"

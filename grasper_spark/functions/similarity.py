@@ -217,7 +217,7 @@ def semantic_dedup(
 
 def ivf_index(
     corpus: DataFrame, n_clusters: int = 16, id_col: str = "vec_id",
-    vec_col: str = "embedding", seed: int = 42,
+    vec_col: str = "embedding", seed: int = 42, max_iter: int = 20,
 ):
     """Train an IVF (inverted-file) index: seeded KMeans centroids +
     cluster assignment for every corpus vector.
@@ -233,7 +233,9 @@ def ivf_index(
         F.col(id_col), F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(ml_df)
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(ml_df)
     assigned = model.transform(ml_df).withColumnRenamed("prediction", "cluster").drop(
         "features"
     )

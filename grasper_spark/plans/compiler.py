@@ -391,10 +391,10 @@ class GremlinCompiler:
                 *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in stream.sort]
             )
         if stream.kind == "V":
-            return df.select(F.col(VCOL).alias("vid"))
+            return df.selectExpr(f"`{VCOL}` AS vid")
         if stream.kind == "E":
-            return df.select(F.col(ESRC).alias("src"), F.col(EDST).alias("dst"))
-        return df.select(F.col(VAL).alias("val"))
+            return df.selectExpr(f"`{ESRC}` AS src", f"`{EDST}` AS dst")
+        return df.selectExpr(f"`{VAL}` AS val")
 
     # ---------- helpers ----------
 
@@ -402,6 +402,25 @@ class GremlinCompiler:
         if s.kind != "V" or s.props:
             return s
         return replace(s, df=s.df.join(self._vertices(), VCOL, "inner"), props=True)
+
+    def _prop_expr(self, s: Stream, key: str) -> tuple[Stream, str, str]:
+        """SQL-string twin of _prop_col for hot projection paths: the
+        returned expression goes into ONE selectExpr/filter call instead
+        of building Column objects over py4j. Interpolates only schema-
+        derived identifiers (backticked) — never user values."""
+        if s.kind == "V":
+            if key == "label":
+                return self._ensure_vprops(s), f"`{VLAB}`", "string"
+            if key not in self.g.vertex_keys:
+                return s, "CAST(NULL AS STRING)", "string"
+            return self._ensure_vprops(s), f"`{VP + key}`", self.g.vertex_keys[key]
+        if s.kind == "E":
+            if key == "label":
+                return s, f"`{ELAB}`", "string"
+            if key not in self.g.edge_keys:
+                return s, "CAST(NULL AS STRING)", "string"
+            return s, f"`{EP + key}`", self.g.edge_keys[key]
+        raise TypeError(f"property access on scalar stream: {key}")
 
     def _prop_col(self, s: Stream, key: str) -> tuple[Stream, Column, str]:
         """Column holding property `key` for the current element kind."""
@@ -561,23 +580,32 @@ class GremlinCompiler:
         jsrc, jdst, jlab = f"_j{u}s", f"_j{u}d", f"_j{u}l"
         e = self._edges(by_dst=(direction == "in"))
         eps = {k: f"_j{u}p{i}" for i, k in enumerate(self.g.edge_keys)}
-        e = e.select(
-            F.col(ESRC).alias(jsrc), F.col(EDST).alias(jdst), F.col(ELAB).alias(jlab),
-            *[F.col(EP + k).alias(v) for k, v in eps.items()],
+        # selectExpr / string predicates / F.expr join condition: ONE
+        # py4j round trip each instead of one per Column object — plan
+        # CONSTRUCTION is the per-query serving floor (emu fallback
+        # tier: ~350 round trips ≈ 120 ms per compile at local[32], 85%
+        # of it socket waits), and _expand was 60% of that. Only
+        # compiler-generated identifiers are interpolated (backticked);
+        # user VALUES still go through the Column predicate kernel.
+        e = e.selectExpr(
+            f"`{ESRC}` AS `{jsrc}`", f"`{EDST}` AS `{jdst}`", f"`{ELAB}` AS `{jlab}`",
+            *[f"`{EP + k}` AS `{v}`" for k, v in eps.items()],
         )
         if elabels:
-            e = e.filter(F.col(jlab).isin(list(elabels)))
+            quoted = ", ".join("'" + lb.replace("'", "\\'") + "'" for lb in elabels)
+            e = e.filter(f"`{jlab}` IN ({quoted})")
         left = self._strip(s)
         key = jsrc if direction == "out" else jdst
-        joined = left.join(e, left[VCOL] == e[key], "inner")
+        joined = left.join(e, F.expr(f"`{VCOL}` = `{key}`"), "inner")
+        hist = [f"`{c}`" for c in s.hist_cols()]
         if to == "V":
             out = jdst if direction == "out" else jsrc
-            df = joined.select(*s.hist_cols(), F.col(out).alias(VCOL))
+            df = joined.selectExpr(*hist, f"`{out}` AS `{VCOL}`")
             return self._traversal_result(s, df, "V")
-        df = joined.select(
-            *s.hist_cols(),
-            F.col(jsrc).alias(ESRC), F.col(jdst).alias(EDST), F.col(jlab).alias(ELAB),
-            *[F.col(v).alias(EP + k) for k, v in eps.items()],
+        df = joined.selectExpr(
+            *hist,
+            f"`{jsrc}` AS `{ESRC}`", f"`{jdst}` AS `{EDST}`", f"`{jlab}` AS `{ELAB}`",
+            *[f"`{v}` AS `{EP + k}`" for k, v in eps.items()],
         )
         return self._traversal_result(s, df, "E")
 
@@ -627,9 +655,14 @@ class GremlinCompiler:
         # /root/reference/expert/values_expert.hpp:102-105
         assert keys, "values() needs at least one key"
         if len(keys) == 1:
-            s, col, dtype = self._prop_col(s, keys[0])
-            df = s.df.filter(col.isNotNull()).select(
-                *s.hist_cols(), *s.sort_cols(), col.alias(VAL)
+            # string-expression fast path (one selectExpr round trip —
+            # see _expand's rationale); only compiler-generated/schema
+            # identifiers are interpolated
+            s, ex, dtype = self._prop_expr(s, keys[0])
+            df = s.df.filter(f"{ex} IS NOT NULL").selectExpr(
+                *[f"`{c}`" for c in s.hist_cols()],
+                *[f"`{c}`" for c in s.sort_cols()],
+                f"{ex} AS `{VAL}`",
             )
             return self._traversal_result(s, df, "S", keep_sort=True, dtype=dtype)
         cols, dtypes = [], set()
@@ -916,9 +949,28 @@ class GremlinCompiler:
         # session compiling many distinct side-effect queries evicts +
         # unpersists the coldest store instead of accumulating cached
         # relations forever (evicted stores still compute, uncached).
+        #
+        # The fork is COLUMN-PRUNED before the persist: a persist is a
+        # materialization barrier Catalyst cannot prune through, so a
+        # wide V-stream (vid + label + every vertex prop — 13 columns
+        # on the TPC-H graph) would cache ~6x the bytes the downstream
+        # plan reads. Vertex props re-attach lazily (_ensure_vprops
+        # joins the cached vertex relation by vid), so the persisted
+        # fork only needs vid + history + sort columns; this was the
+        # sf1 cost behind g_aggregate_without's 2.92 scaling ratio.
+        s = self._pruned_fork(s)
         df = _persisted_store(s.df)
         self.side_effects[name] = df.select(s.val().alias("seval"))
         return replace(s, df=df)
+
+    def _pruned_fork(self, s: Stream) -> Stream:
+        """Project a V-stream to vid + history + sort columns before a
+        materialization point (persist), marking props detached; other
+        stream kinds pass through (E/S cores are already narrow)."""
+        if s.kind != "V" or not s.props:
+            return s
+        keep = list(dict.fromkeys([VCOL, *s.hist_cols(), *s.sort_cols()]))
+        return replace(s, df=s.df.select(*keep), props=False)
 
     def _step_cap(self, s: Stream, *names: str) -> Stream:
         # "x:[v1, v2]" per store (/root/reference/expert/barrier_expert.hpp:366-430);
@@ -1359,6 +1411,9 @@ class GremlinCompiler:
                 )
             )
             if not bare:
+                # same column-prune as aggregate(): branches re-attach
+                # props lazily from the cached vertex relation
+                s = self._pruned_fork(s)
                 s = replace(s, df=_persisted_store(s.df))
         outs = [self.compile(list(b), start=s) for b in branches]
         return self._align_union(outs)

@@ -867,6 +867,13 @@ class PerQueryPrepared:
         from collections import OrderedDict
 
         self._row_lru: "OrderedDict" = OrderedDict()
+        # compiled-plan LRU: a repeated VALUE re-serves the already-built
+        # DataFrame, so repeats pay only execution (plan construction is
+        # the per-query tier's biggest cold-cost slice — it was ~350
+        # py4j round trips before the compiler's selectExpr fast paths,
+        # and still dozens after). Bounded: entries hold JVM plan
+        # references, not materialized data.
+        self._plan_lru: "OrderedDict" = OrderedDict()
         self._lru_lock = _threading.Lock()
         # freshness epoch: df(value) always recompiles so it sees
         # post-refresh data immediately — rows() must not keep serving
@@ -880,7 +887,27 @@ class PerQueryPrepared:
             with self._lru_lock:
                 if self._epoch != cur:
                     self._row_lru.clear()
+                    self._plan_lru.clear()
                     self._epoch = cur
+
+    def _plan_for(self, value: Any) -> DataFrame:
+        """df(value) through the bounded per-value plan LRU — repeated
+        values recompile zero times; only binding + execution remain."""
+        try:
+            k = value if not isinstance(value, list) else tuple(value)
+            with self._lru_lock:
+                hit = self._plan_lru.get(k)
+                if hit is not None:
+                    self._plan_lru.move_to_end(k)
+                    return hit
+        except TypeError:  # unhashable parameter
+            return self._df_for(value)
+        df = self._df_for(value)
+        with self._lru_lock:
+            self._plan_lru[k] = df
+            while len(self._plan_lru) > _ROW_LRU_MAX:
+                self._plan_lru.popitem(last=False)
+        return df
 
     def _df_for(self, value: Any) -> DataFrame:
         vals = (value,) if len(self._idxs) == 1 else tuple(value)
@@ -898,7 +925,11 @@ class PerQueryPrepared:
         return self._g.traversal(steps).df()
 
     def df(self, value: Any) -> DataFrame:
-        return self._df_for(value)
+        # served through the plan LRU: a cached PLAN is freshness-safe
+        # (it re-executes against the current graph relations; a graph
+        # swap bumps the invalidation epoch, which clears the LRU)
+        self._check_epoch()
+        return self._plan_for(value)
 
     def rows(self, value: Any) -> list[tuple]:
         self._check_epoch()
@@ -911,7 +942,7 @@ class PerQueryPrepared:
                     return hit
         except TypeError:  # unhashable parameter — serve uncached
             return [tuple(r) for r in self._df_for(value).collect()]
-        out = [tuple(r) for r in self._df_for(value).collect()]
+        out = [tuple(r) for r in self._plan_for(value).collect()]
         with self._lru_lock:
             self._row_lru[k] = out
             while len(self._row_lru) > _ROW_LRU_MAX:
