@@ -399,6 +399,11 @@ class GremlinCompiler:
     # ---------- helpers ----------
 
     def _ensure_vprops(self, s: Stream) -> Stream:
+        # (measured: a point-serving broadcast hint on the stream side
+        # here EXECUTES WORSE than the default table-side broadcast —
+        # the stream subtree must run to build the broadcast, serially
+        # before the probe; the table projection broadcast amortizes
+        # across the plan's stages. Keep Catalyst/AQE's choice.)
         if s.kind != "V" or s.props:
             return s
         return replace(s, df=s.df.join(self._vertices(), VCOL, "inner"), props=True)
