@@ -217,21 +217,25 @@ def _paeth_predict(left, up, upleft):
 
 
 def png_bytes(pixels, filter_seed: int = 0) -> bytes:
-    """Encode an HxWx3 (RGB, color type 2) or HxWx4 (RGBA, color type
-    6) uint8 array as a real PNG: CRC-checked chunks, zlib-compressed
-    IDAT, 8-bit non-interlaced. Each scanline's filter type cycles
-    (row + filter_seed) % 5, so a payload taller than 4 rows exercises
-    every filter (None/Sub/Up/Average/Paeth) through the decoder."""
+    """Encode a uint8 pixel array as a real PNG: CRC-checked chunks,
+    zlib-compressed IDAT, 8-bit non-interlaced. Channel count picks the
+    color type: HxW or HxWx1 -> grayscale (0), HxWx2 -> gray+alpha (4),
+    HxWx3 -> RGB (2), HxWx4 -> RGBA (6). Each scanline's filter type
+    cycles (row + filter_seed) % 5, so a payload taller than 4 rows
+    exercises every filter (None/Sub/Up/Average/Paeth) through the
+    decoder."""
     import struct
     import zlib
 
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
     h, w, ch = px.shape
-    if ch not in (3, 4):
-        raise ValueError(f"expected 3 (RGB) or 4 (RGBA) channels, got {ch}")
-    color_type = 2 if ch == 3 else 6
+    if ch not in (1, 2, 3, 4):
+        raise ValueError(f"expected 1-4 channels, got {ch}")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     raw = px.reshape(h, w * ch)
     stream = bytearray()
     prev = np.zeros(w * ch, dtype=np.uint8)
@@ -271,14 +275,15 @@ def png_bytes(pixels, filter_seed: int = 0) -> bytes:
 
 
 def decode_png(payload: bytes):
-    """Parse an 8-bit non-interlaced truecolor PNG (color type 2 RGB or
-    6 RGBA) into an HxWxC uint8 array. Full chunk walk with CRC32
-    verification, multi-IDAT concatenation, stdlib-zlib inflate, and
-    all five scanline filters reversed (None/Sub/Up/Average/Paeth —
-    Sub vectorizes as a per-lane cumsum; Average/Paeth carry a true
-    left-pixel recurrence, so they run a per-pixel loop over ch-wide
-    lanes). Palette/grayscale/16-bit/interlaced payloads raise
-    ValueError, as do truncated or CRC-corrupt chunks."""
+    """Parse an 8-bit non-interlaced PNG (color types 0 gray / 2 RGB /
+    4 gray+alpha / 6 RGBA) into an HxWxC uint8 array (C = 1/3/2/4).
+    Full chunk walk with CRC32 verification, multi-IDAT concatenation,
+    stdlib-zlib inflate, and all five scanline filters reversed
+    (None/Sub/Up/Average/Paeth — Sub vectorizes as a per-lane cumsum;
+    Average/Paeth carry a true left-pixel recurrence, so they run a
+    per-pixel loop over ch-wide lanes). Palette/16-bit/interlaced
+    payloads raise ValueError, as do truncated or CRC-corrupt
+    chunks."""
     import struct
     import zlib
 
@@ -315,13 +320,15 @@ def decode_png(payload: bytes):
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
     if depth != 8:
         raise ValueError(f"{depth}-bit PNG unsupported (8-bit only)")
-    if color_type not in (2, 6):
-        raise ValueError(f"color type {color_type} unsupported (truecolor 2/6 only)")
+    if color_type not in (0, 2, 4, 6):
+        raise ValueError(
+            f"color type {color_type} unsupported (palette PNG needs PLTE handling)"
+        )
     if comp != 0 or filt_method != 0:
         raise ValueError("nonstandard compression/filter method")
     if interlace != 0:
         raise ValueError("interlaced (Adam7) PNG unsupported")
-    ch = 3 if color_type == 2 else 4
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -595,9 +602,13 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
                          int((s64 * s64).sum()), int(np.abs(s64).max()) if len(s64) else 0)
                 else:
                     px = decoded
-                    lu = luma_int(px[..., :3])
-                    if kind == "png" and px.shape[2] == 4:
-                        d = int(px[..., 3].astype(np.int64).sum())
+                    ch2 = px.shape[2]
+                    if ch2 < 3:  # grayscale PNG: the gray plane IS the luma
+                        lu = px[..., 0].astype(np.int64)
+                    else:
+                        lu = luma_int(px[..., :3])
+                    if kind == "png" and ch2 in (2, 4):  # alpha plane sum
+                        d = int(px[..., -1].astype(np.int64).sum())
                     else:
                         d = int(lu[0, 0])
                     emit(kind, mid, px.shape[1], px.shape[0], int(lu.sum()), d)

@@ -117,17 +117,50 @@ def test_png_crc_mismatch_raises():
 def test_png_rejects_unsupported_shapes():
     from grasper_spark.functions.multimodal import decode_png
 
-    line = bytes([0, 0, 0, 0])  # filter byte + 1 grayscale-ish px
     with pytest.raises(ValueError, match="16-bit"):
         decode_png(_png(1, 1, 16, 2, 0, bytes([0, 0, 0, 0, 0, 0, 0])))
     with pytest.raises(ValueError, match="color type 3"):
-        decode_png(_png(1, 1, 8, 3, 0, line))
-    with pytest.raises(ValueError, match="color type 0"):
-        decode_png(_png(1, 1, 8, 0, 0, line))
+        decode_png(_png(1, 1, 8, 3, 0, bytes([0, 0])))
     with pytest.raises(ValueError, match="interlaced"):
         decode_png(_png(1, 1, 8, 2, 1, bytes([0, 1, 2, 3])))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_png_grayscale_round_trip(ch):
+    """Color types 0 (gray) and 4 (gray+alpha) — all four non-palette
+    8-bit PNG types decode."""
+    from grasper_spark.functions.multimodal import decode_png, png_bytes
+
+    rng = np.random.default_rng(50 + ch)
+    px = rng.integers(0, 256, size=(7, 4, ch), dtype=np.uint8)
+    for seed in range(5):
+        assert np.array_equal(decode_png(png_bytes(px, filter_seed=seed)), px)
+    # a 2-D array encodes as grayscale and decodes to HxWx1
+    if ch == 1:
+        got = decode_png(png_bytes(px[:, :, 0]))
+        assert got.shape == (7, 4, 1)
+        assert np.array_equal(got[:, :, 0], px[:, :, 0])
+
+
+def test_pipeline_grayscale_png_features(spark):
+    from grasper_spark.functions.multimodal import (
+        media_decode_features, png_bytes,
+    )
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    ga = np.stack([np.full((3, 4), 9, np.uint8), np.full((3, 4), 7, np.uint8)], axis=-1)
+    media = spark.createDataFrame(
+        [(1, png_bytes(gray), "image"), (2, png_bytes(ga), "image")],
+        ["media_id", "payload", "media_type"],
+    )
+    rows = {r.media_id: r for r in media_decode_features(media).collect()}
+    # gray: luma = the gray plane itself; d = luma[0,0]
+    assert rows[1].op == "png" and (rows[1].a, rows[1].b) == (4, 3)
+    assert rows[1].c == int(gray.sum()) and rows[1].d == 0
+    # gray+alpha: luma sum over the gray plane, d = alpha plane sum
+    assert rows[2].c == 9 * 12 and rows[2].d == 7 * 12
 
 
 def test_png_truncation_and_stream_errors():
