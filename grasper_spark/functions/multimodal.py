@@ -8,8 +8,9 @@ Decode is REAL for every container format a numpy+stdlib environment
 can parse byte-for-byte:
 - WAV / RIFF PCM (8- and 16-bit): full chunk walk (`decode_wav`)
 - BMP, 24bpp uncompressed, bottom-up or top-down (`decode_bmp`)
-- PNG, 8-bit truecolor RGB/RGBA non-interlaced: CRC-checked chunk
-  walk, stdlib-zlib IDAT inflate, all five scanline filters reversed
+- PNG, 8-bit non-interlaced, all five color types (gray / RGB /
+  palette-through-PLTE / gray+alpha / RGBA): CRC-checked chunk walk,
+  stdlib-zlib IDAT inflate, all five scanline filters reversed
   (`decode_png`)
 Codecs needing entropy coders beyond zlib (JPEG/MP3/H.264...) require
 PIL/ffmpeg, which are NOT in this container — `decode_real` stays the
@@ -276,14 +277,15 @@ def png_bytes(pixels, filter_seed: int = 0) -> bytes:
 
 def decode_png(payload: bytes):
     """Parse an 8-bit non-interlaced PNG (color types 0 gray / 2 RGB /
-    4 gray+alpha / 6 RGBA) into an HxWxC uint8 array (C = 1/3/2/4).
+    3 palette / 4 gray+alpha / 6 RGBA) into an HxWxC uint8 array
+    (C = 1/3/3/2/4 — palette indices expand through PLTE to RGB).
     Full chunk walk with CRC32 verification, multi-IDAT concatenation,
     stdlib-zlib inflate, and all five scanline filters reversed
     (None/Sub/Up/Average/Paeth — Sub vectorizes as a per-lane cumsum;
     Average/Paeth carry a true left-pixel recurrence, so they run a
-    per-pixel loop over ch-wide lanes). Palette/16-bit/interlaced
-    payloads raise ValueError, as do truncated or CRC-corrupt
-    chunks."""
+    per-pixel loop over ch-wide lanes). 16-bit and interlaced payloads
+    raise ValueError, as do truncated or CRC-corrupt chunks and
+    out-of-range palette indices."""
     import struct
     import zlib
 
@@ -293,6 +295,7 @@ def decode_png(payload: bytes):
         raise ValueError("not a PNG payload")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     saw_iend = False
     while pos + 8 <= len(payload):
@@ -307,6 +310,10 @@ def decode_png(payload: bytes):
             if len(body) != 13:
                 raise ValueError("bad IHDR length")
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if size % 3 or size > 768:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -320,15 +327,15 @@ def decode_png(payload: bytes):
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
     if depth != 8:
         raise ValueError(f"{depth}-bit PNG unsupported (8-bit only)")
-    if color_type not in (0, 2, 4, 6):
-        raise ValueError(
-            f"color type {color_type} unsupported (palette PNG needs PLTE handling)"
-        )
+    if color_type not in (0, 2, 3, 4, 6):
+        raise ValueError(f"color type {color_type} unsupported")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if comp != 0 or filt_method != 0:
         raise ValueError("nonstandard compression/filter method")
     if interlace != 0:
         raise ValueError("interlaced (Adam7) PNG unsupported")
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -374,7 +381,12 @@ def decode_png(payload: bytes):
             raise ValueError(f"invalid scanline filter type {f}")
         recon[y] = cur
         prev = cur
-    return recon.reshape(h, w, ch)
+    out = recon.reshape(h, w, ch)
+    if color_type == 3:  # palette: index plane -> RGB through PLTE
+        if recon.size and int(recon.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        out = plte[out[:, :, 0]]
+    return out
 
 
 def image_resize_nn(rgb, out_h: int, out_w: int):

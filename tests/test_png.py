@@ -119,12 +119,42 @@ def test_png_rejects_unsupported_shapes():
 
     with pytest.raises(ValueError, match="16-bit"):
         decode_png(_png(1, 1, 16, 2, 0, bytes([0, 0, 0, 0, 0, 0, 0])))
-    with pytest.raises(ValueError, match="color type 3"):
+    with pytest.raises(ValueError, match="missing PLTE"):
         decode_png(_png(1, 1, 8, 3, 0, bytes([0, 0])))
     with pytest.raises(ValueError, match="interlaced"):
         decode_png(_png(1, 1, 8, 2, 1, bytes([0, 1, 2, 3])))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+def _palette_png(w, h, plte: bytes, idx_rows: bytes) -> bytes:
+    from grasper_spark.functions.multimodal import PNG_SIG
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(idx_rows))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_palette_decodes_through_plte():
+    from grasper_spark.functions.multimodal import decode_png
+
+    plte = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255])  # red green blue
+    # 2x2 indices with Sub filter on row 1: raw (2,0) -> filt (2, 254)
+    rows = bytes([0, 0, 1]) + bytes([1, 2, 254])
+    got = decode_png(_palette_png(2, 2, plte, rows))
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]], dtype=np.uint8
+    )
+    assert np.array_equal(got, want)
+    # out-of-range index: raise, not garbage
+    bad = bytes([0, 0, 7]) + bytes([0, 0, 0])
+    with pytest.raises(ValueError, match="palette index out of range"):
+        decode_png(_palette_png(2, 2, plte, bad))
 
 
 @pytest.mark.parametrize("ch", [1, 2])
