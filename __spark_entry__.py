@@ -1281,8 +1281,9 @@ def _q_multimodal_features(spark, sf):
 
         from grasper_spark.functions.multimodal import (
             WAV_SR, audio_decimate, bmp_bytes, byte_stats, decode_bmp,
-            decode_png, decode_wav, image_resize_nn, luma_int, png_bytes,
-            synth_bmp_pixels, synth_png_pixels, synth_wav_samples, wav_bytes,
+            decode_gif, decode_png, decode_wav, gif_bytes, image_resize_nn,
+            luma_int, png_bytes, synth_bmp_pixels, synth_gif_frame,
+            synth_png_pixels, synth_wav_samples, wav_bytes,
         )
 
         for pdf in batches:
@@ -1347,6 +1348,15 @@ def _q_multimodal_features(spark, sf):
                     )
                     emit("png", mid, ppx.shape[1], ppx.shape[0],
                          int(plu.sum()), pd_)
+                    # real GIF round trip: closed-form 16-color palette
+                    # + index frame -> actual LZW-compressed GIF89a
+                    # bytes -> block walk + LZW decode + palette map;
+                    # the oracle recomputes luma from the closed forms
+                    gidx, gpal = synth_gif_frame(mid)
+                    gpx = decode_gif(gif_bytes(gidx, gpal))
+                    glu = luma_int(gpx)
+                    emit("gif", mid, gpx.shape[1], gpx.shape[0],
+                         int(glu.sum()), int(glu[0, 0]))
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(fn, DECODED_SCHEMA)
@@ -3149,6 +3159,25 @@ SELECT 'png' AS op, doc_id AS media_id,
        list_sum(list_transform(range(0, (3 + doc_id % 5) * (2 + doc_id % 4)),
          i -> (doc_id + (i % (3 + doc_id % 5)) + (i // (3 + doc_id % 5))) % 256))::BIGINT AS d
 FROM documents WHERE doc_id % 4 = 3 AND doc_id % 97 <> 0
+UNION ALL
+-- gif rows: Spark pushed a closed-form 16-color palette + index frame
+-- through REAL LZW-compressed GIF89a bytes and the real block-walk
+-- decoder (sub-blocks, variable-width codes, palette map); the oracle
+-- re-evaluates the formulas directly: c = (x + 2y + id) % 16,
+-- pal[c] = ((7c+id)%256, (11c+2id)%256, (13c+3id)%256),
+-- w = 4 + id%4, h = 3 + id%3
+SELECT 'gif' AS op, doc_id AS media_id,
+       (4 + doc_id % 4)::BIGINT AS a,
+       (3 + doc_id % 3)::BIGINT AS b,
+       list_sum(list_transform(range(0, (4 + doc_id % 4) * (3 + doc_id % 3)),
+         i -> (  77 * ((7 * (((i % (4 + doc_id % 4)) + 2*(i // (4 + doc_id % 4)) + doc_id) % 16) + doc_id) % 256)
+               + 150 * ((11 * (((i % (4 + doc_id % 4)) + 2*(i // (4 + doc_id % 4)) + doc_id) % 16) + 2*doc_id) % 256)
+               +  29 * ((13 * (((i % (4 + doc_id % 4)) + 2*(i // (4 + doc_id % 4)) + doc_id) % 16) + 3*doc_id) % 256)
+              ) // 256))::BIGINT AS c,
+       ((  77 * ((7 * (doc_id % 16) + doc_id) % 256)
+         + 150 * ((11 * (doc_id % 16) + 2*doc_id) % 256)
+         +  29 * ((13 * (doc_id % 16) + 3*doc_id) % 256)) // 256)::BIGINT AS d
+FROM documents WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0
 """,
         # BFS over the FK graph from regions, direction 'in': the layered
         # star schema makes the exact distances closed-form

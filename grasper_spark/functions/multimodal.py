@@ -12,7 +12,11 @@ can parse byte-for-byte:
   palette-through-PLTE / gray+alpha / RGBA): CRC-checked chunk walk,
   stdlib-zlib IDAT inflate, all five scanline filters reversed
   (`decode_png`)
-Codecs needing entropy coders beyond zlib (JPEG/MP3/H.264...) require
+- GIF 87a/89a, first frame: full block walk (extensions skipped by
+  sub-block length, global/local color tables), from-scratch LZW
+  decode (variable code widths, cScSc case, dictionary resets),
+  4-pass de-interlacing (`decode_gif`)
+Codecs needing entropy coders beyond zlib/LZW (JPEG/MP3/H.264...) require
 PIL/ffmpeg, which are NOT in this container — `decode_real` stays the
 honestly-labeled NotImplementedError hook for those, and
 `media_decode_features` routes unknown magic bytes there (or to an
@@ -89,9 +93,9 @@ def byte_stats(payloads):
 
 def decode_real(payload: bytes) -> bytes:  # pragma: no cover
     """Production decode hook for codecs needing entropy coders beyond
-    zlib (JPEG/MP3/H.264) — requires PIL/ffmpeg, absent here. WAV, BMP
-    and PNG decode ARE implemented (decode_wav / decode_bmp /
-    decode_png)."""
+    zlib/LZW (JPEG/MP3/H.264) — requires PIL/ffmpeg, absent here. WAV,
+    BMP, PNG and GIF decode ARE implemented (decode_wav / decode_bmp /
+    decode_png / decode_gif)."""
     raise NotImplementedError("compressed-media decode libs not available in this environment")
 
 
@@ -389,6 +393,215 @@ def decode_png(payload: bytes):
     return out
 
 
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable 3..12-bit codes, LSB-first packing,
+    CLEAR emitted first, dictionary reset at 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    out_bits.append((clear, width))
+    buf: tuple = ()
+    for sym in indices:
+        cand = buf + (int(sym),)
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            out_bits.append((clear, width))
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = (int(sym),)
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((end, width))
+    # LSB-first bit packing
+    acc = n = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, limit: int):
+    """Inverse of _lzw_encode; stops at END or after `limit` pixels.
+    Raises ValueError on any malformed code stream."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = n = pos = 0
+    prev: bytes | None = None
+    while len(out) < limit:
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW code before any literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the cScSc special case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    return bytes(out[:limit])
+
+
+def gif_bytes(indices, palette) -> bytes:
+    """Encode an HxW uint8 index array + Nx3 palette as a real
+    single-frame GIF89a (global color table, LZW-compressed image
+    data, 255-byte sub-blocks)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = len(pal)
+    bits = max(1, (n - 1).bit_length())
+    gct_size = 1 << bits
+    pal_full = np.zeros((gct_size, 3), dtype=np.uint8)
+    pal_full[:n] = pal
+    mcs = max(2, bits)
+    lzw = _lzw_encode(idx.reshape(-1), mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+        + pal_full.tobytes()
+        + struct.pack("<sHHHHB", b",", 0, 0, w, h, 0)  # image descriptor
+        + bytes([mcs])
+        + bytes(blocks)
+        + b"\x00;"  # block terminator + trailer
+    )
+
+
+def decode_gif(payload: bytes):
+    """Parse a GIF87a/GIF89a payload into an HxWx3 uint8 RGB array
+    (first frame). Full block walk: logical screen descriptor, global
+    and local color tables, extension blocks skipped by sub-block
+    length (a demuxer's job — 89a files carry graphics-control and
+    application extensions), LZW decode with the cScSc case and
+    dictionary resets. Interlaced frames are de-interlaced by the
+    standard 4-pass row order. Malformed payloads raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 1 << ((flags & 0x07) + 1)
+        if pos + 3 * size > len(payload):
+            raise ValueError("truncated global color table")
+        gct = np.frombuffer(payload, np.uint8, 3 * size, pos).reshape(size, 3)
+        pos += 3 * size
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks until 0
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated image descriptor")
+            _x, _y, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1:pos + 10])
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local color table
+                size = 1 << ((iflags & 0x07) + 1)
+                if pos + 3 * size > len(payload):
+                    raise ValueError("truncated local color table")
+                pal = np.frombuffer(payload, np.uint8, 3 * size, pos).reshape(size, 3)
+                pos += 3 * size
+            if pal is None:
+                raise ValueError("no color table for image")
+            if w == 0 or h == 0:
+                raise ValueError("empty image dimensions")
+            if pos >= len(payload):
+                raise ValueError("truncated before LZW data")
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                block = payload[pos + 1:pos + 1 + ln]
+                if len(block) != ln:
+                    raise ValueError("truncated LZW sub-block")
+                lzw += block
+                pos += 1 + ln
+            idx = np.frombuffer(_lzw_decode(bytes(lzw), mcs, w * h), np.uint8)
+            if len(idx) < w * h:
+                raise ValueError("LZW stream ended short of the frame")
+            if int(idx.max()) >= len(pal):
+                raise ValueError("color index out of palette range")
+            rows = idx.reshape(h, w)
+            if iflags & 0x40:  # de-interlace: standard 4-pass order
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2),
+                ])
+                out = np.empty_like(rows)
+                out[order] = rows
+                rows = out
+            return pal[rows].astype(np.uint8)
+        elif b == 0x3B:  # trailer before any frame
+            raise ValueError("GIF contains no image frame")
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("truncated GIF (no trailer)")
+
+
 def image_resize_nn(rgb, out_h: int, out_w: int):
     """Nearest-neighbor resize of an HxWxC uint8 array — the standard
     thumbnail/feature-grid step after decode. Pure integer index math
@@ -479,6 +692,25 @@ def synth_png_pixels(media_id: int):
     return np.stack([np.broadcast_to(p, (h, w)) for p in planes], axis=-1).astype("uint8")
 
 
+def synth_gif_frame(media_id: int):
+    """(indices, palette) closed forms: 16-color palette
+    pal[c] = ((7c+id)%256, (11c+2id)%256, (13c+3id)%256); frame
+    w = 4 + id%4, h = 3 + id%3, idx(x,y) = (x + 2y + id) % 16 —
+    SQL-expressible, like the PNG/BMP/WAV twins."""
+    import numpy as np
+
+    c = np.arange(16, dtype=np.int64)
+    pal = np.stack(
+        [(7 * c + media_id) % 256, (11 * c + 2 * media_id) % 256,
+         (13 * c + 3 * media_id) % 256], axis=-1,
+    ).astype(np.uint8)
+    w, h = 4 + media_id % 4, 3 + media_id % 3
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    idx = np.broadcast_to((x + 2 * y + media_id) % 16, (h, w)).astype(np.uint8)
+    return idx, pal
+
+
 def synthetic_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One media row per document: even ids get a PCM WAV payload, odd
     ids a 24bpp BMP (id%4==1) or a real zlib-compressed PNG (id%4==3,
@@ -549,6 +781,7 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
     - BMP       -> ('bmp',  id, width, height, sum(luma), luma[0,0])
     - PNG       -> ('png',  id, width, height, sum(luma),
                     sum(alpha) if RGBA else luma[0,0])
+    - GIF       -> ('gif',  id, width, height, sum(luma), luma[0,0])
     - JPEG/other -> decode_real (NotImplementedError), which under
       on_error='null' (production posture: a corrupt or unsupported file
       must not kill the job) becomes ('error', id, -1, -1, -1, -1);
@@ -572,7 +805,8 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
         import numpy as np
 
         from grasper_spark.functions.multimodal import (
-            PNG_SIG, decode_bmp, decode_png, decode_real, decode_wav, luma_int,
+            GIF_SIGS, PNG_SIG, decode_bmp, decode_gif, decode_png,
+            decode_real, decode_wav, luma_int,
         )
 
         for pdf in batches:
@@ -599,6 +833,8 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
                         kind, decoded = "bmp", decode_bmp(p)
                     elif p[:8] == PNG_SIG:
                         kind, decoded = "png", decode_png(p)
+                    elif p[:6] in GIF_SIGS:
+                        kind, decoded = "gif", decode_gif(p)
                     else:
                         decode_real(p)
                         continue  # pragma: no cover — decode_real raises
