@@ -1280,9 +1280,10 @@ def _q_multimodal_features(spark, sf):
         import pandas as pd
 
         from grasper_spark.functions.multimodal import (
-            WAV_SR, audio_decimate, bmp_bytes, byte_stats, decode_bmp,
-            decode_gif, decode_png, decode_wav, gif_bytes, image_resize_nn,
-            luma_int, png_bytes, synth_bmp_pixels, synth_gif_frame,
+            WAV_SR, audio_decimate, avi_bytes, bmp_bytes, byte_stats,
+            decode_avi, decode_bmp, decode_gif, decode_png, decode_wav,
+            gif_bytes, image_resize_nn, luma_int, png_bytes,
+            synth_avi_frames, synth_bmp_pixels, synth_gif_frame,
             synth_png_pixels, synth_wav_samples, wav_bytes,
         )
 
@@ -1324,6 +1325,14 @@ def _q_multimodal_features(spark, sf):
                     d4 = audio_decimate(s64, 4)
                     emit("dec", mid, 4, len(d4), int((d4 * d4).sum()),
                          int(np.abs(d4).max()))
+                    # real VIDEO round trip: closed-form RGB frames ->
+                    # actual RIFF/AVI bytes (hdrl/strl/movi, 24bpp DIB,
+                    # bottom-up BGR strides) -> the real demuxer; one
+                    # row per frame, b = fps parsed from strh
+                    vfps, vframes = decode_avi(avi_bytes(synth_avi_frames(mid), fps=10))
+                    for vf, vpx in enumerate(vframes):
+                        vlu = luma_int(vpx)
+                        emit("vid", mid, vf, vfps, int(vlu.sum()), int(vlu[0, 0]))
                 else:
                     px = decode_bmp(bmp_bytes(synth_bmp_pixels(mid)))
                     lu = luma_int(px)
@@ -3178,6 +3187,25 @@ SELECT 'gif' AS op, doc_id AS media_id,
          + 150 * ((11 * (doc_id % 16) + 2*doc_id) % 256)
          +  29 * ((13 * (doc_id % 16) + 3*doc_id) % 256)) // 256)::BIGINT AS d
 FROM documents WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0
+UNION ALL
+-- vid rows: Spark pushed n = 2 + id%3 closed-form RGB frames through
+-- REAL RIFF/AVI bytes (hdrl/strl/movi, uncompressed 24bpp DIB,
+-- bottom-up BGR strides) and the real demuxer; one row per frame,
+-- b = the fps parsed back out of strh. The oracle re-evaluates the
+-- per-frame formulas (w = 3 + id%4, h = 2 + id%3; r=(id+5f+x+3y)%256,
+-- g=(2id+f+2x+y)%256, b=(fx+y+3id)%256)
+SELECT 'vid' AS op, doc_id AS media_id,
+       f::BIGINT AS a, 10::BIGINT AS b,
+       list_sum(list_transform(range(0, (3 + doc_id % 4) * (2 + doc_id % 3)),
+         i -> (  77 * ((doc_id + 5*f + (i % (3 + doc_id % 4)) + 3*(i // (3 + doc_id % 4))) % 256)
+               + 150 * ((2*doc_id + f + 2*(i % (3 + doc_id % 4)) + (i // (3 + doc_id % 4))) % 256)
+               +  29 * ((f * (i % (3 + doc_id % 4)) + (i // (3 + doc_id % 4)) + 3*doc_id) % 256)
+              ) // 256))::BIGINT AS c,
+       ((  77 * ((doc_id + 5*f) % 256)
+         + 150 * ((2*doc_id + f) % 256)
+         +  29 * ((3*doc_id) % 256)) // 256)::BIGINT AS d
+FROM documents, unnest(range(0, 2 + doc_id % 3)) AS u(f)
+WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
 """,
         # BFS over the FK graph from regions, direction 'in': the layered
         # star schema makes the exact distances closed-form

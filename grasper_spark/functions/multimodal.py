@@ -12,10 +12,15 @@ can parse byte-for-byte:
   palette-through-PLTE / gray+alpha / RGBA): CRC-checked chunk walk,
   stdlib-zlib IDAT inflate, all five scanline filters reversed
   (`decode_png`)
-- GIF 87a/89a, first frame: full block walk (extensions skipped by
-  sub-block length, global/local color tables), from-scratch LZW
-  decode (variable code widths, cScSc case, dictionary resets),
-  4-pass de-interlacing (`decode_gif`)
+- GIF 87a/89a, single- AND multi-frame: full block walk (extensions
+  skipped by sub-block length, global/local color tables),
+  from-scratch LZW decode (variable code widths, cScSc case,
+  dictionary resets), 4-pass de-interlacing (`decode_gif` /
+  `gif_frames`; partial-canvas animation patches are refused, not
+  silently mis-decoded)
+- AVI (RIFF) with uncompressed 24bpp DIB video: hdrl/strl/movi walk,
+  fps from strh, per-frame bottom-up BGR stride decode (`decode_avi`)
+  — real video frame sampling via `video_frame_features`
 Codecs needing entropy coders beyond zlib/LZW (JPEG/MP3/H.264...) require
 PIL/ffmpeg, which are NOT in this container — `decode_real` stays the
 honestly-labeled NotImplementedError hook for those, and
@@ -490,46 +495,57 @@ def _lzw_decode(data: bytes, min_code_size: int, limit: int):
 
 
 def gif_bytes(indices, palette) -> bytes:
-    """Encode an HxW uint8 index array + Nx3 palette as a real
-    single-frame GIF89a (global color table, LZW-compressed image
-    data, 255-byte sub-blocks)."""
+    """Encode uint8 index frame(s) + an Nx3 palette as a real GIF89a
+    (global color table, LZW-compressed image data, 255-byte
+    sub-blocks). `indices` is one HxW array (single image) or a list
+    of same-shaped HxW arrays (animation: one full-canvas image
+    descriptor per frame)."""
     import struct
 
     import numpy as np
 
-    idx = np.asarray(indices, dtype=np.uint8)
+    frames = indices if isinstance(indices, (list, tuple)) else [indices]
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     pal = np.asarray(palette, dtype=np.uint8)
-    h, w = idx.shape
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("all GIF frames must share the canvas shape")
     n = len(pal)
     bits = max(1, (n - 1).bit_length())
     gct_size = 1 << bits
     pal_full = np.zeros((gct_size, 3), dtype=np.uint8)
     pal_full[:n] = pal
     mcs = max(2, bits)
-    lzw = _lzw_encode(idx.reshape(-1), mcs)
-    blocks = bytearray()
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i:i + 255]
-        blocks += bytes([len(chunk)]) + chunk
-    return (
+    out = bytearray(
         b"GIF89a"
         + struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
         + pal_full.tobytes()
-        + struct.pack("<sHHHHB", b",", 0, 0, w, h, 0)  # image descriptor
-        + bytes([mcs])
-        + bytes(blocks)
-        + b"\x00;"  # block terminator + trailer
     )
+    for idx in frames:
+        lzw = _lzw_encode(idx.reshape(-1), mcs)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            blocks += bytes([len(chunk)]) + chunk
+        out += (
+            struct.pack("<sHHHHB", b",", 0, 0, w, h, 0)  # image descriptor
+            + bytes([mcs])
+            + bytes(blocks)
+            + b"\x00"  # block terminator
+        )
+    return bytes(out + b";")
 
 
-def decode_gif(payload: bytes):
-    """Parse a GIF87a/GIF89a payload into an HxWx3 uint8 RGB array
-    (first frame). Full block walk: logical screen descriptor, global
-    and local color tables, extension blocks skipped by sub-block
-    length (a demuxer's job — 89a files carry graphics-control and
-    application extensions), LZW decode with the cScSc case and
-    dictionary resets. Interlaced frames are de-interlaced by the
-    standard 4-pass row order. Malformed payloads raise ValueError."""
+def gif_frames(payload: bytes, max_frames: int | None = None):
+    """Demux a GIF87a/GIF89a payload: yields one HxWx3 uint8 RGB array
+    per frame, in order. Full block walk (logical screen descriptor,
+    global/local color tables, extensions skipped by sub-block length),
+    from-scratch LZW decode (variable code widths, the cScSc case,
+    dictionary resets), standard 4-pass de-interlacing. Animated GIFs
+    whose frames are full-canvas decode exactly; PARTIAL-canvas frames
+    (patch optimization needing disposal-method compositing) raise
+    ValueError — honestly out of scope rather than silently wrong.
+    Malformed payloads raise ValueError."""
     import struct
 
     import numpy as np
@@ -545,6 +561,7 @@ def decode_gif(payload: bytes):
             raise ValueError("truncated global color table")
         gct = np.frombuffer(payload, np.uint8, 3 * size, pos).reshape(size, 3)
         pos += 3 * size
+    frames = []
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-blocks until 0
@@ -555,7 +572,7 @@ def decode_gif(payload: bytes):
         elif b == 0x2C:  # image descriptor
             if pos + 10 > len(payload):
                 raise ValueError("truncated image descriptor")
-            _x, _y, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1:pos + 10])
+            fx, fy, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1:pos + 10])
             pos += 10
             pal = gct
             if iflags & 0x80:  # local color table
@@ -568,6 +585,14 @@ def decode_gif(payload: bytes):
                 raise ValueError("no color table for image")
             if w == 0 or h == 0:
                 raise ValueError("empty image dimensions")
+            # frame 1 stands alone (returned as the image, whatever its
+            # size); LATER frames would need disposal-method compositing
+            # onto the previous canvas when partial — out of scope,
+            # refused rather than silently wrong
+            if frames and ((fx, fy) != (0, 0) or w != sw or h != sh):
+                raise ValueError(
+                    "partial-canvas GIF frame (disposal compositing) unsupported"
+                )
             if pos >= len(payload):
                 raise ValueError("truncated before LZW data")
             mcs = payload[pos]
@@ -580,6 +605,7 @@ def decode_gif(payload: bytes):
                     raise ValueError("truncated LZW sub-block")
                 lzw += block
                 pos += 1 + ln
+            pos += 1  # block terminator
             idx = np.frombuffer(_lzw_decode(bytes(lzw), mcs, w * h), np.uint8)
             if len(idx) < w * h:
                 raise ValueError("LZW stream ended short of the frame")
@@ -594,12 +620,141 @@ def decode_gif(payload: bytes):
                 out = np.empty_like(rows)
                 out[order] = rows
                 rows = out
-            return pal[rows].astype(np.uint8)
-        elif b == 0x3B:  # trailer before any frame
-            raise ValueError("GIF contains no image frame")
+            frames.append(pal[rows].astype(np.uint8))
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+        elif b == 0x3B:  # trailer
+            if not frames:
+                raise ValueError("GIF contains no image frame")
+            return frames
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     raise ValueError("truncated GIF (no trailer)")
+
+
+def decode_gif(payload: bytes):
+    """First frame of a GIF payload as an HxWx3 uint8 RGB array — the
+    single-image fast path over :func:`gif_frames`."""
+    return gif_frames(payload, max_frames=1)[0]
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) demux: uncompressed 24bpp DIB frames — real video decode
+# ---------------------------------------------------------------------------
+
+def avi_bytes(frames, fps: int = 10) -> bytes:
+    """Encode a list of HxWx3 uint8 RGB frames as a real RIFF/AVI file
+    with uncompressed 24bpp DIB video ('DIB ' codec): hdrl (avih +
+    strl/strh/strf) + movi with one '00db' chunk per frame. Frames are
+    stored bottom-up BGR with 4-byte row stride, exactly like BMP."""
+    import struct
+
+    import numpy as np
+
+    fs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not fs:
+        raise ValueError("need at least one frame")
+    h, w, _ = fs[0].shape
+    if any(f.shape != (h, w, 3) for f in fs):
+        raise ValueError("all frames must be HxWx3 with one shape")
+    stride = (w * 3 + 3) // 4 * 4
+    frame_bytes = []
+    for f in fs:
+        block = np.zeros((h, stride), dtype=np.uint8)
+        block[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
+        frame_bytes.append(block.tobytes())
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return struct.pack("<4sI", cid, len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 10**6 // fps, 0, 0, 0x10, len(fs), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps,
+        0, len(fs), 0, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi(payload: bytes):
+    """Demux a RIFF/AVI payload with uncompressed 24bpp DIB video:
+    returns (fps, [HxWx3 uint8 RGB frames]). Walks RIFF LISTs like the
+    WAV chunk walk (word-aligned), reads BITMAPINFOHEADER from strf,
+    and rejects any compressed codec (biCompression != 0) with the
+    same honesty as decode_bmp. Malformed payloads raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            cid, size = struct.unpack("<4sI", payload[pos:pos + 8])
+            body_lo = pos + 8
+            body_hi = min(body_lo + size, hi)
+            yield cid, body_lo, body_hi
+            pos = body_lo + size + (size % 2)
+
+    fps = None
+    w = h = bpp = compression = None
+    frames = []
+    # strides of state discovered during the walk
+    def handle_list(lo, hi):
+        nonlocal fps, w, h, bpp, compression
+        kind = payload[lo:lo + 4]
+        for cid, blo, bhi in walk(lo + 4, hi):
+            if cid == b"LIST":
+                handle_list(blo, bhi)
+            elif cid == b"strh" and bhi - blo >= 32:
+                typ, codec = struct.unpack("<4s4s", payload[blo:blo + 8])
+                if typ == b"vids":
+                    rate, = struct.unpack("<I", payload[blo + 24:blo + 28])
+                    scale, = struct.unpack("<I", payload[blo + 20:blo + 24])
+                    if scale and rate:
+                        fps = rate // scale
+                    if codec not in (b"DIB ", b"\x00\x00\x00\x00"):
+                        raise ValueError(
+                            f"compressed AVI codec {codec!r} unsupported"
+                        )
+            elif cid == b"strf" and bhi - blo >= 40:
+                _sz, bw, bh = struct.unpack("<Iii", payload[blo:blo + 12])
+                _planes, bits, comp = struct.unpack("<HHI", payload[blo + 12:blo + 20])
+                w, h, bpp, compression = bw, abs(bh), bits, comp
+            elif cid in (b"00db", b"00dc"):
+                frames.append((blo, bhi))
+
+    for cid, blo, bhi in walk(12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])):
+        if cid == b"LIST":
+            handle_list(blo, bhi)
+    if w is None or bpp is None:
+        raise ValueError("missing strf (video format) chunk")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported AVI video (bpp={bpp}, compression={compression})")
+    if not frames:
+        raise ValueError("no video frames in movi list")
+    stride = (w * 3 + 3) // 4 * 4
+    out = []
+    for blo, bhi in frames:
+        if bhi - blo < stride * h:
+            raise ValueError("truncated video frame chunk")
+        raw = np.frombuffer(payload, np.uint8, stride * h, blo)
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        out.append(rows[::-1, :, ::-1].copy())  # bottom-up BGR -> RGB
+    return (fps or 0), out
 
 
 def image_resize_nn(rgb, out_h: int, out_w: int):
@@ -692,6 +847,30 @@ def synth_png_pixels(media_id: int):
     return np.stack([np.broadcast_to(p, (h, w)) for p in planes], axis=-1).astype("uint8")
 
 
+def synth_avi_frames(media_id: int):
+    """n = 2 + id%3 frames, w = 3 + id%4, h = 2 + id%3;
+    r=(id+5f+x+3y)%256, g=(2id+f+2x+y)%256, b=(fx+y+3id)%256 —
+    SQL-expressible per-frame closed forms for the video ledger arm."""
+    import numpy as np
+
+    n, w, h = 2 + media_id % 3, 3 + media_id % 4, 2 + media_id % 3
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    frames = []
+    for f in range(n):
+        frames.append(
+            np.stack(
+                [
+                    np.broadcast_to((media_id + 5 * f + x + 3 * y) % 256, (h, w)),
+                    np.broadcast_to((2 * media_id + f + 2 * x + y) % 256, (h, w)),
+                    np.broadcast_to((f * x + y + 3 * media_id) % 256, (h, w)),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+        )
+    return frames
+
+
 def synth_gif_frame(media_id: int):
     """(indices, palette) closed forms: 16-color palette
     pal[c] = ((7c+id)%256, (11c+2id)%256, (13c+3id)%256); frame
@@ -759,6 +938,83 @@ def synthetic_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ]
     )
     return ids.mapInPandas(fn, schema)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("luma_sum", T.LongType()),
+    ]
+)
+
+
+def video_frame_features(
+    media: DataFrame, every_n: int = 1, on_error: str = "null"
+) -> DataFrame:
+    """REAL frame sampling over video payloads: demux AVI (uncompressed
+    DIB) or animated GIF from magic bytes, keep every `every_n`-th
+    frame, and emit one row per sampled frame —
+    ('frame', media_id, frame_idx, width, height, sum(luma)) — exact
+    int64 features, like media_decode_features. Decode-only on_error
+    policy: a malformed payload becomes ('error', id, -1, -1, -1, -1)
+    under 'null'; other codecs route to decode_real."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
+    if not media.isStreaming and media.rdd.getNumPartitions() == 1:
+        target = min(8, media.sparkSession.sparkContext.defaultParallelism)
+        media = media.repartition(target)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from grasper_spark.functions.multimodal import (
+            GIF_SIGS, decode_avi, decode_real, gif_frames, luma_int,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("op", "media_id", "frame_idx", "width", "height", "luma_sum")}
+
+            def emit(op, mid, fi, w, h, ls):
+                out["op"].append(op)
+                out["media_id"].append(mid)
+                out["frame_idx"].append(fi)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["luma_sum"].append(ls)
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                p = bytes(payload) if payload is not None else b""
+                try:  # decode ONLY under the error policy
+                    if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                        _fps, frames = decode_avi(p)
+                    elif p[:6] in GIF_SIGS:
+                        frames = gif_frames(p)
+                    else:
+                        decode_real(p)
+                        continue  # pragma: no cover
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    emit("error", mid, -1, -1, -1, -1)
+                    continue
+                for fi in range(0, len(frames), every_n):
+                    px = frames[fi]
+                    lu = (
+                        px[..., 0].astype(np.int64)
+                        if px.shape[2] < 3 else luma_int(px[..., :3])
+                    )
+                    emit("frame", mid, fi, px.shape[1], px.shape[0], int(lu.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, FRAME_SCHEMA)
 
 
 DECODED_SCHEMA = T.StructType(
