@@ -386,6 +386,13 @@ def main() -> None:
             sf1_load_s = round(time.perf_counter() - t0, 3)
             sf1: dict[str, dict] = {}
             for name in HEADLINE:
+                # the ratio's base is RE-MEASURED here, interleaved with
+                # the sf1 passes, so numerator and denominator see the
+                # SAME host state: the headline base drifts 0.31-0.51 s
+                # run-to-run for sub-second graph queries (host floor),
+                # which swung g_aggregate_without's "ratio" 2.0-3.3 on
+                # identical code while its sf1 floor held at ~1.02 s.
+                # The headline best-of-5 is kept as base_headline_s.
                 tb = times.get(name)
                 # doc_* operators are the long-running tail at sf1:
                 # best-of-2 (a single pass records the host's random
@@ -403,12 +410,27 @@ def main() -> None:
                     else 6 if name.startswith("g_")
                     else 4
                 )
+                # doc_* queries share the ONE-SLOT shingle persist:
+                # alternating sf0.1/sf1 would evict+rebuild it every
+                # pass on both sides, measuring the cache thrash, not
+                # the operator. Their bases are multi-second, where the
+                # host-floor drift is proportionally small — they keep
+                # the headline base.
+                interleave = not name.startswith("doc_")
                 per: list = []
+                base_per: list = []
                 n = 0
                 for _ in range(passes):
                     t0 = time.perf_counter()
                     n = qs[name](spark, sf1_dir).count()
                     per.append(round(time.perf_counter() - t0, 3))
+                    if interleave:
+                        # same-window base pass (symmetric sample count
+                        # — a min-of-2 base vs min-of-6 sf1 would bias
+                        # the ratio down)
+                        t0 = time.perf_counter()
+                        qs[name](spark, sf_dir).count()
+                        base_per.append(round(time.perf_counter() - t0, 3))
                 # stall-detecting retries: the host injects random
                 # multi-second I/O stalls (r5's record kept
                 # doc_neardup_jaccard at 21.0s / ratio 9.0 while the
@@ -419,16 +441,20 @@ def main() -> None:
                 # EVERY pass is recorded ("passes") so a persistent
                 # stall is visible in the record instead of silently
                 # shaping the ratio.
+                base_w = min(base_per) if base_per else tb
                 extra = 0
-                while tb and min(per) > 3 * tb and extra < 3:
+                while base_w and min(per) > 3 * base_w and extra < 3:
                     t0 = time.perf_counter()
                     n = qs[name](spark, sf1_dir).count()
                     per.append(round(time.perf_counter() - t0, 3))
                     extra += 1
                 ts = min(per)
                 sf1[name] = {
-                    "base_s": tb, "sf1_s": ts,
-                    "ratio": round(ts / tb, 2) if tb else None,
+                    "base_headline_s": tb,
+                    "base_s": base_w,  # same-window base = the denominator
+                    "base_passes": base_per,
+                    "sf1_s": ts,
+                    "ratio": round(ts / base_w, 2) if base_w else None,
                     "passes": per,
                 }
                 if len(per) > 1 and max(per[1:]) > 3 * ts:
