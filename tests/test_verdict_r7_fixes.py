@@ -53,6 +53,10 @@ def test_bench_source_records_headline_passes_and_load_phases():
         src = fh.read()
     assert '"headline_passes": headline_passes' in src
     assert '"load_phases": load_phases' in src
+    # sf1 ratios must divide by the SAME-WINDOW base (interleaved
+    # passes), with the headline base kept for reference
+    assert '"base_passes": base_per' in src
+    assert '"base_headline_s": tb' in src
     # the compact driver line must NOT carry the nested sections
     compact = src.split("compact = {", 1)[1].split("}", 1)[0]
     assert "headline_passes" not in compact and "load_phases" not in compact
