@@ -1131,17 +1131,18 @@ def _q_emb_lsh_topk(spark, sf):
     # search: the served pairs must then equal the integer-exact
     # brute-force top-k, so a lost cluster, wrong assignment, or broken
     # probe ranking surfaces as missing/mismatched hashed rows instead
-    # of a silent recall dip. The float candidate cut keeps k+8 (float
-    # and integer orderings can swap near-ties inside the margin; a
-    # probe bug drops whole clusters — far beyond it), then the integer
-    # key re-ranks and cuts to 10.
+    # of a silent recall dip. k is widened past the corpus size so the
+    # float rank inside ivf_topk cuts NOTHING — the integer key below is
+    # the only cut, and float/integer near-tie swaps can never flake the
+    # hash on identical code (they could at the old k=18 margin).
     from pyspark.sql import Window as _W
 
     from grasper_spark.functions.similarity import ivf_index, ivf_topk
 
     assigned, cents = ivf_index(emb, n_clusters=8, max_iter=2)
     cand = ivf_topk(
-        assigned, cents, emb.filter(F.col("vec_id") < 3), k=18, n_probe=8
+        assigned, cents, emb.filter(F.col("vec_id") < 3),
+        k=2_000_000_000, n_probe=8,
     ).select("query_id", "neighbor_id")
     qa4 = q4.withColumn("n", int_dot(F.col("qv"), F.col("qv")))
     iv = (

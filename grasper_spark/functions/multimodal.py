@@ -334,6 +334,12 @@ def decode_png(payload: bytes):
     if not saw_iend:
         raise ValueError("missing IEND")
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if w == 0 or h == 0:
+        # A zero-dim PNG (valid CRCs, empty IDAT) must stay on the
+        # decode/error path: downstream feature math indexes [0, 0]
+        # outside the on_error try, so returning an empty array would
+        # escape the per-row error policy and kill the whole job.
+        raise ValueError("empty image dimensions")
     if depth != 8:
         raise ValueError(f"{depth}-bit PNG unsupported (8-bit only)")
     if color_type not in (0, 2, 3, 4, 6):
@@ -711,10 +717,11 @@ def decode_avi(payload: bytes):
 
     fps = None
     w = h = bpp = compression = None
+    top_down = False
     frames = []
     # strides of state discovered during the walk
     def handle_list(lo, hi):
-        nonlocal fps, w, h, bpp, compression
+        nonlocal fps, w, h, bpp, compression, top_down
         kind = payload[lo:lo + 4]
         for cid, blo, bhi in walk(lo + 4, hi):
             if cid == b"LIST":
@@ -733,7 +740,11 @@ def decode_avi(payload: bytes):
             elif cid == b"strf" and bhi - blo >= 40:
                 _sz, bw, bh = struct.unpack("<Iii", payload[blo:blo + 12])
                 _planes, bits, comp = struct.unpack("<HHI", payload[blo + 12:blo + 20])
+                # biHeight sign is orientation: positive = bottom-up DIB
+                # (rows flipped on emit), negative = top-down (stored in
+                # display order, no flip) — same contract as decode_bmp.
                 w, h, bpp, compression = bw, abs(bh), bits, comp
+                top_down = bh < 0
             elif cid in (b"00db", b"00dc"):
                 frames.append((blo, bhi))
 
@@ -753,7 +764,9 @@ def decode_avi(payload: bytes):
             raise ValueError("truncated video frame chunk")
         raw = np.frombuffer(payload, np.uint8, stride * h, blo)
         rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-        out.append(rows[::-1, :, ::-1].copy())  # bottom-up BGR -> RGB
+        if not top_down:
+            rows = rows[::-1]  # bottom-up DIB stores rows last-first
+        out.append(rows[:, :, ::-1].copy())  # BGR -> RGB
     return (fps or 0), out
 
 

@@ -597,8 +597,19 @@ class GremlinCompiler:
             *[f"`{EP + k}` AS `{v}`" for k, v in eps.items()],
         )
         if elabels:
-            quoted = ", ".join("'" + lb.replace("'", "\\'") + "'" for lb in elabels)
-            e = e.filter(f"`{jlab}` IN ({quoted})")
+            # Backslashes must be escaped BEFORE quotes: with the default
+            # escapedStringLiterals=false, '\b' in a SQL literal is a
+            # backspace and a trailing '\' eats the closing quote. Labels
+            # with any other control/exotic bytes fall back to Column.isin
+            # (one extra py4j trip, correctness over the fast path).
+            if all(lb.isprintable() for lb in elabels):
+                quoted = ", ".join(
+                    "'" + lb.replace("\\", "\\\\").replace("'", "\\'") + "'"
+                    for lb in elabels
+                )
+                e = e.filter(f"`{jlab}` IN ({quoted})")
+            else:
+                e = e.filter(F.col(jlab).isin(list(elabels)))
         left = self._strip(s)
         key = jsrc if direction == "out" else jdst
         joined = left.join(e, F.expr(f"`{VCOL}` = `{key}`"), "inner")
