@@ -1259,9 +1259,15 @@ def _q_multimodal_features(spark, sf):
     #   all five PNG scanline filters), and the DuckDB oracle recomputes
     #   the features straight from the formulas — a decoder bug is a
     #   ledger mismatch, not a silent pass
-    # - error rows: ids % 97 == 0 carry a JPEG-magic payload, exercising
+    # - jpg rows: REAL baseline JPEG round trip — flat-8x8-block
+    #   grayscale images from closed forms, pushed through actual SOF0
+    #   bytes (FDCT, all-ones quant, Annex K Huffman coding, 0xFF
+    #   stuffing) and the full decoder (marker walk, canonical Huffman,
+    #   dequant, vectorized IDCT); flat blocks are the JPEG-exact
+    #   domain, so the oracle recomputes decoded luma exactly
+    # - error rows: ids % 97 == 0 carry an MP3-magic payload, exercising
     #   the honest compressed-codec NotImplementedError hook under the
-    #   production on_error='null' posture
+    #   production on_error='null' posture (JPEG decodes for real now)
     # fused single mapInPandas pass: the library's two-stage ops
     # (synthetic_media -> media_decode_features, extract_features) are
     # the public API; the ledger entry emits the identical rows in ONE
@@ -1282,10 +1288,11 @@ def _q_multimodal_features(spark, sf):
 
         from grasper_spark.functions.multimodal import (
             WAV_SR, audio_decimate, avi_bytes, bmp_bytes, byte_stats,
-            decode_avi, decode_bmp, decode_gif, decode_png, decode_wav,
-            gif_bytes, image_resize_nn, luma_int, png_bytes,
-            synth_avi_frames, synth_bmp_pixels, synth_gif_frame,
-            synth_png_pixels, synth_wav_samples, wav_bytes,
+            decode_avi, decode_bmp, decode_gif, decode_jpeg, decode_png,
+            decode_wav, gif_bytes, image_resize_nn, jpeg_bytes, luma_int,
+            png_bytes, synth_avi_frames, synth_bmp_pixels,
+            synth_gif_frame, synth_jpg_pixels, synth_png_pixels,
+            synth_wav_samples, wav_bytes,
         )
 
         for pdf in batches:
@@ -1334,6 +1341,15 @@ def _q_multimodal_features(spark, sf):
                     for vf, vpx in enumerate(vframes):
                         vlu = luma_int(vpx)
                         emit("vid", mid, vf, vfps, int(vlu.sum()), int(vlu[0, 0]))
+                    # real JPEG round trip: closed-form flat 8x8 gray
+                    # blocks -> actual baseline SOF0 bytes -> the full
+                    # Huffman+IDCT decoder; flat blocks under all-ones
+                    # quant reconstruct EXACTLY (DC-only, integer DCT
+                    # domain), so the luma features hash cross-engine
+                    jpx = decode_jpeg(jpeg_bytes(synth_jpg_pixels(mid)))
+                    jlu = jpx[..., 0].astype(np.int64)
+                    emit("jpg", mid, jpx.shape[1], jpx.shape[0],
+                         int(jlu.sum()), int(jlu[0, 0]))
                 else:
                     px = decode_bmp(bmp_bytes(synth_bmp_pixels(mid)))
                     lu = luma_int(px)
@@ -3207,6 +3223,22 @@ SELECT 'vid' AS op, doc_id AS media_id,
          +  29 * ((3*doc_id) % 256)) // 256)::BIGINT AS d
 FROM documents, unnest(range(0, 2 + doc_id % 3)) AS u(f)
 WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
+UNION ALL
+-- jpg rows: Spark pushed closed-form flat-8x8-block grayscale images
+-- through REAL baseline JPEG bytes (FDCT, all-ones quantization,
+-- Annex K Huffman entropy coding, byte stuffing) and the full decoder
+-- (marker walk, canonical Huffman, dequant, IDCT). Flat blocks are the
+-- JPEG-exact domain (DC = 8*(v-128), AC = 0 -> any IDCT with error
+-- < 0.5/pixel reconstructs v exactly), so the oracle re-evaluates the
+-- formulas directly: w = 8*(1 + id%3), h = 8*(1 + id%2), block (bx,by)
+-- value v = (37*id + 11*bx + 23*by) % 256, luma sum = 64 * sum(v)
+SELECT 'jpg' AS op, doc_id AS media_id,
+       (8 * (1 + doc_id % 3))::BIGINT AS a,
+       (8 * (1 + doc_id % 2))::BIGINT AS b,
+       (64 * list_sum(list_transform(range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+         i -> (37*doc_id + 11*(i % (1 + doc_id % 3)) + 23*(i // (1 + doc_id % 3))) % 256)))::BIGINT AS c,
+       ((37*doc_id) % 256)::BIGINT AS d
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
 """,
         # BFS over the FK graph from regions, direction 'in': the layered
         # star schema makes the exact distances closed-form

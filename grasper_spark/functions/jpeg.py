@@ -1,0 +1,705 @@
+"""Baseline JPEG (SOF0) codec — from-scratch numpy, public ITU T.81 spec.
+
+Encoder twin + decoder, the same closed-form-synthesis oracle discipline
+as the PNG/GIF/AVI codecs in `multimodal.py`: the engine synthesizes
+pixels from SQL-expressible formulas, pushes them through REAL JPEG
+bytes (FDCT, quantization, canonical Huffman entropy coding with the
+Annex K standard tables, 0xFF byte stuffing), and decodes them back
+through the full marker walk + Huffman + dequant + IDCT + color
+convert. A decoder bug is a ledger mismatch, not a silent pass.
+
+Exactness contract (floats-never-hash): the IDCT is not bit-exact
+across implementations, so hashed ledger rows use images built from
+FLAT 8x8 blocks under an all-ones quantization table — there the DCT
+domain is exactly representable (DC = 8*(v-128), every AC = 0) and any
+IDCT with per-pixel error < 0.5 reconstructs the block value exactly.
+Non-flat images are covered by tolerance unit tests, not hashes.
+
+Supported: baseline DCT (SOF0), 8-bit samples, 1-component grayscale
+and 3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0, multiple DQT/DHT
+segments, restart intervals (DRI/RSTn). Progressive (SOF2), extended
+sequential (SOF1), arithmetic coding, 16-bit DQT and unexpected
+component counts raise ValueError — refused rather than silently wrong,
+like the rest of the media module.
+
+Reference parity note: yaobaiwei/Grasper has no media code at all —
+this is part of the training-data-pipeline surface built on top of the
+graph engine (SURVEY.md §2 extensions), with JPEG semantics from the
+public ITU-T T.81 standard (Annex K tables, F.1/F.2 entropy coding).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: position i in the scan -> index into the
+# row-major 8x8 block (ITU T.81 Figure 5)
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K.1 standard quantization tables (row-major natural order)
+QUANT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROM = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+# all-ones table: the exactness table for flat-block ledger images
+QUANT_FLAT = np.ones(64, dtype=np.int64)
+
+# Annex K.3 standard Huffman tables: (bits[1..16], huffval)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# 8-point DCT-II basis matrix: M[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_DCT_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCT_M[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def rgb_to_ycbcr_int(px: np.ndarray) -> np.ndarray:
+    """Integer fixed-point RGB->YCbCr (8.8); gray inputs (R=G=B=v) map
+    to exactly (v, 128, 128), which is what makes gray-valued color
+    JPEGs hashable end-to-end."""
+    p = px.astype(np.int64)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    y = (77 * r + 150 * g + 29 * b + 128) >> 8
+    cb = 128 + ((-43 * r - 85 * g + 128 * b + 128) >> 8)
+    cr = 128 + ((128 * r - 107 * g - 21 * b + 128) >> 8)
+    return np.clip(np.stack([y, cb, cr], axis=-1), 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb_int(px: np.ndarray) -> np.ndarray:
+    """Integer fixed-point YCbCr->RGB, the exact inverse on gray
+    (Cb=Cr=128 -> R=G=B=Y)."""
+    p = px.astype(np.int64)
+    y, cb, cr = p[..., 0], p[..., 1] - 128, p[..., 2] - 128
+    r = y + ((359 * cr + 128) >> 8)
+    g = y - ((88 * cb + 183 * cr + 128) >> 8)
+    b = y + ((454 * cb + 128) >> 8)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _build_codes(bits, vals):
+    """Canonical Huffman: (bits, huffval) -> {symbol: (code, length)}."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int):
+    """JPEG magnitude coding: value -> (size, bits)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
+    """Level-shift + 2-D DCT over every 8x8 block of an (H, W) plane
+    (H, W multiples of 8). Returns (n_blocks_y, n_blocks_x, 8, 8)."""
+    h, w = plane.shape
+    b = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
+    b -= 128.0
+    return np.einsum("ux,ijxy,vy->ijuv", _DCT_M, b, _DCT_M)
+
+
+def _idct_blocks(coef: np.ndarray) -> np.ndarray:
+    """Inverse of _fdct_blocks: (..., 8, 8) coefficient blocks ->
+    rounded, clipped uint8 spatial blocks (vectorized einsum)."""
+    spat = np.einsum("ux,...uv,vy->...xy", _DCT_M, coef.astype(np.float64), _DCT_M)
+    return np.clip(np.round(spat) + 128, 0, 255).astype(np.uint8)
+
+
+def _encode_block(coef_zz, dc_pred, dc_codes, ac_codes, bw):
+    """Huffman-encode one quantized block (64 coefs in zigzag order)."""
+    diff = int(coef_zz[0]) - dc_pred
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return int(coef_zz[0])
+
+
+def _pad_replicate(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Pad a plane to multiples of (mh, mw) by edge replication."""
+    h, w = plane.shape
+    ph = (mh - h % mh) % mh
+    pw = (mw - w % mw) % mw
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def jpeg_bytes(
+    pixels, quant=None, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """Encode an image as a real baseline JFIF payload.
+
+    pixels: (H, W) / (H, W, 1) grayscale, or (H, W, 3) RGB uint8.
+    quant: 64-entry table (natural order) for luma — chroma shares it —
+           or a (luma, chroma) pair; default QUANT_FLAT (all ones, the
+           exactness table for flat-block oracle images).
+    subsampling: '444', '422' or '420' (color only).
+    restart_interval: MCUs between RSTn markers (0 = none).
+    """
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError(f"expected (H,W), (H,W,1) or (H,W,3), got {px.shape}")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image dimensions")
+    gray = px.shape[2] == 1
+    if quant is None:
+        qt_l = qt_c = QUANT_FLAT
+    elif isinstance(quant, tuple):
+        qt_l, qt_c = (np.asarray(q, dtype=np.int64) for q in quant)
+    else:
+        qt_l = qt_c = np.asarray(quant, dtype=np.int64)
+
+    if gray:
+        comps = [("Y", px[:, :, 0], 1, 1, 0)]
+    else:
+        ycc = rgb_to_ycbcr_int(px)
+        sh, sv = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+        yp = ycc[:, :, 0]
+        # chroma downsample: integer box mean with round-half-up —
+        # exact on constant regions (the gray-valued hash contract)
+        cbp, crp = ycc[:, :, 1], ycc[:, :, 2]
+        if sh > 1 or sv > 1:
+            cph = _pad_replicate(cbp, sv, sh)
+            crh = _pad_replicate(crp, sv, sh)
+            hh, ww = cph.shape
+
+            def down(p):
+                q = p.astype(np.int64).reshape(hh // sv, sv, ww // sh, sh)
+                return ((q.sum(axis=(1, 3)) + sv * sh // 2) // (sv * sh)).astype(np.uint8)
+
+            cbp, crp = down(cph), down(crh)
+        comps = [("Y", yp, sh, sv, 0), ("Cb", cbp, 1, 1, 1), ("Cr", crp, 1, 1, 1)]
+
+    max_h = max(c[2] for c in comps)
+    max_v = max(c[3] for c in comps)
+    mcu_w, mcu_h = 8 * max_h, 8 * max_v
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    # per-component quantized zigzag blocks, indexed [by][bx]
+    comp_blocks = []
+    for _, plane, hi, vi, tq in comps:
+        need_w, need_h = mcus_x * hi * 8, mcus_y * vi * 8
+        p = _pad_replicate(plane, 8, 8)
+        if p.shape[0] < need_h or p.shape[1] < need_w:
+            p = np.pad(
+                p, ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])), mode="edge"
+            )
+        coef = _fdct_blocks(p)
+        qt = (qt_l if tq == 0 else qt_c).reshape(8, 8)
+        q = np.round(coef / qt).astype(np.int64)
+        # flatten each block to zigzag scan order
+        comp_blocks.append(q.reshape(q.shape[0], q.shape[1], 64)[:, :, ZIGZAG])
+
+    # ---- headers ----
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, qt in ((0, qt_l),) + (() if gray else ((1, qt_c),)):
+        body = bytes([tq]) + bytes(int(v) for v in qt[ZIGZAG])
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for i, (_, _, hi, vi, tq) in enumerate(comps):
+        sof += bytes([i + 1, (hi << 4) | vi, tq])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    tables = [(0, 0, _DC_LUM_BITS, _DC_LUM_VALS), (1, 0, _AC_LUM_BITS, _AC_LUM_VALS)]
+    if not gray:
+        tables += [
+            (0, 1, _DC_CHROM_BITS, _DC_CHROM_VALS),
+            (1, 1, _AC_CHROM_BITS, _AC_CHROM_VALS),
+        ]
+    for tc, th, bits, vals in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([len(comps)])
+    for i in range(len(comps)):
+        td_ta = 0x00 if comps[i][4] == 0 else 0x11
+        sos += bytes([i + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    # ---- entropy-coded scan ----
+    dc_l = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_l = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_c = _build_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
+    ac_c = _build_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    rst = 0
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(comps)
+            for ci, (_, _, hi, vi, tq) in enumerate(comps):
+                dcs, acs = (dc_l, ac_l) if tq == 0 else (dc_c, ac_c)
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = comp_blocks[ci][my * vi + by, mx * hi + bx]
+                        preds[ci] = _encode_block(blk, preds[ci], dcs, acs, bw)
+            n_mcu += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _HuffTable:
+    """Canonical Huffman decode per ITU T.81 F.2.2.3 (mincode/maxcode/
+    valptr arrays)."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+
+    def __init__(self, bits, vals):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over an already-unstuffed byte segment."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self, need: int):
+        while self.n < need:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy-coded segment")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        self.n -= n
+        v = (self.acc >> self.n) & ((1 << n) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, tbl: _HuffTable) -> int:
+        code = self.bits(1)
+        for length in range(1, 17):
+            if tbl.maxcode[length] >= code >= tbl.mincode[length]:
+                return tbl.vals[tbl.valptr[length] + code - tbl.mincode[length]]
+            code = (code << 1) | self.bits(1)
+        raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(bits: int, size: int) -> int:
+    """Magnitude decode (ITU T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _decode_block(br, dc_tbl, ac_tbl, pred):
+    """Decode one block -> (coefs[64] in zigzag order, new DC pred)."""
+    coefs = np.zeros(64, dtype=np.int64)
+    size = br.huff(dc_tbl)
+    if size > 11:
+        raise ValueError(f"invalid DC magnitude category {size}")
+    pred += _extend(br.bits(size), size)
+    coefs[0] = pred
+    k = 1
+    while k < 64:
+        rs = br.huff(ac_tbl)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k >= 64:
+            raise ValueError("AC run past end of block")
+        coefs[k] = _extend(br.bits(size), size)
+        k += 1
+    return coefs, pred
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JFIF payload to (H, W, 1) grayscale or
+    (H, W, 3) RGB uint8. Full marker walk (APPn/COM skipped, multiple
+    DQT/DHT segments, DRI + RSTn restart handling, 0xFF00 unstuffing);
+    progressive/extended/arithmetic frames, 16-bit quant tables and
+    sampling factors outside {1, 2} raise ValueError."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qts = {}
+    huffs = {}
+    frame = None
+    ri = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:
+            raise ValueError("RST marker outside entropy-coded scan")
+        if pos + 2 > len(payload):
+            raise ValueError("truncated marker segment")
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        body = payload[pos + 2:pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated marker segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                zz = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = zz  # store in natural order
+                qts[tq] = nat
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("truncated DHT")
+                huffs[(tc, th)] = _HuffTable(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise ValueError(f"{prec}-bit samples unsupported (8-bit only)")
+            if fh == 0 or fw == 0:
+                raise ValueError("empty image dimensions")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG unsupported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(f"sampling factor {hi}x{vi} unsupported")
+                comps.append([cid, hi, vi, tq, None, None])
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline frame marker 0xFF{marker:02X} unsupported "
+                "(progressive/extended/arithmetic)"
+            )
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            if ns != len(frame[2]):
+                raise ValueError("non-interleaved scans unsupported")
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                for comp in frame[2]:
+                    if comp[0] == cs:
+                        comp[4], comp[5] = tdta >> 4, tdta & 0x0F
+                        break
+                else:
+                    raise ValueError(f"SOS references unknown component {cs}")
+            scan_start = pos + seglen
+            scan, pos = _decode_scan(payload, scan_start, frame, qts, huffs, ri)
+            continue
+        # APPn (E0-EF), COM (FE) and anything else with a length: skip
+        pos += seglen
+    if scan is None:
+        raise ValueError("no scan data (missing SOS)")
+    return _assemble(frame, scan)
+
+
+def _decode_scan(payload, start, frame, qts, huffs, ri):
+    """Entropy-decode the scan: returns (per-component coefficient
+    block grids, position after the scan)."""
+    fh, fw, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = (fw + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (fh + 8 * max_v - 1) // (8 * max_v)
+
+    # split the entropy stream into restart segments, unstuffing 0xFF00
+    segments = []
+    cur = bytearray()
+    pos = start
+    end_pos = len(payload)
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0xFF and pos + 1 < len(payload):
+            nxt = payload[pos + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+                continue
+            end_pos = pos  # a real marker ends the scan
+            break
+        cur.append(b)
+        pos += 1
+    segments.append(bytes(cur))
+
+    grids = []
+    for _, hi, vi, tq, _, _ in comps:
+        if tq not in qts:
+            raise ValueError(f"missing quantization table {tq}")
+        grids.append(np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64))
+
+    seg_i = 0
+    br = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if ri and n_mcu and n_mcu % ri == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("missing restart segment")
+                br = _BitReader(segments[seg_i])
+                preds = [0] * len(comps)
+            for ci, (_, hi, vi, tq, td, ta) in enumerate(comps):
+                if (0, td) not in huffs or (1, ta) not in huffs:
+                    raise ValueError("missing Huffman table for scan")
+                for by in range(vi):
+                    for bx in range(hi):
+                        coefs, preds[ci] = _decode_block(
+                            br, huffs[(0, td)], huffs[(1, ta)], preds[ci]
+                        )
+                        grids[ci][my * vi + by, mx * hi + bx] = coefs
+            n_mcu += 1
+
+    # dequantize + dezigzag + vectorized IDCT per component: grids are
+    # in zigzag order, so the quant value for scan position i is the
+    # natural-order table at ZIGZAG[i]; nat[j] = zz[UNZIGZAG[j]]
+    planes = []
+    for ci, (_, hi, vi, tq, _, _) in enumerate(comps):
+        deq = grids[ci] * qts[tq][ZIGZAG][None, None, :]
+        coef = deq[:, :, _UNZIGZAG].reshape(*deq.shape[:2], 8, 8)
+        spat = _idct_blocks(coef)
+        nby, nbx = spat.shape[:2]
+        plane = spat.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        planes.append(plane)
+    return (planes, (mcus_x, mcus_y, max_h, max_v)), end_pos
+
+
+def _assemble(frame, scan):
+    """Crop, upsample and color-convert decoded planes."""
+    fh, fw, comps = frame
+    (planes, (mcus_x, mcus_y, max_h, max_v)) = scan
+    out_planes = []
+    for ci, (_, hi, vi, tq, _, _) in enumerate(comps):
+        cw = (fw * hi + max_h - 1) // max_h
+        ch = (fh * vi + max_v - 1) // max_v
+        p = planes[ci][:ch, :cw]
+        if hi != max_h or vi != max_v:
+            p = np.repeat(np.repeat(p, max_v // vi, axis=0), max_h // hi, axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        return out_planes[0][:, :, None]
+    ycc = np.stack(out_planes, axis=-1)
+    return ycbcr_to_rgb_int(ycc)
+
+
+def synth_jpg_pixels(media_id: int) -> np.ndarray:
+    """Grayscale flat-8x8-block image from SQL-expressible closed
+    forms: w = 8*(1 + id%3), h = 8*(1 + id%2), block (bx, by) value
+    v = (37*id + 11*bx + 23*by) % 256. Flat blocks under QUANT_FLAT are
+    the JPEG-exact domain (DC-only, integer-representable), so the
+    DuckDB oracle recomputes decoded features exactly — the same
+    discipline as the PNG/GIF/AVI synth twins."""
+    bw_, bh_ = 1 + media_id % 3, 1 + media_id % 2
+    bx = np.arange(bw_, dtype=np.int64)[None, :]
+    by = np.arange(bh_, dtype=np.int64)[:, None]
+    v = (37 * media_id + 11 * bx + 23 * by) % 256
+    return np.repeat(np.repeat(v.astype(np.uint8), 8, axis=0), 8, axis=1)

@@ -19,13 +19,16 @@ can parse byte-for-byte:
   `gif_frames`; partial-canvas animation patches are refused, not
   silently mis-decoded)
 - AVI (RIFF) with uncompressed 24bpp DIB video: hdrl/strl/movi walk,
-  fps from strh, per-frame bottom-up BGR stride decode (`decode_avi`)
-  — real video frame sampling via `video_frame_features`
-Codecs needing entropy coders beyond zlib/LZW (JPEG/MP3/H.264...) require
-PIL/ffmpeg, which are NOT in this container — `decode_real` stays the
-honestly-labeled NotImplementedError hook for those, and
-`media_decode_features` routes unknown magic bytes there (or to an
-`error` row under the production `on_error='null'` policy, so one
+  fps from strh, per-frame bottom-up/top-down BGR stride decode
+  (`decode_avi`) — real video frame sampling via `video_frame_features`
+- JPEG baseline (SOF0), from-scratch Huffman + dequant + IDCT +
+  YCbCr->RGB, grayscale and 4:4:4/4:2:2/4:2:0 color, restart markers
+  (`jpeg.decode_jpeg`, re-exported here; progressive/arithmetic raise)
+Codecs needing licensed/stateful entropy coders beyond that
+(MP3/AAC/H.264...) require ffmpeg, which is NOT in this container —
+`decode_real` stays the honestly-labeled NotImplementedError hook for
+those, and `media_decode_features` routes unknown magic bytes there (or
+to an `error` row under the production `on_error='null'` policy, so one
 corrupt file cannot kill a 100 TB job).
 
 `_decode_batch` (byte statistics) remains the codec-agnostic fake used
@@ -97,10 +100,11 @@ def byte_stats(payloads):
 
 
 def decode_real(payload: bytes) -> bytes:  # pragma: no cover
-    """Production decode hook for codecs needing entropy coders beyond
-    zlib/LZW (JPEG/MP3/H.264) — requires PIL/ffmpeg, absent here. WAV,
-    BMP, PNG and GIF decode ARE implemented (decode_wav / decode_bmp /
-    decode_png / decode_gif)."""
+    """Production decode hook for codecs needing licensed/stateful
+    entropy coders (MP3/AAC/H.264) — requires ffmpeg, absent here. WAV,
+    BMP, PNG, GIF, AVI and baseline JPEG decode ARE implemented
+    (decode_wav / decode_bmp / decode_png / decode_gif / decode_avi /
+    decode_jpeg)."""
     raise NotImplementedError("compressed-media decode libs not available in this environment")
 
 
@@ -211,6 +215,15 @@ def decode_bmp(payload: bytes):
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_SIG = b"\xff\xd8"
+
+# baseline JPEG codec lives in its own module; re-exported here so the
+# media surface (sniff, features, synth twins) stays one import
+from grasper_spark.functions.jpeg import (  # noqa: E402,F401
+    decode_jpeg,
+    jpeg_bytes,
+    synth_jpg_pixels,
+)
 
 
 def _paeth_predict(left, up, upleft):
@@ -906,9 +919,11 @@ def synth_gif_frame(media_id: int):
 def synthetic_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One media row per document: even ids get a PCM WAV payload, odd
     ids a 24bpp BMP (id%4==1) or a real zlib-compressed PNG (id%4==3,
-    RGBA), and ids % 97 == 0 a JPEG-magic stub payload (the
-    compressed-codec path). Payload bytes are REAL containers built by
-    wav_bytes/bmp_bytes/png_bytes from the synth_* closed forms."""
+    RGBA), and ids % 97 == 0 an MP3-magic stub payload (the
+    unimplemented-codec path — JPEG decodes for real now, so MP3 keeps
+    decode_real's NotImplementedError hook exercised). Payload bytes
+    are REAL containers built by wav_bytes/bmp_bytes/png_bytes from
+    the synth_* closed forms."""
     from typing import Iterator as _It
 
     ids = docs.select(F.col(id_col).cast("long").alias("media_id"))
@@ -924,8 +939,9 @@ def synthetic_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 if mid % 97 == 0:
-                    payloads.append(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
-                    kinds.append("image")
+                    # MPEG-1 layer III frame-sync magic (0xFFFB)
+                    payloads.append(b"\xff\xfb\x90\x44" + b"\x00" * 16)
+                    kinds.append("audio")
                 elif mid % 2 == 0:
                     payloads.append(wav_bytes(synth_wav_samples(mid), WAV_SR))
                     kinds.append("audio")
@@ -1051,7 +1067,8 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
     - PNG       -> ('png',  id, width, height, sum(luma),
                     sum(alpha) if RGBA else luma[0,0])
     - GIF       -> ('gif',  id, width, height, sum(luma), luma[0,0])
-    - JPEG/other -> decode_real (NotImplementedError), which under
+    - JPEG      -> ('jpg',  id, width, height, sum(luma), luma[0,0])
+    - MP3/other -> decode_real (NotImplementedError), which under
       on_error='null' (production posture: a corrupt or unsupported file
       must not kill the job) becomes ('error', id, -1, -1, -1, -1);
       on_error='raise' propagates.
@@ -1074,8 +1091,8 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
         import numpy as np
 
         from grasper_spark.functions.multimodal import (
-            GIF_SIGS, PNG_SIG, decode_bmp, decode_gif, decode_png,
-            decode_real, decode_wav, luma_int,
+            GIF_SIGS, JPEG_SIG, PNG_SIG, decode_bmp, decode_gif,
+            decode_jpeg, decode_png, decode_real, decode_wav, luma_int,
         )
 
         for pdf in batches:
@@ -1104,6 +1121,8 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
                         kind, decoded = "png", decode_png(p)
                     elif p[:6] in GIF_SIGS:
                         kind, decoded = "gif", decode_gif(p)
+                    elif p[:2] == JPEG_SIG:
+                        kind, decoded = "jpg", decode_jpeg(p)
                     else:
                         decode_real(p)
                         continue  # pragma: no cover — decode_real raises
