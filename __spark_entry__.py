@@ -1291,8 +1291,8 @@ def _q_multimodal_features(spark, sf):
             decode_avi, decode_bmp, decode_gif, decode_jpeg, decode_png,
             decode_wav, gif_bytes, image_resize_nn, jpeg_bytes, luma_int,
             png_bytes, synth_avi_frames, synth_bmp_pixels,
-            synth_gif_frame, synth_jpg_pixels, synth_png_pixels,
-            synth_wav_samples, wav_bytes,
+            synth_gif_frame, synth_jpg_pixels, synth_png16_pixels,
+            synth_png_pixels, synth_wav_samples, wav_bytes,
         )
 
         for pdf in batches:
@@ -1383,6 +1383,25 @@ def _q_multimodal_features(spark, sf):
                     glu = luma_int(gpx)
                     emit("gif", mid, gpx.shape[1], gpx.shape[0],
                          int(glu.sum()), int(glu[0, 0]))
+                    # Adam7-interlaced twin: the SAME closed-form RGB
+                    # pixels as the png rows, but through the 7-pass
+                    # interlaced encode/decode path (empty tiny-image
+                    # passes included — w,h run 3-7 x 2-5)
+                    ipx = decode_png(png_bytes(
+                        synth_png_pixels(mid)[..., :3],
+                        filter_seed=mid, interlace=True,
+                    ))
+                    ilu = luma_int(ipx)
+                    emit("pn7", mid, ipx.shape[1], ipx.shape[0],
+                         int(ilu.sum()), int(ilu[0, 0]))
+                    # 16-bit grayscale twin: big-endian sample pairs,
+                    # bpp-wide filter lanes; d = v(0,0) up to 65535
+                    gpx16 = decode_png(png_bytes(
+                        synth_png16_pixels(mid), bit_depth=16, filter_seed=mid,
+                    ))
+                    g16 = gpx16[..., 0].astype(np.int64)
+                    emit("p16", mid, gpx16.shape[1], gpx16.shape[0],
+                         int(g16.sum()), int(g16[0, 0]))
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(fn, DECODED_SCHEMA)
@@ -3203,6 +3222,34 @@ SELECT 'gif' AS op, doc_id AS media_id,
        ((  77 * ((7 * (doc_id % 16) + doc_id) % 256)
          + 150 * ((11 * (doc_id % 16) + 2*doc_id) % 256)
          +  29 * ((13 * (doc_id % 16) + 3*doc_id) % 256)) // 256)::BIGINT AS d
+FROM documents WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0
+UNION ALL
+-- pn7 rows: the SAME closed-form RGB pixels as the png arm, but the
+-- Spark side pushed them through a REAL Adam7-interlaced PNG (7-pass
+-- pixel placement, per-pass scanline filters, empty passes on tiny
+-- images) — the oracle re-evaluates the formulas directly, so a
+-- deinterlacing bug (wrong pass geometry, swapped offsets) is a
+-- ledger mismatch
+SELECT 'pn7' AS op, doc_id AS media_id,
+       (3 + doc_id % 5)::BIGINT AS a,
+       (2 + doc_id % 4)::BIGINT AS b,
+       list_sum(list_transform(range(0, (3 + doc_id % 5) * (2 + doc_id % 4)),
+         i -> (  77 * ((5*doc_id + (i % (3 + doc_id % 5)) + 2*(i // (3 + doc_id % 5))) % 256)
+               + 150 * ((doc_id + 4*(i % (3 + doc_id % 5)) + 3*(i // (3 + doc_id % 5))) % 256)
+               +  29 * (((i % (3 + doc_id % 5)) * (i // (3 + doc_id % 5)) + 2*doc_id) % 256)
+              ) // 256))::BIGINT AS c,
+       ((77 * ((5*doc_id) % 256) + 150 * (doc_id % 256) + 29 * ((2*doc_id) % 256)) // 256)::BIGINT AS d
+FROM documents WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0
+UNION ALL
+-- p16 rows: 16-bit grayscale PNG (big-endian sample pairs, bpp-wide
+-- filter lanes); v(x,y) = (1000*id + 257x + 513y) % 65536, summed
+-- exactly — an endianness or lane-width bug shifts every value
+SELECT 'p16' AS op, doc_id AS media_id,
+       (3 + doc_id % 5)::BIGINT AS a,
+       (2 + doc_id % 4)::BIGINT AS b,
+       list_sum(list_transform(range(0, (3 + doc_id % 5) * (2 + doc_id % 4)),
+         i -> (1000*doc_id + 257*(i % (3 + doc_id % 5)) + 513*(i // (3 + doc_id % 5))) % 65536))::BIGINT AS c,
+       ((1000*doc_id) % 65536)::BIGINT AS d
 FROM documents WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0
 UNION ALL
 -- vid rows: Spark pushed n = 2 + id%3 closed-form RGB frames through

@@ -65,6 +65,15 @@ class EmuResult:
     #: per-template p50 latency — a mixed prepared/per-query config
     #: reports BOTH serving tiers' latency, not just the blend
     per_template_p50_ms: dict[int, float] = field(default_factory=dict)
+    #: per-template per-REGIME latency for fallback-tier templates:
+    #: {i: {"row_hit": {"n", "p50_ms"}, "plan_hit": ..., "cold": ...}}
+    #: — repeated values ride the LRUs (~µs/ms) while unique values pay
+    #: the measured ~107 ms compile floor (SCALE.md); splitting the two
+    #: makes a latency distribution attributable instead of bimodal
+    per_template_regimes: dict[int, dict] = field(default_factory=dict)
+    #: cumulative LRU counters per fallback template (PerQueryPrepared
+    #: .stats): hit RATES for the whole window, not just sampled p50s
+    lru_stats: dict[int, dict] = field(default_factory=dict)
 
     def as_dict(self) -> dict:
         return self.__dict__.copy()
@@ -184,19 +193,25 @@ def run_emu(
 
     slots = threading.Semaphore(max(1, parallel))
 
-    def one_bounded(i: int, val) -> float:
+    def one_bounded(i: int, val) -> tuple:
         try:
             t0 = time.perf_counter()
-            if prepared[i] is not None:
-                prepared[i].rows(val)
+            regime = None
+            p = prepared[i]
+            if p is not None:
+                if hasattr(p, "serve"):  # fallback tier: traced serve
+                    _, regime = p.serve(val)
+                else:
+                    p.rows(val)
             else:
                 g.query(render(i, val)).collect()
-            return (time.perf_counter() - t0) * 1000
+            return (time.perf_counter() - t0) * 1000, regime
         finally:
             slots.release()
 
     start = time.perf_counter()
     tpl_lat: dict[int, list[float]] = {i: [] for i in range(len(templates))}
+    tpl_regime_lat: dict[int, dict] = {i: {} for i in range(len(templates))}
     with ThreadPoolExecutor(max_workers=max(1, parallel)) as ex:
         futures = []
         fired = 0
@@ -208,9 +223,11 @@ def run_emu(
             futures.append((i, ex.submit(one_bounded, i, rng.choice(pools[i]))))
             fired += 1
         for i, f in futures:
-            ms = f.result()
+            ms, regime = f.result()
             latencies.append(ms)
             tpl_lat[i].append(ms)
+            if regime is not None:
+                tpl_regime_lat[i].setdefault(regime, []).append(ms)
     elapsed = time.perf_counter() - start
 
     latencies.sort()
@@ -225,6 +242,19 @@ def run_emu(
         for i, ls in tpl_lat.items()
         if ls
     }
+    tpl_regimes = {
+        i: {
+            reg: {"n": len(ls), "p50_ms": round(sorted(ls)[len(ls) // 2], 3)}
+            for reg, ls in regs.items()
+        }
+        for i, regs in tpl_regime_lat.items()
+        if regs
+    }
+    lru_stats = {
+        i: dict(prepared[i].stats)
+        for i in range(len(templates))
+        if prepared[i] is not None and hasattr(prepared[i], "stats")
+    }
 
     return EmuResult(
         total_queries=len(latencies),
@@ -237,4 +267,6 @@ def run_emu(
         warmup_s=round(warmup_s, 3),
         template_modes=modes,
         per_template_p50_ms=tpl_p50,
+        per_template_regimes=tpl_regimes,
+        lru_stats=lru_stats,
     )

@@ -239,35 +239,29 @@ def _paeth_predict(left, up, upleft):
     return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
 
 
-def png_bytes(pixels, filter_seed: int = 0) -> bytes:
-    """Encode a uint8 pixel array as a real PNG: CRC-checked chunks,
-    zlib-compressed IDAT, 8-bit non-interlaced. Channel count picks the
-    color type: HxW or HxWx1 -> grayscale (0), HxWx2 -> gray+alpha (4),
-    HxWx3 -> RGB (2), HxWx4 -> RGBA (6). Each scanline's filter type
-    cycles (row + filter_seed) % 5, so a payload taller than 4 rows
-    exercises every filter (None/Sub/Up/Average/Paeth) through the
-    decoder."""
-    import struct
-    import zlib
+ADAM7 = (
+    # (x_start, x_step, y_start, y_step) per pass, ITU/W3C PNG spec §8.2
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
 
+
+def _filter_scanlines(raw, bpp, filter_seed):
+    """Filter an (h, w_bytes) uint8 byte-plane into a PNG scanline
+    stream; the filter type cycles (row + filter_seed) % 5 so every
+    filter is exercised. `bpp` is the per-pixel byte width (channels x
+    bytes-per-sample) — the spec's left/upleft distance."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, ch = px.shape
-    if ch not in (1, 2, 3, 4):
-        raise ValueError(f"expected 1-4 channels, got {ch}")
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    raw = px.reshape(h, w * ch)
+    h = raw.shape[0]
     stream = bytearray()
-    prev = np.zeros(w * ch, dtype=np.uint8)
+    prev = np.zeros(raw.shape[1], dtype=np.uint8)
     for y in range(h):
         line = raw[y]
-        # left/upleft neighbors shifted by one PIXEL (ch bytes); uint8
+        # left/upleft neighbors shifted by one PIXEL (bpp bytes); uint8
         # subtraction wraps mod 256, exactly the spec's filter output
-        left = np.concatenate([np.zeros(ch, dtype=np.uint8), line[:-ch]])
-        upleft = np.concatenate([np.zeros(ch, dtype=np.uint8), prev[:-ch]])
+        left = np.concatenate([np.zeros(bpp, dtype=np.uint8), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.uint8), prev[:-bpp]])
         f = (y + filter_seed) % 5
         if f == 0:
             filt = line
@@ -281,6 +275,52 @@ def png_bytes(pixels, filter_seed: int = 0) -> bytes:
             filt = line - _paeth_predict(left, prev, upleft)
         stream += bytes([f]) + filt.tobytes()
         prev = line
+    return stream
+
+
+def png_bytes(pixels, filter_seed: int = 0, bit_depth: int = 8,
+              interlace: bool = False) -> bytes:
+    """Encode a pixel array as a real PNG: CRC-checked chunks,
+    zlib-compressed IDAT, 8- or 16-bit, optionally Adam7-interlaced.
+    Channel count picks the color type: HxW or HxWx1 -> grayscale (0),
+    HxWx2 -> gray+alpha (4), HxWx3 -> RGB (2), HxWx4 -> RGBA (6).
+    Each scanline's filter type cycles (row + filter_seed) % 5, so a
+    payload taller than 4 rows exercises every filter
+    (None/Sub/Up/Average/Paeth) through the decoder. 16-bit samples
+    are stored big-endian per the spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if bit_depth not in (8, 16):
+        raise ValueError(f"bit_depth must be 8 or 16, got {bit_depth}")
+    px = np.asarray(pixels, dtype=np.uint8 if bit_depth == 8 else np.uint16)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if ch not in (1, 2, 3, 4):
+        raise ValueError(f"expected 1-4 channels, got {ch}")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch * (bit_depth // 8)
+
+    def byte_plane(sub):
+        """(ph, pw, ch) samples -> (ph, pw*bpp) big-endian byte rows."""
+        ph, pw = sub.shape[:2]
+        if bit_depth == 8:
+            return np.ascontiguousarray(sub).reshape(ph, pw * ch)
+        be = np.ascontiguousarray(sub.astype(">u2"))
+        return np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(ph, pw * bpp)
+
+    stream = bytearray()
+    if interlace:
+        for x0, xs, y0, ys in ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes no scanlines (spec)
+            stream += _filter_scanlines(byte_plane(sub), bpp, filter_seed)
+    else:
+        stream += _filter_scanlines(byte_plane(px), bpp, filter_seed)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -288,7 +328,9 @@ def png_bytes(pixels, filter_seed: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -297,17 +339,66 @@ def png_bytes(pixels, filter_seed: int = 0) -> bytes:
     )
 
 
+def _unfilter_pass(arr, w_bytes, bpp):
+    """Reverse PNG scanline filters over one (interlace) pass.
+    arr: (h, 1 + w_bytes) uint8 — filter byte + filtered line per row.
+    bpp: per-pixel byte width (the spec's left/upleft distance).
+    Returns (h, w_bytes) reconstructed bytes."""
+    import numpy as np
+
+    h = arr.shape[0]
+    ftypes, data = arr[:, 0], arr[:, 1:]
+    n_px = w_bytes // bpp
+    recon = np.zeros((h, w_bytes), dtype=np.uint8)
+    prev = np.zeros(w_bytes, dtype=np.uint8)
+    for y in range(h):
+        f, line = int(ftypes[y]), data[y]
+        if f == 0:
+            cur = line.copy()
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] == per-lane cumsum mod 256
+            cur = (
+                line.reshape(n_px, bpp).cumsum(axis=0, dtype=np.int64) % 256
+            ).astype(np.uint8).reshape(w_bytes)
+        elif f == 2:  # Up: wraps mod 256 in uint8
+            cur = line + prev
+        elif f == 3:  # Average: true left recurrence -> per-pixel loop
+            cur = np.zeros(w_bytes, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.int16)
+            for x in range(n_px):
+                sl = slice(x * bpp, (x + 1) * bpp)
+                cur[sl] = (
+                    line[sl].astype(np.int16)
+                    + (left + prev[sl].astype(np.int16)) // 2
+                ).astype(np.uint8)
+                left = cur[sl].astype(np.int16)
+        elif f == 4:  # Paeth: left/upleft recurrence -> per-pixel loop
+            cur = np.zeros(w_bytes, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.uint8)
+            upleft = np.zeros(bpp, dtype=np.uint8)
+            for x in range(n_px):
+                sl = slice(x * bpp, (x + 1) * bpp)
+                up = prev[sl]
+                cur[sl] = line[sl] + _paeth_predict(left, up, upleft)
+                left, upleft = cur[sl], up
+        else:
+            raise ValueError(f"invalid scanline filter type {f}")
+        recon[y] = cur
+        prev = cur
+    return recon
+
+
 def decode_png(payload: bytes):
-    """Parse an 8-bit non-interlaced PNG (color types 0 gray / 2 RGB /
-    3 palette / 4 gray+alpha / 6 RGBA) into an HxWxC uint8 array
-    (C = 1/3/3/2/4 — palette indices expand through PLTE to RGB).
-    Full chunk walk with CRC32 verification, multi-IDAT concatenation,
-    stdlib-zlib inflate, and all five scanline filters reversed
-    (None/Sub/Up/Average/Paeth — Sub vectorizes as a per-lane cumsum;
-    Average/Paeth carry a true left-pixel recurrence, so they run a
-    per-pixel loop over ch-wide lanes). 16-bit and interlaced payloads
-    raise ValueError, as do truncated or CRC-corrupt chunks and
-    out-of-range palette indices."""
+    """Parse an 8- or 16-bit PNG (color types 0 gray / 2 RGB /
+    3 palette / 4 gray+alpha / 6 RGBA), non-interlaced OR
+    Adam7-interlaced, into an HxWxC array (uint8 for 8-bit, uint16 for
+    16-bit; C = 1/3/3/2/4 — palette indices expand through PLTE to
+    RGB). Full chunk walk with CRC32 verification, multi-IDAT
+    concatenation, stdlib-zlib inflate, and all five scanline filters
+    reversed per pass (None/Sub/Up/Average/Paeth — Sub vectorizes as a
+    per-lane cumsum; Average/Paeth carry a true left-pixel recurrence,
+    so they run a per-pixel loop over bpp-wide lanes). Sub-byte depths
+    (1/2/4) raise ValueError, as do truncated or CRC-corrupt chunks
+    and out-of-range palette indices."""
     import struct
     import zlib
 
@@ -353,65 +444,58 @@ def decode_png(payload: bytes):
         # outside the on_error try, so returning an empty array would
         # escape the per-row error policy and kill the whole job.
         raise ValueError("empty image dimensions")
-    if depth != 8:
-        raise ValueError(f"{depth}-bit PNG unsupported (8-bit only)")
+    if depth not in (8, 16):
+        raise ValueError(f"{depth}-bit PNG unsupported (8/16-bit only)")
     if color_type not in (0, 2, 3, 4, 6):
         raise ValueError(f"color type {color_type} unsupported")
+    if color_type == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is not a legal combination")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     if comp != 0 or filt_method != 0:
         raise ValueError("nonstandard compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"interlace method {interlace} unsupported")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = ch * (depth // 8)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt IDAT stream: {exc}") from exc
-    if len(raw) != h * (1 + w * ch):
-        raise ValueError(
-            f"IDAT size mismatch: got {len(raw)}, want {h * (1 + w * ch)}"
-        )
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * ch)
-    ftypes, data = arr[:, 0], arr[:, 1:]
-    recon = np.zeros((h, w * ch), dtype=np.uint8)
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    for y in range(h):
-        f, line = int(ftypes[y]), data[y]
-        if f == 0:
-            cur = line.copy()
-        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-ch] == per-lane cumsum mod 256
-            cur = (
-                line.reshape(w, ch).cumsum(axis=0, dtype=np.int64) % 256
-            ).astype(np.uint8).reshape(w * ch)
-        elif f == 2:  # Up: wraps mod 256 in uint8
-            cur = line + prev
-        elif f == 3:  # Average: true left recurrence -> per-pixel loop
-            cur = np.zeros(w * ch, dtype=np.uint8)
-            left = np.zeros(ch, dtype=np.int16)
-            for x in range(w):
-                sl = slice(x * ch, (x + 1) * ch)
-                cur[sl] = (
-                    line[sl].astype(np.int16)
-                    + (left + prev[sl].astype(np.int16)) // 2
-                ).astype(np.uint8)
-                left = cur[sl].astype(np.int16)
-        elif f == 4:  # Paeth: left/upleft recurrence -> per-pixel loop
-            cur = np.zeros(w * ch, dtype=np.uint8)
-            left = np.zeros(ch, dtype=np.uint8)
-            upleft = np.zeros(ch, dtype=np.uint8)
-            for x in range(w):
-                sl = slice(x * ch, (x + 1) * ch)
-                up = prev[sl]
-                cur[sl] = line[sl] + _paeth_predict(left, up, upleft)
-                left, upleft = cur[sl], up
-        else:
-            raise ValueError(f"invalid scanline filter type {f}")
-        recon[y] = cur
-        prev = cur
-    out = recon.reshape(h, w, ch)
+
+    def to_samples(recon, ph, pw):
+        """(ph, pw*bpp) bytes -> (ph, pw, ch) samples."""
+        if depth == 8:
+            return recon.reshape(ph, pw, ch)
+        u16 = np.frombuffer(recon.tobytes(), dtype=">u2")
+        return u16.astype(np.uint16).reshape(ph, pw, ch)
+
+    if interlace == 0:
+        passes = [(0, 1, 0, 1)]
+    else:
+        passes = list(ADAM7)
+    want = 0
+    dims = []
+    for x0, xs, y0, ys in passes:
+        pw = (w - x0 + xs - 1) // xs if w > x0 else 0
+        ph = (h - y0 + ys - 1) // ys if h > y0 else 0
+        dims.append((pw, ph))
+        if pw and ph:
+            want += ph * (1 + pw * bpp)
+    if len(raw) != want:
+        raise ValueError(f"IDAT size mismatch: got {len(raw)}, want {want}")
+    out = np.zeros((h, w, ch), dtype=np.uint8 if depth == 8 else np.uint16)
+    off = 0
+    for (x0, xs, y0, ys), (pw, ph) in zip(passes, dims):
+        if not (pw and ph):
+            continue
+        nbytes = ph * (1 + pw * bpp)
+        arr = np.frombuffer(raw, np.uint8, nbytes, off).reshape(ph, 1 + pw * bpp)
+        off += nbytes
+        recon = _unfilter_pass(arr, pw * bpp, bpp)
+        out[y0::ys, x0::xs] = to_samples(recon, ph, pw)
     if color_type == 3:  # palette: index plane -> RGB through PLTE
-        if recon.size and int(recon.max()) >= len(plte):
+        if out.size and int(out.max()) >= len(plte):
             raise ValueError("palette index out of range")
         out = plte[out[:, :, 0]]
     return out
@@ -871,6 +955,21 @@ def synth_png_pixels(media_id: int):
     if media_id % 4 == 3:
         planes.append((media_id + x + y) % 256)
     return np.stack([np.broadcast_to(p, (h, w)) for p in planes], axis=-1).astype("uint8")
+
+
+def synth_png16_pixels(media_id: int):
+    """16-bit grayscale closed forms for the deep-color PNG arm:
+    w = 3 + id%5, h = 2 + id%4, v(x,y) = (1000*id + 257x + 513y) %
+    65536 — SQL-expressible like the 8-bit twins, and the odd
+    multipliers make the big-endian byte pair differ from its
+    little-endian misread on almost every pixel."""
+    import numpy as np
+
+    w, h = 3 + media_id % 5, 2 + media_id % 4
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    v = (1000 * media_id + 257 * x + 513 * y) % 65536
+    return np.broadcast_to(v, (h, w)).astype(np.uint16)[:, :, None]
 
 
 def synth_avi_frames(media_id: int):

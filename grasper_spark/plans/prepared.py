@@ -817,6 +817,34 @@ class PreparedQuery:
             return [r[0] for r in rows]
         return [tuple(r) for r in rows]
 
+    def warm_async(self, values: Optional[list] = None) -> "_threading.Event":
+        """Pre-populate the relation tier's per-key row LRU in a
+        background thread, so each key's one-time filter job (~190 ms
+        p50 measured at sf0.1, BENCH relation_tier.p50_cold_ms) happens
+        off the serving path — call at session open, serve after the
+        returned Event sets (or immediately: a probe racing the warmer
+        just pays the old cold cost once). Bounded exactly like organic
+        traffic: at most _ROW_LRU_MAX keys enter the LRU. The local
+        tier needs no warming (its map is built at prepare())."""
+        done = _threading.Event()
+        if self._local is not None:
+            done.set()
+            return done
+
+        def _warm() -> None:
+            try:
+                vals = values if values is not None else self.param_values()
+                for v in vals[:_ROW_LRU_MAX]:
+                    self.rows(v)
+            except Exception:
+                pass  # warming is advisory — serving stays correct cold
+            finally:
+                done.set()
+
+        t = _threading.Thread(target=_warm, name="prepared-warm", daemon=True)
+        t.start()
+        return done
+
     def close(self) -> None:
         """Release executor cache. The relation HANDLE stays valid — an
         evicted/closed instance still serves (uncached scan), which a
@@ -875,6 +903,12 @@ class PerQueryPrepared:
         # references, not materialized data.
         self._plan_lru: "OrderedDict" = OrderedDict()
         self._lru_lock = _threading.Lock()
+        # serve-regime counters: the fallback tier has two latency
+        # regimes (repeated values ride the LRUs in ~µs/ms, unique
+        # values pay the measured ~107 ms compile+exec floor, SCALE.md)
+        # — exposing hit/miss counts makes an emu latency distribution
+        # attributable to its regime mix instead of reading as noise
+        self.stats = {"row_hits": 0, "plan_hits": 0, "cold": 0}
         # freshness epoch: df(value) always recompiles so it sees
         # post-refresh data immediately — rows() must not keep serving
         # pre-refresh cache entries or the two surfaces of one handle
@@ -893,21 +927,26 @@ class PerQueryPrepared:
     def _plan_for(self, value: Any) -> DataFrame:
         """df(value) through the bounded per-value plan LRU — repeated
         values recompile zero times; only binding + execution remain."""
+        return self._plan_for_traced(value)[0]
+
+    def _plan_for_traced(self, value: Any) -> tuple:
+        """(plan, was_lru_hit) — the traced form :meth:`serve` uses to
+        attribute a latency to its regime."""
         try:
             k = value if not isinstance(value, list) else tuple(value)
             with self._lru_lock:
                 hit = self._plan_lru.get(k)
                 if hit is not None:
                     self._plan_lru.move_to_end(k)
-                    return hit
+                    return hit, True
         except TypeError:  # unhashable parameter
-            return self._df_for(value)
+            return self._df_for(value), False
         df = self._df_for(value)
         with self._lru_lock:
             self._plan_lru[k] = df
             while len(self._plan_lru) > _ROW_LRU_MAX:
                 self._plan_lru.popitem(last=False)
-        return df
+        return df, False
 
     def _df_for(self, value: Any) -> DataFrame:
         vals = (value,) if len(self._idxs) == 1 else tuple(value)
@@ -936,6 +975,13 @@ class PerQueryPrepared:
         return self._plan_for(value)
 
     def rows(self, value: Any) -> list[tuple]:
+        return self.serve(value)[0]
+
+    def serve(self, value: Any) -> tuple:
+        """(rows, regime) — regime is which tier answered:
+        'row_hit' (driver-local row LRU, ~µs), 'plan_hit' (cached plan,
+        execution only) or 'cold' (full compile + execute — the
+        measured per-query floor). Counters accumulate in ``stats``."""
         self._check_epoch()
         k = value if not isinstance(value, list) else tuple(value)
         try:
@@ -943,15 +989,21 @@ class PerQueryPrepared:
                 hit = self._row_lru.get(k)
                 if hit is not None:
                     self._row_lru.move_to_end(k)
-                    return hit
+                    self.stats["row_hits"] += 1
+                    return hit, "row_hit"
         except TypeError:  # unhashable parameter — serve uncached
-            return [tuple(r) for r in self._df_for(value).collect()]
-        out = [tuple(r) for r in self._plan_for(value).collect()]
+            with self._lru_lock:
+                self.stats["cold"] += 1
+            return [tuple(r) for r in self._df_for(value).collect()], "cold"
+        plan, was_hit = self._plan_for_traced(value)
+        out = [tuple(r) for r in plan.collect()]
+        regime = "plan_hit" if was_hit else "cold"
         with self._lru_lock:
+            self.stats["plan_hits" if was_hit else "cold"] += 1
             self._row_lru[k] = out
             while len(self._row_lru) > _ROW_LRU_MAX:
                 self._row_lru.popitem(last=False)
-        return out
+        return out, regime
 
     def close(self) -> None:
         with self._lru_lock:

@@ -1,8 +1,9 @@
 """Real PNG decode: CRC-checked chunk walk, stdlib-zlib IDAT inflate,
 and the five scanline filters — round-trips, a hand-crafted IDAT check
-that is independent of the encoder, rejection of the unsupported
-shapes (16-bit / palette / interlaced), and the on_error pipeline
-policy for truncated payloads."""
+that is independent of the encoder, 16-bit depth and Adam7 interlacing
+(round 8), rejection of the still-unsupported shapes (sub-byte depths,
+palette-without-PLTE, unknown interlace methods), and the on_error
+pipeline policy for truncated payloads."""
 
 import struct
 import zlib
@@ -117,14 +118,24 @@ def test_png_crc_mismatch_raises():
 def test_png_rejects_unsupported_shapes():
     from grasper_spark.functions.multimodal import decode_png
 
-    with pytest.raises(ValueError, match="16-bit"):
-        decode_png(_png(1, 1, 16, 2, 0, bytes([0, 0, 0, 0, 0, 0, 0])))
+    # 16-bit and Adam7 are SUPPORTED as of round 8 — the old rejects
+    # became decodes (pinned in test_png_16bit/adam7 below); what stays
+    # refused: sub-byte depths, unknown interlace methods, bad combos
+    with pytest.raises(ValueError, match="4-bit"):
+        decode_png(_png(1, 1, 4, 0, 0, bytes([0, 0])))
     with pytest.raises(ValueError, match="missing PLTE"):
         decode_png(_png(1, 1, 8, 3, 0, bytes([0, 0])))
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_png(_png(1, 1, 8, 2, 1, bytes([0, 1, 2, 3])))
+    with pytest.raises(ValueError, match="interlace method 2"):
+        decode_png(_png(1, 1, 8, 2, 2, bytes([0, 1, 2, 3])))
+    with pytest.raises(ValueError, match="16-bit palette"):
+        decode_png(_png(1, 1, 16, 3, 0, bytes([0, 0, 0])))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\xff\xd8\xff\xe0 jpeg bytes")
+    # the previously-refused shapes now decode
+    one_px_16 = decode_png(_png(1, 1, 16, 2, 0, bytes([0] * 7)))
+    assert one_px_16.shape == (1, 1, 3) and one_px_16.dtype.name == "uint16"
+    one_px_i = decode_png(_png(1, 1, 8, 2, 1, bytes([0, 1, 2, 3])))
+    assert (one_px_i == [[[1, 2, 3]]]).all()
 
 
 def _palette_png(w, h, plte: bytes, idx_rows: bytes) -> bytes:
@@ -325,3 +336,81 @@ if True:  # keep hypothesis import pattern consistent with the suite
 
     except ImportError:  # pragma: no cover
         pass
+
+
+# ---- round 8: Adam7 interlacing + 16-bit depth -------------------------
+
+
+def test_png_adam7_roundtrip_all_channels_and_sizes():
+    import numpy as np
+
+    from grasper_spark.functions.multimodal import decode_png, png_bytes
+
+    rng = np.random.default_rng(5)
+    for ch in (1, 2, 3, 4):
+        for (h, w) in [(1, 1), (1, 9), (2, 3), (5, 5), (8, 8), (9, 10), (16, 17)]:
+            px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            got = decode_png(png_bytes(px, filter_seed=h + w, interlace=True))
+            np.testing.assert_array_equal(got, px)
+
+
+def test_png_adam7_empty_passes_handled():
+    # a 1x1 image populates only pass 1; 2x2 populates passes 1/4/6/7
+    # with passes 2/3/5 empty — the spec says empty passes contribute
+    # zero scanlines, which is exactly what the encoder emits
+    import numpy as np
+
+    from grasper_spark.functions.multimodal import decode_png, png_bytes
+
+    px = np.array([[[10, 20, 30], [40, 50, 60]],
+                   [[70, 80, 90], [11, 12, 13]]], dtype=np.uint8)
+    got = decode_png(png_bytes(px, interlace=True))
+    np.testing.assert_array_equal(got, px)
+
+
+def test_png_16bit_roundtrip_and_dtype():
+    import numpy as np
+
+    from grasper_spark.functions.multimodal import decode_png, png_bytes
+
+    rng = np.random.default_rng(6)
+    for ch in (1, 2, 3, 4):
+        for il in (False, True):
+            px = rng.integers(0, 65536, (6, 7, ch), dtype=np.uint16)
+            got = decode_png(png_bytes(px, bit_depth=16, interlace=il, filter_seed=3))
+            assert got.dtype == np.uint16
+            np.testing.assert_array_equal(got, px)
+
+
+def test_png_16bit_big_endian_on_the_wire():
+    # one pixel, value 0x0102: stored big-endian per the spec
+    import zlib
+
+    import numpy as np
+
+    from grasper_spark.functions.multimodal import decode_png, png_bytes
+
+    p = png_bytes(np.array([[[0x0102]]], dtype=np.uint16), bit_depth=16)
+    # IDAT body: filter byte 0 + 0x01 0x02
+    idat_at = p.find(b"IDAT") + 4
+    size = int.from_bytes(p[idat_at - 8:idat_at - 4], "big")
+    raw = zlib.decompress(p[idat_at:idat_at + size])
+    assert raw == b"\x00\x01\x02"
+    assert decode_png(p)[0, 0, 0] == 0x0102
+
+
+def test_png_interlaced_corruption_fuzz_valueerror_only():
+    import numpy as np
+
+    from grasper_spark.functions.multimodal import decode_png, png_bytes
+
+    rng = np.random.default_rng(9)
+    base = png_bytes(rng.integers(0, 256, (5, 5, 3), dtype=np.uint8), interlace=True)
+    for pos in range(8, len(base), 5):
+        p = bytearray(base)
+        p[pos] ^= 0xA5
+        try:
+            out = decode_png(bytes(p))
+            assert out.shape[2] in (1, 2, 3, 4)
+        except ValueError:
+            pass
