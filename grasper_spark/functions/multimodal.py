@@ -339,6 +339,55 @@ def png_bytes(pixels, filter_seed: int = 0, bit_depth: int = 8,
     )
 
 
+def _unfilter_small(arr, w_bytes, bpp):
+    """Pure-Python unfilter for NARROW scanlines (thumbnails, interlace
+    passes of tiny images): per-byte int arithmetic on bytearrays beats
+    the numpy path ~3x below ~64 bytes/line, where per-op numpy
+    dispatch overhead dominates the actual byte work. Bit-identical to
+    _unfilter_pass (shared fuzz + roundtrip tests cover both)."""
+    import numpy as np
+
+    h = arr.shape[0]
+    row = 1 + w_bytes
+    data = arr.tobytes()
+    recon = np.empty((h, w_bytes), dtype=np.uint8)
+    prev = b"\x00" * w_bytes
+    for y in range(h):
+        off = y * row
+        f = data[off]
+        line = data[off + 1:off + row]
+        cur = bytearray(w_bytes)
+        if f == 0:
+            cur[:] = line
+        elif f == 1:  # Sub
+            for x in range(w_bytes):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + a) & 0xFF
+        elif f == 2:  # Up
+            for x in range(w_bytes):
+                cur[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(w_bytes):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(w_bytes):
+                a = cur[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid scanline filter type {f}")
+        recon[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+        prev = cur
+    return recon
+
+
 def _unfilter_pass(arr, w_bytes, bpp):
     """Reverse PNG scanline filters over one (interlace) pass.
     arr: (h, 1 + w_bytes) uint8 — filter byte + filtered line per row.
@@ -346,6 +395,8 @@ def _unfilter_pass(arr, w_bytes, bpp):
     Returns (h, w_bytes) reconstructed bytes."""
     import numpy as np
 
+    if w_bytes <= 64:
+        return _unfilter_small(arr, w_bytes, bpp)
     h = arr.shape[0]
     ftypes, data = arr[:, 0], arr[:, 1:]
     n_px = w_bytes // bpp
