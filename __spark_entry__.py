@@ -1185,10 +1185,35 @@ def _q_emb_lsh_topk(spark, sf):
             "rank",
         )
     )
+    # pq: PQ ADC exactness gate — m=1 subvector with one codeword per
+    # corpus vector makes ADC degenerate to the exact inner product
+    # (each vector's nearest codeword is itself: ||x-c||² = 0 iff c=x),
+    # and integer-quantized vectors cast to double make every LUT entry
+    # and ADC score an exactly-representable integer (|score| ≤
+    # 64·4096² ≈ 1.07e9 < 2^53) — so pq_topk's float rank IS the
+    # integer rank and the served top-10 hashes against the oracle's
+    # integer brute force. Gates pq_encode's argmin assignment (a wrong
+    # code swaps in a different vector's dot product) and the
+    # element_at ADC scoring expression. Corpus bounded to vec_id < 192:
+    # an exactness gate with constant cost at every sf (the codebook is
+    # K=|corpus| — real deployments keep K at 2^nbits; recall behavior
+    # is covered by test_pq.py).
+    from grasper_spark.functions.pq import pq_encode, pq_topk
+
+    sub = q4.filter(F.col("vec_id") < 192).select(
+        "vec_id", F.col("qv").cast("array<double>").alias("embedding")
+    )
+    book = [[r["embedding"] for r in sub.orderBy("vec_id").collect()]]
+    codes = pq_encode(sub, book)
+    pqr = pq_topk(codes, book, sub.filter(F.col("vec_id") < 3), k=10).select(
+        F.lit("pq").alias("op"), F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"), F.col("score").cast("long").alias("sim"),
+        "rank",
+    )
     return (
         topk.unionByName(tok).unionByName(bok).unionByName(nrm).unionByName(nok)
         .unionByName(qt).unionByName(qok).unionByName(cen).unionByName(ok)
-        .unionByName(ivf)
+        .unionByName(ivf).unionByName(pqr)
     )
 
 
@@ -3123,6 +3148,31 @@ FROM (
                     neighbor_id ASC)::INTEGER AS rank
   FROM ivscored
 ) ivr WHERE rank <= 10
+UNION ALL
+-- pq: Spark ran REAL PQ encode + ADC scoring at m=1 with one codeword
+-- per (integer-quantized) corpus vector, where ADC degenerates to the
+-- exact inner product and every score is an integer; the oracle is the
+-- integer brute-force top-10 over the bounded vec_id < 192 corpus — a
+-- wrong pq_encode argmin or a broken LUT/element_at indexing swaps in
+-- a different vector's dot and hash-mismatches here
+SELECT 'pq' AS op, query_id, neighbor_id, sim, rank
+FROM (
+  WITH pqc AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> floor(x::DOUBLE * 4096.0)::BIGINT) AS qv
+    FROM embeddings WHERE vec_id < 192
+  ), pqq AS (SELECT vec_id AS query_id, qv AS qq FROM pqc WHERE vec_id < 3),
+  pqscored AS (
+    SELECT pqq.query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, 65), i -> pqq.qq[i] * c.qv[i]))::BIGINT AS d
+    FROM pqc c, pqq WHERE c.vec_id <> pqq.query_id
+  )
+  SELECT query_id, neighbor_id, d AS sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY d DESC, neighbor_id ASC
+         )::INTEGER AS rank
+  FROM pqscored
+) pqr WHERE rank <= 10
 """,
         "doc_minhash_lsh_pairs": _minhash_lsh_oracle(),
         "doc_neardup_clusters": _neardup_clusters_oracle(),
