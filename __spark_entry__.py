@@ -140,7 +140,13 @@ def _graph(spark: SparkSession, sf_dir: str) -> G:
                 g = read_parquet(spark, cache_dir, name=name)
             except Exception:
                 g = load_tpch_graph(spark, sf_dir)  # read-only FS etc.
-        _GRAPH_CACHE[key] = G(g.cache())
+        g.cache()
+        # record |E| on the handle (one count job per corpus, cached):
+        # above the measured crossover the compiler then hints the
+        # bucketed sort-merge join for expansions instead of letting
+        # Catalyst broadcast a multi-million-row edge relation
+        g.edge_count()
+        _GRAPH_CACHE[key] = G(g)
     return _GRAPH_CACHE[key]
 
 

@@ -91,6 +91,18 @@ class PropertyGraph:
         self.edges.cache()
         return self
 
+    def edge_count(self) -> int:
+        """Total |E|, computed once and cached on the instance. The
+        compiler reads the CACHED value (never triggers the job itself)
+        to pick the traversal-expansion join strategy: above the
+        measured crossover it hints sort-merge so Catalyst's
+        static file-size estimate cannot broadcast a multi-million-row
+        edge relation (see compiler.EXPAND_MERGE_MIN_EDGES). Loaders
+        that materialize the graph call this once at load."""
+        if getattr(self, "_edge_count", None) is None:
+            self._edge_count = self.edges.count()
+        return self._edge_count
+
     def degree_stats(self) -> DataFrame:
         """Out/in degree summary — used for skew diagnostics before tuning."""
         out_deg = self.edges.groupBy(F.col(E_SRC).alias(V_ID)).agg(

@@ -57,6 +57,14 @@ ORD = "_ord_"
 
 _uid = itertools.count()
 
+#: |E| above which traversal expansions hint sort-merge instead of
+#: letting Catalyst broadcast the edge relation from its static file
+#: estimate. Measured crossover (r8, local[32], bucketed store):
+#: sf1 / 7.7M edges -> merge 2.2x faster (0.47 vs 1.04 s on the Q8
+#: shape); sf0.1 / 0.77M edges -> broadcast ties or wins. Only
+#: consulted when a loader recorded PropertyGraph.edge_count().
+EXPAND_MERGE_MIN_EDGES = 2_000_000
+
 #: side-effect store cache: semantic-plan-keyed LRU of the persisted
 #: stream forks created by aggregate()/store() (see _step_aggregate).
 #: Bounded so a long-lived session (emu, console) compiling many
@@ -596,6 +604,21 @@ class GremlinCompiler:
             f"`{ESRC}` AS `{jsrc}`", f"`{EDST}` AS `{jdst}`", f"`{ELAB}` AS `{jlab}`",
             *[f"`{EP + k}` AS `{v}`" for k, v in eps.items()],
         )
+        n_edges = getattr(self.g, "_edge_count", None)
+        if n_edges is not None and n_edges >= EXPAND_MERGE_MIN_EDGES:
+            # Measured crossover (r8, local[32]): at sf1 (7.7M edges)
+            # Catalyst's static post-pruning file estimate broadcast the
+            # 1.5M-row label-pruned edge relation — a per-query hash
+            # build that made g_aggregate_without 1.04s vs 0.47s with
+            # the bucketed zero-exchange sort-merge join; at sf0.1
+            # (0.77M edges) broadcast wins or ties (0.41 vs 0.68). The
+            # hint fires only when a loader has RECORDED |E| via
+            # PropertyGraph.edge_count() — compile never runs the count
+            # job — and only above the crossover. At 100 TB the edge
+            # relation can never broadcast, so merge IS the design; the
+            # hint just stops the optimizer guessing wrong from
+            # compressed-file sizes in between.
+            e = e.hint("merge")
         if elabels:
             # Backslashes must be escaped BEFORE quotes: with the default
             # escapedStringLiterals=false, '\b' in a SQL literal is a

@@ -144,3 +144,35 @@ def test_bench_relation_tier_postwarm_pin():
     src = _bench_src()
     assert "warm_async(vals)" in src
     assert "p50_cold_postwarm_ms" in src
+
+
+# ---------------------------------------------------------------------------
+# 4. expansion join strategy: measured-crossover merge hint
+# ---------------------------------------------------------------------------
+
+
+def test_expand_merge_hint_above_crossover(modern):
+    from grasper_spark.plans import compiler as C
+
+    g2 = modern  # PropertyGraph fixture
+    # no recorded count -> compiler must not run a count job and must
+    # leave Catalyst's choice alone (broadcast on tiny graphs)
+    assert getattr(g2, "_edge_count", None) in (None, 6)
+    g2._edge_count = None
+    plan_default = G(g2).V().out("knows").count().df()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_default
+    # recorded count above the crossover -> sort-merge join
+    g2._edge_count = C.EXPAND_MERGE_MIN_EDGES
+    try:
+        plan_big = G(g2).V().out("knows").count().df()._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan_big
+        assert "BroadcastHashJoin" not in plan_big.split("SortMergeJoin")[0]
+    finally:
+        g2._edge_count = None
+
+
+def test_edge_count_records_once(modern):
+    n1 = modern.edge_count()
+    assert n1 == 6
+    assert modern._edge_count == 6
+    assert modern.edge_count() == 6  # cached, no recount
