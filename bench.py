@@ -394,6 +394,15 @@ def main() -> None:
             print(f"# scale{SCALE_FACTOR}x {name}: {ts}s ({n} rows) passes={per_s}",
                   file=sys.stderr)
         result["scaling"] = {"factor": SCALE_FACTOR, "queries": scaling}
+        # the scaled corpus' media payload relation is done — release
+        # its storage before the sf1 section (sf0.1 + sf1 slots stay:
+        # the sf1 multimodal passes interleave sf0.1 base passes)
+        try:
+            k = scaled_dir.rstrip("/")
+            if k in entry._MEDIA_SLOTS:
+                entry._MEDIA_SLOTS.pop(k).unpersist()
+        except Exception as ex:
+            print(f"# scaled media evict skipped: {ex}", file=sys.stderr)
 
     # sf1 section: the FULL headline set + emu on complete sf1 tables
     # (dimensions AND facts at 10× sf0.1 — tools/gen_sf.py), generated
@@ -511,6 +520,18 @@ def main() -> None:
             result["sf1"] = {
                 "gen_s": gen_s, "load_s": sf1_load_s, "queries": sf1,
             }
+            # the media payload relations (sf0.1 + scaled + sf1, ~GB
+            # deserialized) are only read by multimodal_features — done
+            # by here. Evict them before the emu sections: a serving
+            # cluster would not hold a decode corpus cache, and the
+            # extra storage pressure measurably degraded the in-bench
+            # emu (r8: 68 s cold warm-up in-bench vs 5.8-9.5 s isolated
+            # on identical code)
+            try:
+                for k in list(entry._MEDIA_SLOTS):
+                    entry._MEDIA_SLOTS.pop(k).unpersist()
+            except Exception as ex:
+                print(f"# media evict skipped: {ex}", file=sys.stderr)
             try:
                 import shutil
 
