@@ -1310,11 +1310,12 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
         from grasper_spark.functions.multimodal import (
             WAV_SR, avi_bytes, bmp_bytes, gif_bytes, jpeg_bytes,
             png_bytes, synth_avi_frames, synth_bmp_pixels,
-            synth_gif_frame, synth_jpg_pixels, synth_png16_pixels,
-            synth_png_pixels, synth_wav_samples, wav_bytes,
+            synth_gif_frame, synth_jpg_pixels, synth_mjpg_frames,
+            synth_png16_pixels, synth_png_pixels, synth_wav_samples,
+            wav_bytes,
         )
 
-        cols = ("wav", "avi", "jpg", "bmp", "png", "pn7", "p16", "gif")
+        cols = ("wav", "avi", "jpg", "mjp", "bmp", "png", "pn7", "p16", "gif")
         for pdf in batches:
             out = {"media_id": pdf["media_id"].tolist(),
                    "payload": pdf["payload"].tolist()}
@@ -1329,6 +1330,9 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
                     row["wav"] = wav_bytes(synth_wav_samples(mid), WAV_SR)
                     row["avi"] = avi_bytes(synth_avi_frames(mid), fps=10)
                     row["jpg"] = jpeg_bytes(synth_jpg_pixels(mid))
+                    row["mjp"] = avi_bytes(
+                        synth_mjpg_frames(mid), fps=12, codec="MJPG"
+                    )
                 else:
                     px = synth_png_pixels(mid)
                     row["bmp"] = bmp_bytes(synth_bmp_pixels(mid))
@@ -1343,8 +1347,8 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     schema = ("media_id long, payload binary, wav binary, avi binary, "
-              "jpg binary, bmp binary, png binary, pn7 binary, "
-              "p16 binary, gif binary")
+              "jpg binary, mjp binary, bmp binary, png binary, "
+              "pn7 binary, p16 binary, gif binary")
     rel = docs.mapInPandas(synth, schema).persist()
     while len(_MEDIA_SLOTS) >= 3:  # bounded executor storage
         _MEDIA_SLOTS.pop(next(iter(_MEDIA_SLOTS))).unpersist()
@@ -1423,9 +1427,9 @@ def _q_multimodal_features(spark, sf):
             # production posture: payloads live in the table, the job
             # decodes them (synthesis happened once, in the persisted
             # media relation build — bench load_phases.media_persist)
-            for mid, wavp, avip, jpgp, bmpp, pngp, pn7p, p16p, gifp in zip(
-                mids, pdf["wav"], pdf["avi"], pdf["jpg"], pdf["bmp"],
-                pdf["png"], pdf["pn7"], pdf["p16"], pdf["gif"],
+            for mid, wavp, avip, jpgp, mjpp, bmpp, pngp, pn7p, p16p, gifp in zip(
+                mids, pdf["wav"], pdf["avi"], pdf["jpg"], pdf["mjp"],
+                pdf["bmp"], pdf["png"], pdf["pn7"], pdf["p16"], pdf["gif"],
             ):
                 mid = int(mid)
                 if mid % 97 == 0:
@@ -1455,6 +1459,15 @@ def _q_multimodal_features(spark, sf):
                     jlu = jpx[..., 0].astype(np.int64)
                     emit("jpg", mid, jpx.shape[1], jpx.shape[0],
                          int(jlu.sum()), int(jlu[0, 0]))
+                    # MJPEG-in-AVI: JPEG-compressed video frames through
+                    # the RIFF demux + the same baseline JPEG decoder;
+                    # gray-valued flat blocks stay integer-exact through
+                    # the color path (Y=v, Cb=Cr=128), one row per frame
+                    mfps, mframes = decode_avi(bytes(mjpp))
+                    for mf, mpx in enumerate(mframes):
+                        mlu = luma_int(mpx)
+                        emit("mjp", mid, mf, mfps,
+                             int(mlu.sum()), int(mlu[0, 0]))
                 else:
                     px = decode_bmp(bytes(bmpp))
                     lu = luma_int(px)
@@ -3403,6 +3416,20 @@ SELECT 'jpg' AS op, doc_id AS media_id,
          i -> (37*doc_id + 11*(i % (1 + doc_id % 3)) + 23*(i // (1 + doc_id % 3))) % 256)))::BIGINT AS c,
        ((37*doc_id) % 256)::BIGINT AS d
 FROM documents WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
+UNION ALL
+-- mjp rows: MJPEG-in-AVI — the Spark side demuxed REAL 'MJPG' streams
+-- (one baseline JPEG per '00dc' chunk) through the RIFF walk + the
+-- full JPEG decoder; frames are gray-valued flat blocks, which the
+-- integer YCbCr pair maps exactly (Y=v, Cb=Cr=128), so decoded luma is
+-- the closed form v(bx, f) = (41*id + 13*bx + 57*f) % 256 over a
+-- 2-block 16x8 frame; b = fps parsed back from strh
+SELECT 'mjp' AS op, doc_id AS media_id,
+       f::BIGINT AS a, 12::BIGINT AS b,
+       (64 * (((41*doc_id + 57*f) % 256)
+            + ((41*doc_id + 13 + 57*f) % 256)))::BIGINT AS c,
+       ((41*doc_id + 57*f) % 256)::BIGINT AS d
+FROM documents, unnest(range(0, 2)) AS u(f)
+WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
 """,
         # BFS over the FK graph from regions, direction 'in': the layered
         # star schema makes the exact distances closed-form

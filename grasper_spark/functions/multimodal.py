@@ -18,9 +18,11 @@ can parse byte-for-byte:
   dictionary resets), 4-pass de-interlacing (`decode_gif` /
   `gif_frames`; partial-canvas animation patches are refused, not
   silently mis-decoded)
-- AVI (RIFF) with uncompressed 24bpp DIB video: hdrl/strl/movi walk,
-  fps from strh, per-frame bottom-up/top-down BGR stride decode
-  (`decode_avi`) — real video frame sampling via `video_frame_features`
+- AVI (RIFF): hdrl/strl/movi walk, fps from strh; uncompressed 24bpp
+  DIB video (bottom-up/top-down BGR stride decode) AND MJPEG streams
+  (one real baseline JPEG per frame chunk, decoded through
+  `jpeg.decode_jpeg`) — `decode_avi`; real video frame sampling via
+  `video_frame_features`
 - JPEG baseline (SOF0), from-scratch Huffman + dequant + IDCT +
   YCbCr->RGB, grayscale and 4:4:4/4:2:2/4:2:0 color, restart markers
   (`jpeg.decode_jpeg`, re-exported here; progressive/arithmetic raise)
@@ -796,11 +798,14 @@ def decode_gif(payload: bytes):
 # AVI (RIFF) demux: uncompressed 24bpp DIB frames — real video decode
 # ---------------------------------------------------------------------------
 
-def avi_bytes(frames, fps: int = 10) -> bytes:
-    """Encode a list of HxWx3 uint8 RGB frames as a real RIFF/AVI file
-    with uncompressed 24bpp DIB video ('DIB ' codec): hdrl (avih +
-    strl/strh/strf) + movi with one '00db' chunk per frame. Frames are
-    stored bottom-up BGR with 4-byte row stride, exactly like BMP."""
+def avi_bytes(frames, fps: int = 10, codec: str = "DIB ") -> bytes:
+    """Encode a list of HxWx3 uint8 RGB frames as a real RIFF/AVI file:
+    hdrl (avih + strl/strh/strf) + movi with one chunk per frame.
+    codec='DIB ' (default) stores uncompressed 24bpp bottom-up BGR with
+    4-byte row stride in '00db' chunks, exactly like BMP; codec='MJPG'
+    stores each frame as a REAL baseline JPEG (4:4:4, all-ones quant —
+    gray-valued frames roundtrip exactly) in '00dc' chunks. Any other
+    codec raises ValueError."""
     import struct
 
     import numpy as np
@@ -812,11 +817,20 @@ def avi_bytes(frames, fps: int = 10) -> bytes:
     if any(f.shape != (h, w, 3) for f in fs):
         raise ValueError("all frames must be HxWx3 with one shape")
     stride = (w * 3 + 3) // 4 * 4
-    frame_bytes = []
-    for f in fs:
-        block = np.zeros((h, stride), dtype=np.uint8)
-        block[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
-        frame_bytes.append(block.tobytes())
+    if codec == "DIB ":
+        chunk_id = b"00db"
+        frame_bytes = []
+        for f in fs:
+            block = np.zeros((h, stride), dtype=np.uint8)
+            block[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
+            frame_bytes.append(block.tobytes())
+    elif codec == "MJPG":
+        from grasper_spark.functions.jpeg import jpeg_bytes
+
+        chunk_id = b"00dc"
+        frame_bytes = [jpeg_bytes(f, subsampling="444") for f in fs]
+    else:
+        raise ValueError(f"unsupported AVI codec {codec!r} (DIB /MJPG)")
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
@@ -829,24 +843,29 @@ def avi_bytes(frames, fps: int = 10) -> bytes:
         "<IIIIIIIIIIIIII", 10**6 // fps, 0, 0, 0x10, len(fs), 0, 1, 0,
         w, h, 0, 0, 0, 0,
     )
+    fourcc = codec.encode("ascii")
+    compression = 0 if codec == "DIB " else struct.unpack("<I", fourcc)[0]
     strh = struct.pack(
-        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps,
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", fourcc, 0, 0, 0, 0, 1, fps,
         0, len(fs), 0, 0xFFFFFFFF, 0, 0, 0, w, h,
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
-                       2835, 2835, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+                       stride * h, 2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    movi = lst(b"movi", b"".join(chunk(chunk_id, fb) for fb in frame_bytes))
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
 def decode_avi(payload: bytes):
-    """Demux a RIFF/AVI payload with uncompressed 24bpp DIB video:
-    returns (fps, [HxWx3 uint8 RGB frames]). Walks RIFF LISTs like the
-    WAV chunk walk (word-aligned), reads BITMAPINFOHEADER from strf,
-    and rejects any compressed codec (biCompression != 0) with the
-    same honesty as decode_bmp. Malformed payloads raise ValueError."""
+    """Demux a RIFF/AVI payload: returns (fps, [HxWx3 uint8 RGB
+    frames]). Walks RIFF LISTs like the WAV chunk walk (word-aligned),
+    reads BITMAPINFOHEADER from strf. Uncompressed 24bpp DIB streams
+    decode via the stride/orientation path; MJPG streams decode each
+    frame chunk through the real baseline JPEG decoder
+    (jpeg.decode_jpeg — grayscale frames expand to RGB). Any other
+    codec is rejected with the same honesty as decode_bmp. Malformed
+    payloads raise ValueError."""
     import struct
 
     import numpy as np
@@ -866,10 +885,11 @@ def decode_avi(payload: bytes):
     fps = None
     w = h = bpp = compression = None
     top_down = False
+    mjpeg = False
     frames = []
     # strides of state discovered during the walk
     def handle_list(lo, hi):
-        nonlocal fps, w, h, bpp, compression, top_down
+        nonlocal fps, w, h, bpp, compression, top_down, mjpeg
         kind = payload[lo:lo + 4]
         for cid, blo, bhi in walk(lo + 4, hi):
             if cid == b"LIST":
@@ -881,10 +901,11 @@ def decode_avi(payload: bytes):
                     scale, = struct.unpack("<I", payload[blo + 20:blo + 24])
                     if scale and rate:
                         fps = rate // scale
-                    if codec not in (b"DIB ", b"\x00\x00\x00\x00"):
+                    if codec not in (b"DIB ", b"\x00\x00\x00\x00", b"MJPG"):
                         raise ValueError(
                             f"compressed AVI codec {codec!r} unsupported"
                         )
+                    mjpeg = codec == b"MJPG"
             elif cid == b"strf" and bhi - blo >= 40:
                 _sz, bw, bh = struct.unpack("<Iii", payload[blo:blo + 12])
                 _planes, bits, comp = struct.unpack("<HHI", payload[blo + 12:blo + 20])
@@ -901,6 +922,23 @@ def decode_avi(payload: bytes):
             handle_list(blo, bhi)
     if w is None or bpp is None:
         raise ValueError("missing strf (video format) chunk")
+    import struct as _struct
+
+    mjpg_cc = _struct.unpack("<I", b"MJPG")[0]
+    if mjpeg or compression == mjpg_cc:
+        if not (mjpeg and compression == mjpg_cc):
+            raise ValueError("inconsistent MJPG codec/compression fields")
+        if not frames:
+            raise ValueError("no video frames in movi list")
+        from grasper_spark.functions.jpeg import decode_jpeg
+
+        out = []
+        for blo, bhi in frames:
+            px = decode_jpeg(payload[blo:bhi])
+            if px.shape[2] == 1:  # grayscale JPEG frame -> RGB
+                px = np.repeat(px, 3, axis=2)
+            out.append(px)
+        return (fps or 0), out
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported AVI video (bpp={bpp}, compression={compression})")
     if not frames:
@@ -1006,6 +1044,23 @@ def synth_png_pixels(media_id: int):
     if media_id % 4 == 3:
         planes.append((media_id + x + y) % 256)
     return np.stack([np.broadcast_to(p, (h, w)) for p in planes], axis=-1).astype("uint8")
+
+
+def synth_mjpg_frames(media_id: int):
+    """Gray-valued (R=G=B) flat-block MJPEG frames from closed forms:
+    n = 2 frames of 16x8 (two 8x8 blocks), block value
+    v(bx, f) = (41*id + 13*bx + 57*f) % 256. Gray-valued flat blocks
+    are the JPEG-exact domain even through the color path (integer
+    YCbCr: Y=v, Cb=Cr=128), so the decoded luma is SQL-recomputable."""
+    import numpy as np
+
+    frames = []
+    for f in range(2):
+        vals = [(41 * media_id + 13 * bx + 57 * f) % 256 for bx in (0, 1)]
+        row = np.repeat(np.asarray(vals, dtype=np.uint8), 8)
+        plane = np.tile(row, (8, 1))
+        frames.append(np.stack([plane] * 3, axis=-1))
+    return frames
 
 
 def synth_png16_pixels(media_id: int):

@@ -25,11 +25,17 @@ def test_avi_rejects_compressed_and_garbage():
     good = bytearray(avi_bytes([f]))
     with pytest.raises(ValueError, match="not a RIFF/AVI"):
         decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
-    # flip the strh codec to a compressed fourcc
+    # flip the strh codec to an unsupported compressed fourcc (MJPG is
+    # supported as of r8 — see tests/test_mjpeg.py; XVID stays refused)
     i = bytes(good).find(b"DIB ")
-    bad = bytes(good[:i]) + b"MJPG" + bytes(good[i + 4:])
+    bad = bytes(good[:i]) + b"XVID" + bytes(good[i + 4:])
     with pytest.raises(ValueError, match="compressed AVI codec"):
         decode_avi(bad)
+    # strh says MJPG but strf compression says uncompressed: refused,
+    # not guessed
+    halfway = bytes(good[:i]) + b"MJPG" + bytes(good[i + 4:])
+    with pytest.raises(ValueError, match="inconsistent MJPG"):
+        decode_avi(halfway)
     with pytest.raises(ValueError):
         decode_avi(bytes(good[:-20]))  # truncated frame
 
