@@ -1329,7 +1329,21 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
                 elif mid % 2 == 0:
                     row["wav"] = wav_bytes(synth_wav_samples(mid), WAV_SR)
                     row["avi"] = avi_bytes(synth_avi_frames(mid), fps=10)
-                    row["jpg"] = jpeg_bytes(synth_jpg_pixels(mid))
+                    # jpg: ids %4==0 grayscale SOF0; ids %4==2 the SAME
+                    # pixels as gray-valued COLOR at 4:2:0 — chroma
+                    # subsampling/upsampling and the integer YCbCr pair
+                    # are exact on gray (Y=v, Cb=Cr=128), so the decoded
+                    # luma equals the same closed forms and the oracle
+                    # needs no second arm; the 420 path is ledger-gated
+                    jpx = synth_jpg_pixels(mid)
+                    if mid % 4 == 2:
+                        import numpy as _np
+
+                        row["jpg"] = jpeg_bytes(
+                            _np.stack([jpx] * 3, axis=-1), subsampling="420"
+                        )
+                    else:
+                        row["jpg"] = jpeg_bytes(jpx)
                     row["mjp"] = avi_bytes(
                         synth_mjpg_frames(mid), fps=12, codec="MJPG"
                     )

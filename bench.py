@@ -611,9 +611,13 @@ def main() -> None:
     try:
         from grasper_spark.emu import run_emu as _emu_fb
 
+        # 120 queries over three templates — the mktsegment ones have a
+        # 5-value domain, so repeats exercise the row-LRU and the
+        # record carries BOTH regimes (per_template_regimes/lru_stats),
+        # not just the all-cold unique-value floor
         with open(os.path.join(os.path.dirname(__file__),
                                "configs", "emu_fallback.txt")) as fh:
-            fb = _emu_fb(g, fh.read(), max_queries=80)
+            fb = _emu_fb(g, fh.read(), max_queries=120)
         result["emu_fallback"] = fb.as_dict()
         print(f"# emu_fallback: modes={fb.template_modes} "
               f"per-template p50={fb.per_template_p50_ms}ms", file=sys.stderr)
