@@ -155,20 +155,27 @@ def test_expand_merge_hint_above_crossover(modern):
     from grasper_spark.plans import compiler as C
 
     g2 = modern  # PropertyGraph fixture
-    # no recorded count -> compiler must not run a count job and must
-    # leave Catalyst's choice alone (broadcast on tiny graphs)
-    assert getattr(g2, "_edge_count", None) in (None, 6)
-    g2._edge_count = None
-    plan_default = G(g2).V().out("knows").count().df()._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan_default
-    # recorded count above the crossover -> sort-merge join
-    g2._edge_count = C.EXPAND_MERGE_MIN_EDGES
+    spark = g2.vertices.sparkSession
+    # pin the broadcast threshold: earlier suite tests may leave the
+    # session with it altered, which flips the DEFAULT arm's strategy
+    # (observed as a full-suite-only failure); the hint arm must force
+    # sort-merge regardless of ambient session state
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
     try:
+        # no recorded count -> compiler must not run a count job and
+        # must leave Catalyst's choice alone (broadcast on tiny graphs)
+        g2._edge_count = None
+        plan_default = G(g2).V().out("knows").count().df()._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_default, plan_default
+        # recorded count above the crossover -> sort-merge join
+        g2._edge_count = C.EXPAND_MERGE_MIN_EDGES
         plan_big = G(g2).V().out("knows").count().df()._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan_big
         assert "BroadcastHashJoin" not in plan_big.split("SortMergeJoin")[0]
     finally:
         g2._edge_count = None
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_edge_count_records_once(modern):
