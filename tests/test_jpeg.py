@@ -203,3 +203,47 @@ def test_pipeline_jpg_rows(spark):
     assert (out[1]["a"], out[1]["b"]) == (px.shape[1], px.shape[0])
     assert out[1]["c"] == int(px.astype(np.int64).sum())
     assert out[2]["op"] == "error"
+
+
+# ---- property-based: the exactness contract holds over the whole
+# flat-block domain, not just the synth formulas ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        bw=st.integers(1, 4),
+        bh=st.integers(1, 3),
+        seed=st.integers(0, 2**31 - 1),
+        dri=st.sampled_from([0, 1, 3]),
+    )
+    def test_flat_block_roundtrip_property(bw, bh, seed, dri):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        blocks = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+        px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        got = decode_jpeg(jpeg_bytes(px, restart_interval=dri))
+        np.testing.assert_array_equal(got[:, :, 0], px)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        bw=st.integers(2, 4),
+        bh=st.integers(2, 3),
+        seed=st.integers(0, 2**31 - 1),
+        sub=st.sampled_from(["444", "422", "420"]),
+    )
+    def test_gray_valued_color_roundtrip_property(bw, bh, seed, sub):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        blocks = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+        # 16x16-aligned flat regions so subsampled chroma MCUs stay flat
+        v = np.repeat(np.repeat(blocks, 16, axis=0), 16, axis=1)
+        rgb = np.stack([v, v, v], axis=-1)
+        got = decode_jpeg(jpeg_bytes(rgb, subsampling=sub))
+        np.testing.assert_array_equal(got, rgb)
+except ImportError:  # pragma: no cover
+    pass
