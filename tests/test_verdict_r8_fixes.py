@@ -156,10 +156,13 @@ def test_expand_merge_hint_above_crossover(modern):
 
     g2 = modern  # PropertyGraph fixture
     spark = g2.vertices.sparkSession
-    # pin the broadcast threshold: earlier suite tests may leave the
-    # session with it altered, which flips the DEFAULT arm's strategy
-    # (observed as a full-suite-only failure); the hint arm must force
-    # sort-merge regardless of ambient session state
+    # pin BOTH inputs to the default arm's broadcast decision: the
+    # threshold conf AND materialized cache stats — test_plan_shapes
+    # runs spark.catalog.clearCache(), after which the fixture's
+    # relations scan as ExistingRDD with UNKNOWN size (defaults huge),
+    # flipping the un-hinted plan to SMJ (the full-suite-only failure)
+    g2.vertices.cache().count()
+    g2.edges.cache().count()
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
     try:
