@@ -413,12 +413,19 @@ def jpeg_bytes(
 
 class _HuffTable:
     """Canonical Huffman decode per ITU T.81 F.2.2.3 (mincode/maxcode/
-    valptr arrays)."""
+    valptr arrays), plus a lazily built 16-bit prefix LUT: every JPEG
+    code is <= 16 bits, so one table index replaces the per-length scan
+    (the scan loop was ~3 us/symbol; the LUT is ~0.3 us). Entries pack
+    (length << 8) | symbol; 0 marks an unassigned prefix. The LUT
+    builds on FIRST decode use and is cached with the table, so
+    corpora reusing the Annex K tables pay the ~2 ms build once."""
 
-    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+    __slots__ = ("mincode", "maxcode", "valptr", "vals", "bits", "lut")
 
     def __init__(self, bits, vals):
         self.vals = vals
+        self.bits = bits
+        self.lut = None
         self.mincode = [0] * 17
         self.maxcode = [-1] * 17
         self.valptr = [0] * 17
@@ -432,6 +439,21 @@ class _HuffTable:
                 k += bits[length - 1]
                 self.maxcode[length] = code - 1
             code <<= 1
+
+    def build_lut(self):
+        lut = np.zeros(65536, dtype=np.int32)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            span = 1 << (16 - length)
+            for _ in range(self.bits[length - 1]):
+                base = code << (16 - length)
+                lut[base:base + span] = (length << 8) | self.vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut = lut.tolist()  # list indexing beats np scalar indexing
+        return self.lut
 
 
 _HUFF_CACHE: dict = {}
@@ -467,9 +489,10 @@ class _BitReader:
         return v
 
     def huff(self, tbl: _HuffTable) -> int:
-        """Canonical decode without per-bit method calls: buffer up to
-        16 bits once, then length-scan with plain int arithmetic (the
-        per-bit bits(1) loop was the decoder's hottest line)."""
+        """Canonical decode via the table's 16-bit prefix LUT: buffer
+        up to 16 bits, one list index resolves (length, symbol). Short
+        reads near the segment end zero-pad the window; a decoded
+        length longer than the available bits is a truncation."""
         data, pos = self.data, self.pos
         acc, n = self.acc, self.n
         ln = len(data)
@@ -478,16 +501,21 @@ class _BitReader:
             pos += 1
             n += 8
         self.pos = pos
-        minc, maxc = tbl.mincode, tbl.maxcode
-        for length in range(1, 17):
-            if length > n:
-                raise ValueError("truncated entropy-coded segment")
-            code = (acc >> (n - length)) & ((1 << length) - 1)
-            if minc[length] <= code <= maxc[length]:
-                self.n = n - length
-                self.acc = acc & ((1 << self.n) - 1)
-                return tbl.vals[tbl.valptr[length] + code - minc[length]]
-        raise ValueError("invalid Huffman code in scan")
+        lut = tbl.lut
+        if lut is None:
+            lut = tbl.build_lut()
+        if n >= 16:
+            e = lut[(acc >> (n - 16)) & 0xFFFF]
+        else:
+            e = lut[(acc << (16 - n)) & 0xFFFF]
+        length = e >> 8
+        if length == 0:
+            raise ValueError("invalid Huffman code in scan")
+        if length > n:
+            raise ValueError("truncated entropy-coded segment")
+        self.n = n - length
+        self.acc = acc & ((1 << self.n) - 1)
+        return e & 0xFF
 
 
 def _extend(bits: int, size: int) -> int:
@@ -498,13 +526,16 @@ def _extend(bits: int, size: int) -> int:
 
 
 def _decode_block(br, dc_tbl, ac_tbl, pred):
-    """Decode one block -> (coefs[64] in zigzag order, new DC pred)."""
-    coefs = np.zeros(64, dtype=np.int64)
+    """Decode one block -> (new DC pred, [(zigzag_k, ac_value), ...]).
+    Coefficients come back SPARSE (most real blocks are a DC plus a
+    few ACs; the flat ledger blocks are DC-only) — the caller scatters
+    them into its preallocated grid, so no 64-slot numpy array is
+    allocated or copied per block."""
     size = br.huff(dc_tbl)
     if size > 11:
         raise ValueError(f"invalid DC magnitude category {size}")
     pred += _extend(br.bits(size), size)
-    coefs[0] = pred
+    acs = []
     k = 1
     while k < 64:
         rs = br.huff(ac_tbl)
@@ -517,9 +548,9 @@ def _decode_block(br, dc_tbl, ac_tbl, pred):
         k += run
         if k >= 64:
             raise ValueError("AC run past end of block")
-        coefs[k] = _extend(br.bits(size), size)
+        acs.append((k, _extend(br.bits(size), size)))
         k += 1
-    return coefs, pred
+    return pred, acs
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -684,11 +715,18 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
             break
     segments.append(bytes(cur))
 
-    grids = []
+    # per-component accumulators: DC values in SCAN order + sparse ACs
+    # as (scan_block_index, zigzag_k, value) — no per-block numpy
     for _, hi, vi, tq, _, _ in comps:
         if tq not in qts:
             raise ValueError(f"missing quantization table {tq}")
-        grids.append(np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64))
+    dcs: list[list[int]] = [[] for _ in comps]
+    sparse: list[list[tuple[int, int, int]]] = [[] for _ in comps]
+    tables = []
+    for _, hi, vi, tq, td, ta in comps:
+        if (0, td) not in huffs or (1, ta) not in huffs:
+            raise ValueError("missing Huffman table for scan")
+        tables.append((huffs[(0, td)], huffs[(1, ta)]))
 
     seg_i = 0
     br = _BitReader(segments[0])
@@ -703,25 +741,63 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
                 br = _BitReader(segments[seg_i])
                 preds = [0] * len(comps)
             for ci, (_, hi, vi, tq, td, ta) in enumerate(comps):
-                if (0, td) not in huffs or (1, ta) not in huffs:
-                    raise ValueError("missing Huffman table for scan")
-                for by in range(vi):
-                    for bx in range(hi):
-                        coefs, preds[ci] = _decode_block(
-                            br, huffs[(0, td)], huffs[(1, ta)], preds[ci]
-                        )
-                        grids[ci][my * vi + by, mx * hi + bx] = coefs
+                dct, act = tables[ci]
+                cd = dcs[ci]
+                nblk = hi * vi
+                for _ in range(nblk):
+                    pred, acs = _decode_block(br, dct, act, preds[ci])
+                    preds[ci] = pred
+                    if acs:
+                        b = len(cd)
+                        sparse[ci].extend((b, k, v) for k, v in acs)
+                    cd.append(pred)
             n_mcu += 1
 
-    # dequantize + dezigzag + vectorized IDCT per component: grids are
-    # in zigzag order, so the quant value for scan position i is the
-    # natural-order table at ZIGZAG[i]; nat[j] = zz[UNZIGZAG[j]]
+    # scatter scan-order blocks into row-major grids, dequantize,
+    # dezigzag and IDCT per component. Components where EVERY block is
+    # DC-only (the flat-block exact domain, and common in real images)
+    # skip the matmul IDCT: a DC-only block is spatially constant at
+    # ((M00*dcq)*M00) — the same left-associated float product the
+    # matmul computes — so the plane is one rint/clip over the block
+    # grid plus an 8x repeat.
     planes = []
+    m00 = _DCT_M[0, 0]
     for ci, (_, hi, vi, tq, _, _) in enumerate(comps):
-        deq = grids[ci] * qts[tq][ZIGZAG][None, None, :]
-        coef = deq[:, :, _UNZIGZAG].reshape(*deq.shape[:2], 8, 8)
+        nby, nbx = mcus_y * vi, mcus_x * hi
+        dc_scan = np.asarray(dcs[ci], dtype=np.int64)
+        if (hi, vi) == (1, 1):
+            pos = None  # one block per MCU: scan order IS row-major
+        else:
+            # multi-block MCUs: scan order walks (by, bx) inside each
+            # MCU, row-major does not — scatter via index math
+            myi = np.arange(mcus_y)[:, None, None, None]
+            mxi = np.arange(mcus_x)[None, :, None, None]
+            byi = np.arange(vi)[None, None, :, None]
+            bxi = np.arange(hi)[None, None, None, :]
+            pos = ((myi * vi + byi) * nbx + mxi * hi + bxi).ravel()
+        qt = qts[tq]
+        if not sparse[ci]:
+            dc_rm = dc_scan if pos is None else np.empty_like(dc_scan)
+            if pos is not None:
+                dc_rm[pos] = dc_scan
+            dcq = (dc_rm * qt[0]).astype(np.float64)
+            spat = np.clip(np.rint((m00 * dcq) * m00) + 128, 0, 255)
+            blkmap = spat.astype(np.uint8).reshape(nby, nbx)
+            plane = np.repeat(np.repeat(blkmap, 8, axis=0), 8, axis=1)
+            planes.append(plane)
+            continue
+        flat = np.zeros((nby * nbx, 64), dtype=np.int64)
+        rows = pos if pos is not None else slice(None)
+        flat[rows, 0] = dc_scan
+        if pos is None:
+            for b, k, v in sparse[ci]:
+                flat[b, k] = v
+        else:
+            for b, k, v in sparse[ci]:
+                flat[pos[b], k] = v
+        deq = flat * qt[ZIGZAG][None, :]
+        coef = deq[:, _UNZIGZAG].reshape(nby, nbx, 8, 8)
         spat = _idct_blocks(coef)
-        nby, nbx = spat.shape[:2]
         plane = spat.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         planes.append(plane)
     return (planes, (mcus_x, mcus_y, max_h, max_v)), end_pos
@@ -741,6 +817,14 @@ def _assemble(frame, scan):
         out_planes.append(p[:fh, :fw])
     if len(out_planes) == 1:
         return out_planes[0][:, :, None]
+    # gray-in-color fast path: Cb=Cr=128 maps to R=G=B=Y EXACTLY under
+    # ycbcr_to_rgb_int (all three chroma terms are (128*0+128)>>8 = 0),
+    # so replicate Y instead of running the fixed-point conversion —
+    # identical bytes, and the common case for gray-valued color JPEGs
+    # (the ledger's 4:2:0 arm) and near-gray flat regions
+    cb, cr = out_planes[1], out_planes[2]
+    if (cb == 128).all() and (cr == 128).all():
+        return np.repeat(out_planes[0][:, :, None], 3, axis=-1)
     ycc = np.stack(out_planes, axis=-1)
     return ycbcr_to_rgb_int(ycc)
 
