@@ -1668,13 +1668,57 @@ class GremlinCompiler:
         s2.group_cols = s2.group_cols + [tcol]
         return s2, tcol
 
+    #: steps safe to share in a factored labelled-branch prefix: pure
+    #: row-local traversals/filters — no side effects (aggregate/store),
+    #: no RNG (coin/sample), no barriers (order/range/limit) whose
+    #: factoring could observe a different stream
+    _FACTORABLE_STEPS = frozenset({
+        "out", "in", "both", "outE", "inE", "bothE", "outV", "inV",
+        "bothV", "has", "hasNot", "hasKey", "hasValue", "hasLabel",
+        "hasId", "is", "values", "key", "label", "where", "dedup",
+        "simplePath",
+    })
+    #: suffix steps expressible as one boolean Column over the shared
+    #: prefix (no stream-shape change): the single-pass flag path
+    _ROW_FILTER_STEPS = frozenset({
+        "has", "hasNot", "hasKey", "hasLabel", "hasId", "is",
+    })
+
     def _labelled_filter(self, s: Stream, branches: Sequence[Sequence[Step]], mode: str) -> Stream:
         # per-traverser existential test: pass iff all/any/none branches
         # produced ≥1 result for this input traverser
         # (/root/reference/expert/labelled_branch_expert.hpp:184-289)
         tagged, tcol = self._tagged(s)
+        branches = [list(b) for b in branches]
+        start = tagged
+        if len(branches) > 1:
+            # factor the branches' longest common pure prefix: Spark's
+            # DAG re-executes a shared subtree once PER REFERENCE, so
+            # and(out(e).hasA, out(e).hasB) paid the expansion twice.
+            # With the prefix factored, suffixes that are all row-local
+            # filters collapse to ONE pass over the expansion (flag
+            # aggregation); other suffixes read a persisted prefix.
+            limit = min(len(b) for b in branches)
+            npfx = 0
+            while npfx < limit:
+                st0 = branches[0][npfx]
+                if st0.name not in self._FACTORABLE_STEPS:
+                    break
+                if any(b[npfx] != st0 for b in branches[1:]):
+                    break
+                npfx += 1
+            if npfx:
+                pre = self.compile(branches[0][:npfx], start=tagged)
+                suffixes = [b[npfx:] for b in branches]
+                fast = self._suffix_flags_filter(s, tagged, pre, suffixes, tcol, mode)
+                if fast is not None:
+                    return fast
+                pre = self._pruned_fork(pre)
+                pre = replace(pre, df=_persisted_store(pre.df))
+                start = pre
+                branches = suffixes
         tid_sets = [
-            self.compile(list(b), start=tagged).df.select(tcol)
+            (self.compile(list(b), start=start) if b else start).df.select(tcol)
             for b in branches
         ]
         # One shuffle for the whole branch set: union the branch outputs
@@ -1709,6 +1753,106 @@ class GremlinCompiler:
             s, df=df, history=hist,
             group_cols=[c for c in s.group_cols if c != tcol],
         )
+
+    def _suffix_flags_filter(
+        self, s: Stream, tagged: Stream, pre: Stream,
+        suffixes: list[list[Step]], tcol: str, mode: str,
+    ) -> Optional[Stream]:
+        """When every branch suffix is a chain of row-local filters,
+        evaluate the whole and()/or() in ONE pass over the factored
+        prefix: per-branch boolean conditions -> one per-tid
+        aggregation (and: a max-flag per branch; or: one disjunction +
+        distinct) -> semi join. Returns None when any suffix needs the
+        generic per-branch compile."""
+        if any(
+            st.name not in self._ROW_FILTER_STEPS for b in suffixes for st in b
+        ):
+            return None
+        if pre.kind == "V" and any(
+            st.name in ("has", "hasNot", "hasKey", "hasLabel")
+            for b in suffixes for st in b
+        ):
+            pre = self._ensure_vprops(pre)
+        conds: list[Column] = []
+        for b in suffixes:
+            cs: list[Column] = []
+            for st in b:
+                c = self._row_filter_condition(pre, st)
+                if c is None:
+                    return None
+                cs.append(c)
+            cond = cs[0] if cs else F.lit(True)
+            for c in cs[1:]:
+                cond = cond & c
+            conds.append(F.coalesce(cond, F.lit(False)))
+        if mode == "and" and len(conds) > 1:
+            aggs = [
+                F.max(F.when(c, 1).otherwise(0)).alias(f"_b{i}")
+                for i, c in enumerate(conds)
+            ]
+            flags = pre.df.groupBy(tcol).agg(*aggs)
+            keep = flags
+            for i in range(len(conds)):
+                keep = keep.filter(F.col(f"_b{i}") == 1)
+            passing = keep.select(tcol)
+        else:
+            any_c = conds[0]
+            for c in conds[1:]:
+                any_c = any_c | c
+            passing = pre.df.filter(any_c).select(tcol).distinct()
+        how = "left_anti" if mode == "not" else "left_semi"
+        df = tagged.df.join(passing, tcol, how).drop(tcol)
+        hist = {k: v for k, v in s.history.items() if v != tcol}
+        return replace(
+            s, df=df, history=hist,
+            group_cols=[c for c in s.group_cols if c != tcol],
+        )
+
+    def _row_filter_condition(self, pre: Stream, st: Step) -> Optional[Column]:
+        """The boolean Column a single filter step would apply to
+        `pre`, mirroring the corresponding _step_* filters exactly —
+        or None when the step can't be expressed without reshaping
+        the stream (then the caller falls back to per-branch compile)."""
+        n, a = st.name, st.args
+        if n == "has":
+            pred = a[1] if len(a) > 1 and a[1] is not None else P.ANY
+            if not isinstance(pred, Pred):
+                return None
+            s2, col, dt = self._prop_col(pre, a[0])
+            if s2.df is not pre.df:
+                return None
+            return pred_to_condition(pred, col, dtype=dt)
+        if n == "hasNot":
+            s2, col, _ = self._prop_col(pre, a[0])
+            if s2.df is not pre.df:
+                return None
+            return col.isNull()
+        if n == "hasKey":
+            cond = F.lit(True)
+            for k in a:
+                s2, col, _ = self._prop_col(pre, k)
+                if s2.df is not pre.df:
+                    return None
+                cond = cond & col.isNotNull()
+            return cond
+        if n == "hasLabel":
+            if pre.kind == "V":
+                if not pre.props:
+                    return None
+                return F.col(VLAB).isin(list(a))
+            if pre.kind == "E":
+                return F.col(ELAB).isin(list(a))
+            return None
+        if n == "hasId":
+            if pre.kind not in ("V", "E"):
+                return None
+            col = F.col(VCOL) if pre.kind == "V" else pre.val()
+            return pred_to_condition(a[0], col, dtype="bigint")
+        if n == "is":
+            if pre.kind != "S" or not isinstance(a[0], Pred):
+                return None
+            return pred_to_condition(a[0], F.col(VAL), dtype=pre.dtype)
+        return None
 
     def _step_choose(
         self, s: Stream, cond: Any, true_branch: Sequence[Step],
