@@ -1312,6 +1312,7 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
     def synth(batches):
         import pandas as pd
 
+        from grasper_spark.functions.mpeg_audio import mp3_bytes
         from grasper_spark.functions.multimodal import (
             WAV_SR, avi_bytes, bmp_bytes, gif_bytes, jpeg_bytes,
             png_bytes, synth_avi_frames, synth_bmp_pixels,
@@ -1320,7 +1321,10 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
             wav_bytes,
         )
 
-        cols = ("wav", "avi", "jpg", "mjp", "bmp", "png", "pn7", "p16", "gif")
+        _MP3_BRS = (96, 128, 160, 192)
+        _MP3_SRS = (44100, 48000, 32000)
+        cols = ("wav", "avi", "jpg", "mjp", "mp3", "bmp", "png", "pn7",
+                "p16", "gif")
         for pdf in batches:
             out = {"media_id": pdf["media_id"].tolist(),
                    "payload": pdf["payload"].tolist()}
@@ -1352,6 +1356,18 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
                     row["mjp"] = avi_bytes(
                         synth_mjpg_frames(mid), fps=12, codec="MJPG"
                     )
+                    # mp3: REAL MPEG-1 Layer III frames (VBR — per-frame
+                    # bitrate cycles the table), ID3v2 prefix on half
+                    # the ids and ID3v1 trailer on another half, so the
+                    # tag-skip paths stay under the ledger
+                    row["mp3"] = mp3_bytes(
+                        [_MP3_BRS[(mid + i) % 4]
+                         for i in range(3 + mid % 5)],
+                        sample_rate=_MP3_SRS[mid % 3],
+                        id3v2_size=(17 + mid % 11) if mid % 8 < 4 else 0,
+                        id3v1=(mid % 16) >= 8,
+                        fill_seed=mid,
+                    )
                 else:
                     px = synth_png_pixels(mid)
                     row["bmp"] = bmp_bytes(synth_bmp_pixels(mid))
@@ -1366,8 +1382,8 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     schema = ("media_id long, payload binary, wav binary, avi binary, "
-              "jpg binary, mjp binary, bmp binary, png binary, "
-              "pn7 binary, p16 binary, gif binary")
+              "jpg binary, mjp binary, mp3 binary, bmp binary, "
+              "png binary, pn7 binary, p16 binary, gif binary")
     rel = docs.mapInPandas(synth, schema).persist()
     while len(_MEDIA_SLOTS) >= 3:  # bounded executor storage
         _MEDIA_SLOTS.pop(next(iter(_MEDIA_SLOTS))).unpersist()
@@ -1395,9 +1411,16 @@ def _q_multimodal_features(spark, sf):
     # - pn7/p16 rows: Adam7-interlaced and 16-bit PNG twins of the png
     #   arm — deinterlacing geometry and big-endian 16-bit lanes are
     #   each their own closed-form-checked path
-    # - error rows: ids % 97 == 0 carry an MP3-magic payload, exercising
-    #   the honest compressed-codec NotImplementedError hook under the
-    #   production on_error='null' posture (JPEG decodes for real now)
+    # - mp3 rows: REAL MPEG-1 Layer III frame-header walk (sync
+    #   validation, bitrate/sample-rate tables, exact frame stepping,
+    #   ID3v2 syncsafe-size + ID3v1 trailer skip) over VBR payloads —
+    #   frame count / first bitrate / sample rate / integer duration,
+    #   all closed-form-recomputable (audio transform decode stays the
+    #   honest decode_real NotImplementedError)
+    # - error rows: ids % 97 == 0 carry a FLAC-magic payload in the
+    #   public synthetic_media op, exercising the honest
+    #   compressed-codec NotImplementedError hook under the production
+    #   on_error='null' posture (MP3 frame headers walk for real now)
     # ONE timed mapInPandas pass over the PERSISTED payload relation
     # (_media_rel): payload synthesis runs once per corpus in the load
     # phase — a production decode job reads stored bytes from a table,
@@ -1414,6 +1437,7 @@ def _q_multimodal_features(spark, sf):
         import numpy as np
         import pandas as pd
 
+        from grasper_spark.functions.mpeg_audio import mp3_features
         from grasper_spark.functions.multimodal import (
             audio_decimate, byte_stats, decode_avi, decode_bmp,
             decode_gif, decode_jpeg, decode_png, decode_wav,
@@ -1446,9 +1470,10 @@ def _q_multimodal_features(spark, sf):
             # production posture: payloads live in the table, the job
             # decodes them (synthesis happened once, in the persisted
             # media relation build — bench load_phases.media_persist)
-            for mid, wavp, avip, jpgp, mjpp, bmpp, pngp, pn7p, p16p, gifp in zip(
+            for mid, wavp, avip, jpgp, mjpp, mp3p, bmpp, pngp, pn7p, p16p, gifp in zip(
                 mids, pdf["wav"], pdf["avi"], pdf["jpg"], pdf["mjp"],
-                pdf["bmp"], pdf["png"], pdf["pn7"], pdf["p16"], pdf["gif"],
+                pdf["mp3"], pdf["bmp"], pdf["png"], pdf["pn7"],
+                pdf["p16"], pdf["gif"],
             ):
                 mid = int(mid)
                 if mid % 97 == 0:
@@ -1487,6 +1512,12 @@ def _q_multimodal_features(spark, sf):
                         mlu = luma_int(mpx)
                         emit("mjp", mid, mf, mfps,
                              int(mlu.sum()), int(mlu[0, 0]))
+                    # real MP3 frame-header walk: frame count, first
+                    # bitrate, sample rate and exact-integer duration
+                    # re-derived by the oracle from the same closed
+                    # forms (VBR frames + ID3v2/ID3v1 tag skipping)
+                    nf, br, sr3, dur = mp3_features(bytes(mp3p))
+                    emit("mp3", mid, nf, br, sr3, dur)
                 else:
                     px = decode_bmp(bytes(bmpp))
                     lu = luma_int(px)
@@ -3298,6 +3329,23 @@ SELECT 'dec' AS op, doc_id AS media_id,
             * ((doc_id*7919 + 4*j*104729) % 65536 - 32768)))::BIGINT AS c,
        list_max(list_transform(range(0, (64 + doc_id % 64 + 3) // 4),
          j -> abs((doc_id*7919 + 4*j*104729) % 65536 - 32768)))::BIGINT AS d
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
+UNION ALL
+-- mp3 rows: Spark walked REAL MPEG-1 Layer III frame headers (VBR
+-- bitrates cycling (96,128,160,192) from (id+i)%4, sample rate from
+-- id%3, ID3v2 prefix when id%8<4, ID3v1 trailer when id%16>=8); the
+-- oracle re-derives the features from the same closed forms:
+-- n_frames = 3+id%5, first bitrate = table[id%4], duration_ms =
+-- n_frames*1152*1000 // sample_rate (exact integer division)
+SELECT 'mp3' AS op, doc_id AS media_id,
+       (3 + doc_id % 5)::BIGINT AS a,
+       (CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 128
+                        WHEN 2 THEN 160 ELSE 192 END)::BIGINT AS b,
+       (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                        ELSE 32000 END)::BIGINT AS c,
+       ((3 + doc_id % 5) * 1152 * 1000
+        // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                            ELSE 32000 END))::BIGINT AS d
 FROM documents WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
 UNION ALL
 SELECT 'bmp' AS op, doc_id AS media_id,

@@ -1,0 +1,200 @@
+"""MPEG audio (MP3) frame-header walk — real container parsing, no
+audio decode.
+
+A corpus pipeline's audio pass needs duration / bitrate / sample-rate
+metadata for millions of files WITHOUT running a full decoder (and the
+header is the only place those are true — container metadata lies).
+This module implements the public MPEG-1/2 audio framing (ISO/IEC
+11172-3 / 13818-3 header layout):
+
+- ``mp3_bytes``      — encode twin: CBR/VBR frame sequences with real
+                       sync headers, optional ID3v2 prefix and ID3v1
+                       trailer, deterministic filler payloads
+- ``mp3_frames``     — walk every frame header: validates sync,
+                       version/layer, bitrate and sample-rate indices,
+                       steps by the exact frame-length formula; skips
+                       ID3v2 (syncsafe size) and the 128-byte ID3v1
+                       trailer; raises ValueError on anything malformed
+- ``mp3_features``   — (n_frames, bitrate_kbps_first, sample_rate,
+                       duration_ms) exact-integer features
+
+The actual PCM synthesis (huffman + IMDCT + synthesis filterbank)
+stays behind ``multimodal.decode_real``'s honest NotImplementedError —
+frame WALKING is exact and oracle-checkable; transform decode is not
+implementable bit-exactly here.
+
+Reference scope note: the reference system (yaobaiwei/Grasper) has no
+media code; this belongs to the training-data-pipeline surface the
+engine adds on top (SURVEY.md §2 extension table).
+"""
+
+from __future__ import annotations
+
+#: bitrate tables in kbps, index 1..14 (0 = free-format, 15 = invalid —
+#: both rejected); (version, layer) -> row  [ISO 11172-3 Table B.1]
+_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    # MPEG-2 (lower sampling frequencies), Layer III
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+#: sample-rate tables by version, index 0..2 (3 = reserved)
+_SAMPLE_RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000)}
+
+#: samples per frame: (version, layer) -> count
+_SAMPLES_PER_FRAME = {(1, 1): 384, (1, 2): 1152, (1, 3): 1152, (2, 3): 576}
+
+
+def _frame_length(version: int, layer: int, bitrate_kbps: int,
+                  sample_rate: int, padding: int) -> int:
+    """Exact frame byte length per the spec's integer formulas."""
+    br = bitrate_kbps * 1000
+    if layer == 1:
+        return (12 * br // sample_rate + padding) * 4
+    if version == 2:  # Layer III at lower sampling frequencies
+        return 72 * br // sample_rate + padding
+    return 144 * br // sample_rate + padding
+
+
+def _pack_header(version: int, layer: int, bitrate_idx: int,
+                 sr_idx: int, padding: int) -> bytes:
+    ver_bits = 0b11 if version == 1 else 0b10
+    layer_bits = {1: 0b11, 2: 0b10, 3: 0b01}[layer]
+    b1 = 0xFF
+    b2 = 0xE0 | (ver_bits << 3) | (layer_bits << 1) | 0x01  # no CRC
+    b3 = (bitrate_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b4 = 0b11000100  # mono, no mode ext, not copyrighted, original
+    return bytes((b1, b2, b3, b4))
+
+
+def _syncsafe(n: int) -> bytes:
+    """ID3v2 syncsafe size: 28 bits, 7 per byte (high bit clear)."""
+    return bytes(((n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F))
+
+
+def mp3_bytes(
+    frame_bitrates_kbps: list[int],
+    sample_rate: int = 44100,
+    version: int = 1,
+    layer: int = 3,
+    id3v2_size: int = 0,
+    id3v1: bool = False,
+    fill_seed: int = 0,
+) -> bytes:
+    """Encode twin: one frame per entry of ``frame_bitrates_kbps``
+    (equal entries = CBR, varying = VBR), padding bit alternating the
+    way a real CBR encoder tracks the rational frame length, bodies
+    filled with deterministic bytes. Optional ID3v2 prefix of
+    ``id3v2_size`` payload bytes and an ID3v1 128-byte trailer."""
+    key = (version, layer)
+    if key not in _BITRATES:
+        raise ValueError(f"unsupported MPEG version/layer {key}")
+    srs = _SAMPLE_RATES[version]
+    if sample_rate not in srs:
+        raise ValueError(f"sample rate {sample_rate} invalid for MPEG-{version}")
+    sr_idx = srs.index(sample_rate)
+    out = bytearray()
+    if id3v2_size:
+        out += b"ID3\x04\x00\x00" + _syncsafe(id3v2_size)
+        out += bytes((fill_seed + i) % 251 for i in range(id3v2_size))
+    # the padding bit tracks the fractional remainder of the exact
+    # frame length the way CBR encoders do at 44100 Hz
+    rem = 0
+    for fi, br in enumerate(frame_bitrates_kbps):
+        row = _BITRATES[key]
+        if br not in row:
+            raise ValueError(f"bitrate {br} invalid for MPEG-{version} L{layer}")
+        bidx = row.index(br) + 1
+        num = (12 * br * 1000 * 4) if layer == 1 else (
+            (72 if version == 2 else 144) * br * 1000
+        )
+        rem += num % sample_rate
+        padding = 1 if rem >= sample_rate else 0
+        rem -= sample_rate if padding else 0
+        flen = _frame_length(version, layer, br, sample_rate, padding)
+        hdr = _pack_header(version, layer, bidx, sr_idx, padding)
+        body = bytes((fill_seed * 7 + fi * 31 + i) % 251 for i in range(flen - 4))
+        out += hdr + body
+    if id3v1:
+        out += b"TAG" + bytes((fill_seed + i) % 251 for i in range(125))
+    return bytes(out)
+
+
+def mp3_frames(payload: bytes) -> list[tuple[int, int, int, int]]:
+    """Walk every frame header; returns one (version, layer,
+    bitrate_kbps, sample_rate) tuple per frame. Skips a leading ID3v2
+    tag (syncsafe size) and a trailing 128-byte ID3v1 tag. Raises
+    ValueError on bad sync, reserved version/layer/sample-rate bits,
+    free-format or invalid bitrate indices, or a truncated frame —
+    malformed payloads must land on the decode/error path, never loop
+    or return partial silently."""
+    pos = 0
+    end = len(payload)
+    if end >= 10 and payload[:3] == b"ID3":
+        if any(b & 0x80 for b in payload[6:10]):
+            raise ValueError("ID3v2 size bytes not syncsafe")
+        size = (
+            (payload[6] << 21) | (payload[7] << 14)
+            | (payload[8] << 7) | payload[9]
+        )
+        pos = 10 + size
+        if pos > end:
+            raise ValueError("ID3v2 tag extends past payload")
+    if end - pos >= 128 and payload[end - 128:end - 125] == b"TAG":
+        end -= 128
+    frames: list[tuple[int, int, int, int]] = []
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError("trailing bytes shorter than a frame header")
+        b1, b2, b3 = payload[pos], payload[pos + 1], payload[pos + 2]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at offset {pos}")
+        ver_bits = (b2 >> 3) & 0x03
+        if ver_bits == 0b11:
+            version = 1
+        elif ver_bits == 0b10:
+            version = 2
+        else:
+            raise ValueError("reserved/unsupported MPEG version bits")
+        layer_bits = (b2 >> 1) & 0x03
+        if layer_bits == 0:
+            raise ValueError("reserved layer bits")
+        layer = {0b11: 1, 0b10: 2, 0b01: 3}[layer_bits]
+        key = (version, layer)
+        if key not in _BITRATES:
+            raise ValueError(f"unsupported MPEG version/layer {key}")
+        bidx = b3 >> 4
+        if bidx == 0:
+            raise ValueError("free-format bitrate unsupported")
+        if bidx == 15:
+            raise ValueError("invalid bitrate index")
+        sr_idx = (b3 >> 2) & 0x03
+        if sr_idx == 3:
+            raise ValueError("reserved sample-rate index")
+        br = _BITRATES[key][bidx - 1]
+        sr = _SAMPLE_RATES[version][sr_idx]
+        padding = (b3 >> 1) & 0x01
+        flen = _frame_length(version, layer, br, sr, padding)
+        if pos + flen > end:
+            raise ValueError("truncated frame")
+        frames.append((version, layer, br, sr))
+        pos += flen
+    if not frames:
+        raise ValueError("no MPEG audio frames")
+    return frames
+
+
+def mp3_features(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_frames, first_frame_bitrate_kbps, sample_rate, duration_ms)
+    — duration from exact integer math: sum of per-frame
+    samples-per-frame * 1000 // sample_rate at the end (one division,
+    operands < 2^53, engine-exact)."""
+    frames = mp3_frames(payload)
+    version, layer, br0, sr0 = frames[0]
+    if any((v, l, s) != (version, layer, sr0) for v, l, _, s in frames):
+        raise ValueError("mixed version/layer/sample-rate streams unsupported")
+    spf = _SAMPLES_PER_FRAME[(version, layer)]
+    duration_ms = len(frames) * spf * 1000 // sr0
+    return len(frames), br0, sr0, duration_ms

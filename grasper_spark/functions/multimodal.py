@@ -26,12 +26,17 @@ can parse byte-for-byte:
 - JPEG baseline (SOF0), from-scratch Huffman + dequant + IDCT +
   YCbCr->RGB, grayscale and 4:4:4/4:2:2/4:2:0 color, restart markers
   (`jpeg.decode_jpeg`, re-exported here; progressive/arithmetic raise)
-Codecs needing licensed/stateful entropy coders beyond that
-(MP3/AAC/H.264...) require ffmpeg, which is NOT in this container —
-`decode_real` stays the honestly-labeled NotImplementedError hook for
-those, and `media_decode_features` routes unknown magic bytes there (or
-to an `error` row under the production `on_error='null'` policy, so one
-corrupt file cannot kill a 100 TB job).
+- MP3: a REAL MPEG-1/2 audio frame-header walk (`mpeg_audio`) — sync
+  validation, bitrate/sample-rate tables, exact frame stepping, ID3v2/
+  ID3v1 skip — yielding the frame-count/bitrate/duration metadata a
+  corpus pipeline extracts without decoding audio
+Codecs needing licensed/stateful transform decoders beyond that
+(FLAC/AAC/H.264, MP3's PCM synthesis...) require ffmpeg, which is NOT
+in this container — `decode_real` stays the honestly-labeled
+NotImplementedError hook for those, and `media_decode_features` routes
+unknown magic bytes there (or to an `error` row under the production
+`on_error='null'` policy, so one corrupt file cannot kill a 100 TB
+job).
 
 `_decode_batch` (byte statistics) remains the codec-agnostic fake used
 where tests need a payload-independent feature contract.
@@ -103,10 +108,12 @@ def byte_stats(payloads):
 
 def decode_real(payload: bytes) -> bytes:  # pragma: no cover
     """Production decode hook for codecs needing licensed/stateful
-    entropy coders (MP3/AAC/H.264) — requires ffmpeg, absent here. WAV,
-    BMP, PNG, GIF, AVI and baseline JPEG decode ARE implemented
-    (decode_wav / decode_bmp / decode_png / decode_gif / decode_avi /
-    decode_jpeg)."""
+    transform decoders (FLAC/AAC/H.264, and MP3's PCM synthesis) —
+    requires ffmpeg, absent here. WAV, BMP, PNG, GIF, AVI and baseline
+    JPEG decode ARE implemented (decode_wav / decode_bmp / decode_png /
+    decode_gif / decode_avi / decode_jpeg), and MP3 gets a REAL
+    frame-header walk for metadata (mpeg_audio.mp3_features) — only
+    its audio transform stays behind this hook."""
     raise NotImplementedError("compressed-media decode libs not available in this environment")
 
 
@@ -1124,11 +1131,11 @@ def synth_gif_frame(media_id: int):
 def synthetic_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One media row per document: even ids get a PCM WAV payload, odd
     ids a 24bpp BMP (id%4==1) or a real zlib-compressed PNG (id%4==3,
-    RGBA), and ids % 97 == 0 an MP3-magic stub payload (the
-    unimplemented-codec path — JPEG decodes for real now, so MP3 keeps
-    decode_real's NotImplementedError hook exercised). Payload bytes
-    are REAL containers built by wav_bytes/bmp_bytes/png_bytes from
-    the synth_* closed forms."""
+    RGBA), and ids % 97 == 0 a FLAC-magic stub payload (the
+    unimplemented-codec path — MP3 frame headers walk for real now, so
+    FLAC keeps decode_real's NotImplementedError hook exercised).
+    Payload bytes are REAL containers built by
+    wav_bytes/bmp_bytes/png_bytes from the synth_* closed forms."""
     from typing import Iterator as _It
 
     ids = docs.select(F.col(id_col).cast("long").alias("media_id"))
@@ -1144,8 +1151,9 @@ def synthetic_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 if mid % 97 == 0:
-                    # MPEG-1 layer III frame-sync magic (0xFFFB)
-                    payloads.append(b"\xff\xfb\x90\x44" + b"\x00" * 16)
+                    # FLAC stream magic: sniffs to no implemented
+                    # decoder -> decode_real's NotImplementedError
+                    payloads.append(b"fLaC\x00\x00\x00\x22" + b"\x00" * 16)
                     kinds.append("audio")
                 elif mid % 2 == 0:
                     payloads.append(wav_bytes(synth_wav_samples(mid), WAV_SR))
@@ -1273,7 +1281,11 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
                     sum(alpha) if RGBA else luma[0,0])
     - GIF       -> ('gif',  id, width, height, sum(luma), luma[0,0])
     - JPEG      -> ('jpg',  id, width, height, sum(luma), luma[0,0])
-    - MP3/other -> decode_real (NotImplementedError), which under
+    - MP3       -> ('mp3',  id, n_frames, bitrate_kbps, sample_rate,
+                    duration_ms) — REAL frame-header walk
+                    (mpeg_audio.mp3_features): the metadata a corpus
+                    pipeline needs, without the audio transform
+    - FLAC/other -> decode_real (NotImplementedError), which under
       on_error='null' (production posture: a corrupt or unsupported file
       must not kill the job) becomes ('error', id, -1, -1, -1, -1);
       on_error='raise' propagates.
@@ -1295,6 +1307,7 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from grasper_spark.functions.mpeg_audio import mp3_features
         from grasper_spark.functions.multimodal import (
             GIF_SIGS, JPEG_SIG, PNG_SIG, decode_bmp, decode_gif,
             decode_jpeg, decode_png, decode_real, decode_wav, luma_int,
@@ -1328,6 +1341,10 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
                         kind, decoded = "gif", decode_gif(p)
                     elif p[:2] == JPEG_SIG:
                         kind, decoded = "jpg", decode_jpeg(p)
+                    elif p[:3] == b"ID3" or (
+                        len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+                    ):
+                        kind, decoded = "mp3", mp3_features(p)
                     else:
                         decode_real(p)
                         continue  # pragma: no cover — decode_real raises
@@ -1336,7 +1353,10 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
                         raise
                     emit("error", mid, -1, -1, -1, -1)
                     continue
-                if kind == "wav":
+                if kind == "mp3":
+                    nf, br, sr, dur = decoded
+                    emit("mp3", mid, nf, br, sr, dur)
+                elif kind == "wav":
                     sr, ch, s = decoded
                     s64 = s.astype(np.int64)
                     emit("wav", mid, sr, len(s),

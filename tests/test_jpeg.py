@@ -179,7 +179,8 @@ def test_byte_stuffing_exercised():
 
 def test_pipeline_jpg_rows(spark):
     # magic-byte sniff routes 0xFFD8 to the real decoder inside
-    # media_decode_features; MP3-magic payloads stay on the error path
+    # media_decode_features; a TRUNCATED MP3 frame (valid sync, body
+    # shorter than the header's frame length) lands on the error path
     from pyspark.sql import types as T
 
     from grasper_spark.functions.jpeg import jpeg_bytes as jb
@@ -187,7 +188,7 @@ def test_pipeline_jpg_rows(spark):
 
     rows = [
         (1, bytearray(jb(synth_jpg_pixels(1)))),
-        (2, bytearray(b"\xff\xfb\x90\x44" + b"\x00" * 16)),  # MP3 sync
+        (2, bytearray(b"\xff\xfb\x90\x44" + b"\x00" * 16)),  # truncated MP3
     ]
     schema = T.StructType(
         [
