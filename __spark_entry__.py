@@ -1321,10 +1321,12 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
             wav_bytes,
         )
 
+        from grasper_spark.functions.jpeg import jpeg_progressive_bytes
+
         _MP3_BRS = (96, 128, 160, 192)
         _MP3_SRS = (44100, 48000, 32000)
-        cols = ("wav", "avi", "jpg", "mjp", "mp3", "bmp", "png", "pn7",
-                "p16", "gif")
+        cols = ("wav", "avi", "jpg", "jpr", "mjp", "mp3", "bmp", "png",
+                "pn7", "p16", "gif")
         for pdf in batches:
             out = {"media_id": pdf["media_id"].tolist(),
                    "payload": pdf["payload"].tolist()}
@@ -1348,11 +1350,16 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
                     if mid % 4 == 2:
                         import numpy as _np
 
-                        row["jpg"] = jpeg_bytes(
-                            _np.stack([jpx] * 3, axis=-1), subsampling="420"
+                        jc = _np.stack([jpx] * 3, axis=-1)
+                        row["jpg"] = jpeg_bytes(jc, subsampling="420")
+                        # progressive twin: same coefficients through
+                        # SOF2 spectral-selection + SA scans
+                        row["jpr"] = jpeg_progressive_bytes(
+                            jc, subsampling="420"
                         )
                     else:
                         row["jpg"] = jpeg_bytes(jpx)
+                        row["jpr"] = jpeg_progressive_bytes(jpx)
                     row["mjp"] = avi_bytes(
                         synth_mjpg_frames(mid), fps=12, codec="MJPG"
                     )
@@ -1382,8 +1389,9 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     schema = ("media_id long, payload binary, wav binary, avi binary, "
-              "jpg binary, mjp binary, mp3 binary, bmp binary, "
-              "png binary, pn7 binary, p16 binary, gif binary")
+              "jpg binary, jpr binary, mjp binary, mp3 binary, "
+              "bmp binary, png binary, pn7 binary, p16 binary, "
+              "gif binary")
     rel = docs.mapInPandas(synth, schema).persist()
     while len(_MEDIA_SLOTS) >= 3:  # bounded executor storage
         _MEDIA_SLOTS.pop(next(iter(_MEDIA_SLOTS))).unpersist()
@@ -1408,6 +1416,11 @@ def _q_multimodal_features(spark, sf):
     #   stuffing) and the full decoder (marker walk, canonical Huffman,
     #   dequant, vectorized IDCT); flat blocks are the JPEG-exact
     #   domain, so the oracle recomputes decoded luma exactly
+    # - jpr rows: the SAME pixels through PROGRESSIVE (SOF2) transport
+    #   — interleaved DC first + refinement, per-component spectral
+    #   bands, successive approximation, EOB-run coding — identical
+    #   coefficients, so the same closed forms verify the whole
+    #   progressive decode path
     # - pn7/p16 rows: Adam7-interlaced and 16-bit PNG twins of the png
     #   arm — deinterlacing geometry and big-endian 16-bit lanes are
     #   each their own closed-form-checked path
@@ -1470,10 +1483,11 @@ def _q_multimodal_features(spark, sf):
             # production posture: payloads live in the table, the job
             # decodes them (synthesis happened once, in the persisted
             # media relation build — bench load_phases.media_persist)
-            for mid, wavp, avip, jpgp, mjpp, mp3p, bmpp, pngp, pn7p, p16p, gifp in zip(
-                mids, pdf["wav"], pdf["avi"], pdf["jpg"], pdf["mjp"],
-                pdf["mp3"], pdf["bmp"], pdf["png"], pdf["pn7"],
-                pdf["p16"], pdf["gif"],
+            for (mid, wavp, avip, jpgp, jprp, mjpp, mp3p, bmpp, pngp,
+                 pn7p, p16p, gifp) in zip(
+                mids, pdf["wav"], pdf["avi"], pdf["jpg"], pdf["jpr"],
+                pdf["mjp"], pdf["mp3"], pdf["bmp"], pdf["png"],
+                pdf["pn7"], pdf["p16"], pdf["gif"],
             ):
                 mid = int(mid)
                 if mid % 97 == 0:
@@ -1503,6 +1517,13 @@ def _q_multimodal_features(spark, sf):
                     jlu = jpx[..., 0].astype(np.int64)
                     emit("jpg", mid, jpx.shape[1], jpx.shape[0],
                          int(jlu.sum()), int(jlu[0, 0]))
+                    # progressive (SOF2) twin: DC/AC first + refinement
+                    # scans reassemble the SAME coefficients — decoded
+                    # luma must hash identically to the closed forms
+                    rpx = decode_jpeg(bytes(jprp))
+                    rlu = rpx[..., 0].astype(np.int64)
+                    emit("jpr", mid, rpx.shape[1], rpx.shape[0],
+                         int(rlu.sum()), int(rlu[0, 0]))
                     # MJPEG-in-AVI: JPEG-compressed video frames through
                     # the RIFF demux + the same baseline JPEG decoder;
                     # gray-valued flat blocks stay integer-exact through
@@ -3477,6 +3498,19 @@ UNION ALL
 -- formulas directly: w = 8*(1 + id%3), h = 8*(1 + id%2), block (bx,by)
 -- value v = (37*id + 11*bx + 23*by) % 256, luma sum = 64 * sum(v)
 SELECT 'jpg' AS op, doc_id AS media_id,
+       (8 * (1 + doc_id % 3))::BIGINT AS a,
+       (8 * (1 + doc_id % 2))::BIGINT AS b,
+       (64 * list_sum(list_transform(range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+         i -> (37*doc_id + 11*(i % (1 + doc_id % 3)) + 23*(i // (1 + doc_id % 3))) % 256)))::BIGINT AS c,
+       ((37*doc_id) % 256)::BIGINT AS d
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
+UNION ALL
+-- jpr rows: the SAME flat-block pixels through PROGRESSIVE (SOF2)
+-- transport — spectral-selection + successive-approximation scans
+-- carry identical quantized coefficients, so decoded luma equals the
+-- same closed forms as the jpg arm (gray ids %4==0, 4:2:0 gray-valued
+-- color ids %4==2 — chroma exact at Cb=Cr=128 either way)
+SELECT 'jpr' AS op, doc_id AS media_id,
        (8 * (1 + doc_id % 3))::BIGINT AS a,
        (8 * (1 + doc_id % 2))::BIGINT AS b,
        (64 * list_sum(list_transform(range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),

@@ -280,18 +280,10 @@ def _pad_replicate(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return plane
 
 
-def jpeg_bytes(
-    pixels, quant=None, subsampling: str = "444", restart_interval: int = 0
-) -> bytes:
-    """Encode an image as a real baseline JFIF payload.
-
-    pixels: (H, W) / (H, W, 1) grayscale, or (H, W, 3) RGB uint8.
-    quant: 64-entry table (natural order) for luma — chroma shares it —
-           or a (luma, chroma) pair; default QUANT_FLAT (all ones, the
-           exactness table for flat-block oracle images).
-    subsampling: '444', '422' or '420' (color only).
-    restart_interval: MCUs between RSTn markers (0 = none).
-    """
+def _prep_components(pixels, quant, subsampling):
+    """Shared encoder front half: pixels -> (comps meta, per-component
+    quantized zigzag block grids, luma/chroma tables, MCU grid dims,
+    h, w, gray)."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -349,8 +341,12 @@ def jpeg_bytes(
         q = np.round(coef / qt).astype(np.int64)
         # flatten each block to zigzag scan order
         comp_blocks.append(q.reshape(q.shape[0], q.shape[1], 64)[:, :, ZIGZAG])
+    return comps, comp_blocks, qt_l, qt_c, mcus_x, mcus_y, h, w, gray
 
-    # ---- headers ----
+
+def _common_headers(sof_marker, comps, qt_l, qt_c, h, w, gray):
+    """SOI + JFIF APP0 + DQT + SOF + DHT-independent prefix shared by
+    the baseline and progressive encoders."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, qt in ((0, qt_l),) + (() if gray else ((1, qt_c),)):
@@ -359,7 +355,28 @@ def jpeg_bytes(
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for i, (_, _, hi, vi, tq) in enumerate(comps):
         sof += bytes([i + 1, (hi << 4) | vi, tq])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+    return out
+
+
+def jpeg_bytes(
+    pixels, quant=None, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """Encode an image as a real baseline JFIF payload.
+
+    pixels: (H, W) / (H, W, 1) grayscale, or (H, W, 3) RGB uint8.
+    quant: 64-entry table (natural order) for luma — chroma shares it —
+           or a (luma, chroma) pair; default QUANT_FLAT (all ones, the
+           exactness table for flat-block oracle images).
+    subsampling: '444', '422' or '420' (color only).
+    restart_interval: MCUs between RSTn markers (0 = none).
+    """
+    (comps, comp_blocks, qt_l, qt_c, mcus_x, mcus_y, h, w, gray) = (
+        _prep_components(pixels, quant, subsampling)
+    )
+
+    # ---- headers ----
+    out = _common_headers(b"\xff\xc0", comps, qt_l, qt_c, h, w, gray)
     tables = [(0, 0, _DC_LUM_BITS, _DC_LUM_VALS), (1, 0, _AC_LUM_BITS, _AC_LUM_VALS)]
     if not gray:
         tables += [
@@ -404,6 +421,260 @@ def jpeg_bytes(
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+#: progressive AC code table: Annex K's baseline AC tables define no
+#: EOBn symbols (r<<4, s=0, r=1..14), which progressive EOB-run coding
+#: needs — use one flat canonical table covering every symbol the
+#: encoder can emit (s=0 row incl. EOBn+ZRL, s=1..11 at all runs), all
+#: at 9 bits (192 codes * 2^-9 < 1 satisfies Kraft; incomplete codes
+#: are legal and the decoder reads whatever DHT declares)
+_AC_PROG_VALS = sorted(
+    [r << 4 for r in range(16)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 12)]
+)
+_AC_PROG_BITS = [0] * 16
+_AC_PROG_BITS[8] = len(_AC_PROG_VALS)  # all length-9
+_AC_PROG_CODES = _build_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+
+def jpeg_progressive_bytes(
+    pixels, quant=None, subsampling: str = "444",
+    scans=None, restart_interval: int = 0,
+) -> bytes:
+    """Encode an image as a REAL progressive (SOF2) JFIF payload —
+    the decoder's spectral-selection + successive-approximation paths
+    get a from-scratch encode twin, so progressive transport is
+    round-trip testable against the baseline encoding of the SAME
+    quantized coefficients.
+
+    scans: list of (comp_indices, Ss, Se, Ah, Al); default script
+    covers every decode path: interleaved DC first (Al=1), DC
+    refinement, per-component AC first scans in two bands (Al=1), and
+    a per-component AC refinement scan to Al=0.
+    """
+    (comps, comp_blocks, qt_l, qt_c, mcus_x, mcus_y, h, w, gray) = (
+        _prep_components(pixels, quant, subsampling)
+    )
+    ncomp = len(comps)
+    if scans is None:
+        allc = list(range(ncomp))
+        scans = [(allc, 0, 0, 0, 1), (allc, 0, 0, 1, 0)]
+        for c in range(ncomp):
+            scans += [([c], 1, 5, 0, 1), ([c], 6, 63, 0, 1),
+                      ([c], 1, 63, 1, 0)]
+
+    out = _common_headers(b"\xff\xc2", comps, qt_l, qt_c, h, w, gray)
+    tables = [(0, 0, _DC_LUM_BITS, _DC_LUM_VALS),
+              (1, 0, _AC_PROG_BITS, _AC_PROG_VALS)]
+    if not gray:
+        tables.append((0, 1, _DC_CHROM_BITS, _DC_CHROM_VALS))
+    for tc, th, bits, vals in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    fh, fw = h, w
+    max_h = max(c[2] for c in comps)
+    max_v = max(c[3] for c in comps)
+
+    def comp_bdims(ci):
+        _, _, hi, vi, _ = comps[ci]
+        cw = (fw * hi + max_h - 1) // max_h
+        ch = (fh * vi + max_v - 1) // max_v
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    for sel, ss, se, ah, al in scans:
+        if not (0 <= ss <= se <= 63):
+            raise ValueError(f"invalid spectral selection {ss}..{se}")
+        if ss > 0 and len(sel) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        sos = bytes([len(sel)])
+        for ci in sel:
+            td_ta = ((0 if comps[ci][4] == 0 else 1) << 4) | 0
+            sos += bytes([ci + 1, td_ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += _encode_prog_scan(
+            comps, comp_blocks, sel, ss, se, ah, al, restart_interval,
+            mcus_x, mcus_y, comp_bdims,
+        )
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _ProgWriter(_BitWriter):
+    """BitWriter + the deferred EOB-run / correction-bit state AC
+    progressive scans carry (T.81 G.1.2.2-3)."""
+
+    def __init__(self):
+        super().__init__()
+        self.eobrun = 0
+        self.pend = []  # correction bits riding the pending EOB run
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = _AC_PROG_CODES[nbits << 4]
+            self.write(code, length)
+            if nbits:
+                self.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.pend:
+            self.write(b, 1)
+        self.pend = []
+
+
+def _encode_prog_scan(
+    comps, comp_blocks, sel, ss, se, ah, al, ri, mcus_x, mcus_y, comp_bdims
+):
+    """Entropy data for one progressive scan (+ RSTn interleaving)."""
+    body = bytearray()
+    bw = _ProgWriter()
+    preds = {ci: 0 for ci in sel}
+    rst = 0
+    n_units = 0
+
+    def restart_boundary():
+        nonlocal bw, rst
+        bw.emit_eobrun()
+        bw.flush()
+        body.extend(bw.out)
+        body.extend((0xFF, 0xD0 + rst))
+        rst = (rst + 1) % 8
+        bw = _ProgWriter()
+        for ci in preds:
+            preds[ci] = 0
+
+    def dc_first(ci, blk):
+        dcs = _DC_L_CODES if comps[ci][4] == 0 else _DC_C_CODES
+        v = int(blk[0]) >> al  # arithmetic shift: the DC point transform
+        diff = v - preds[ci]
+        preds[ci] = v
+        size, bits_ = _magnitude(diff)
+        code, length = dcs[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits_, size)
+
+    def dc_refine(blk):
+        bw.write((int(blk[0]) >> al) & 1, 1)
+
+    def ac_first(blk):
+        # point transform: sign(v) * (|v| >> Al) (T.81 G.1.2.1)
+        r = 0
+        wrote = False
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            bw.emit_eobrun()
+            while r > 15:
+                code, length = _AC_PROG_CODES[0xF0]
+                bw.write(code, length)
+                r -= 16
+            if v < 0:
+                t = -t
+            size, bits_ = _magnitude(t)
+            code, length = _AC_PROG_CODES[(r << 4) | size]
+            bw.write(code, length)
+            bw.write(bits_, size)
+            r = 0
+            wrote = True
+        if r > 0 or not wrote:
+            bw.eobrun += 1
+            if bw.eobrun == 0x7FFF:
+                bw.emit_eobrun()
+
+    def ac_refine(blk):
+        # decoder-mirror encoding: the refinement decoder reads
+        # correction bits for already-nonzero coefficients INTERLEAVED
+        # as its advance loop passes them, so emit them in exactly
+        # that position order (a trailing-buffer design misplaces a
+        # correction that sits past a ZRL's 16-zero span)
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        n = len(absv)
+        newly = [i for i, t in enumerate(absv) if t == 1]
+        if not newly:
+            # EOB block: every visible coefficient's correction bit
+            # rides the pending EOB run
+            bw.eobrun += 1
+            bw.pend.extend(t & 1 for t in absv if t > 1)
+            if bw.eobrun == 0x7FFF:
+                bw.emit_eobrun()
+            return
+        bw.emit_eobrun()
+        pos = 0
+        for p in newly:
+            r = sum(1 for i in range(pos, p) if absv[i] == 0)
+            while r > 15:
+                code, length = _AC_PROG_CODES[0xF0]
+                bw.write(code, length)
+                zeros = 0
+                while zeros < 16:  # decoder consumes 16 zero-history
+                    if absv[pos] == 0:
+                        zeros += 1
+                    else:
+                        bw.write(absv[pos] & 1, 1)
+                    pos += 1
+                r -= 16
+            code, length = _AC_PROG_CODES[(r << 4) | 1]
+            bw.write(code, length)
+            bw.write(0 if int(blk[ss + p]) < 0 else 1, 1)
+            while pos < p:  # corrections interleaved with the r zeros
+                if absv[pos] > 1:
+                    bw.write(absv[pos] & 1, 1)
+                pos += 1
+            pos = p + 1
+        if pos < n:
+            # tail after the last newly-nonzero: decoder expects one
+            # more unit — an EOB whose span carries the tail corrections
+            bw.eobrun += 1
+            bw.pend.extend(absv[i] & 1 for i in range(pos, n) if absv[i] > 1)
+            if bw.eobrun == 0x7FFF:
+                bw.emit_eobrun()
+
+    if ss == 0 and len(sel) > 1:  # interleaved DC scan
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if ri and n_units and n_units % ri == 0:
+                    restart_boundary()
+                for ci in sel:
+                    _, _, hi, vi, _ = comps[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            blk = comp_blocks[ci][my * vi + by, mx * hi + bx]
+                            if ah == 0:
+                                dc_first(ci, blk)
+                            else:
+                                dc_refine(blk)
+                n_units += 1
+    else:  # single-component scan over the component's own block grid
+        ci = sel[0]
+        cbh, cbw = comp_bdims(ci)
+        for by in range(cbh):
+            for bx in range(cbw):
+                if ri and n_units and n_units % ri == 0:
+                    restart_boundary()
+                blk = comp_blocks[ci][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        dc_first(ci, blk)
+                    else:
+                        dc_refine(blk)
+                else:
+                    if ah == 0:
+                        ac_first(blk)
+                    else:
+                        ac_refine(blk)
+                n_units += 1
+    bw.emit_eobrun()
+    bw.flush()
+    body.extend(bw.out)
+    return bytes(body)
 
 
 # ---------------------------------------------------------------------------
@@ -554,11 +825,15 @@ def _decode_block(br, dc_tbl, ac_tbl, pred):
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JFIF payload to (H, W, 1) grayscale or
-    (H, W, 3) RGB uint8. Full marker walk (APPn/COM skipped, multiple
-    DQT/DHT segments, DRI + RSTn restart handling, 0xFF00 unstuffing);
-    progressive/extended/arithmetic frames, 16-bit quant tables and
-    sampling factors outside {1, 2} raise ValueError."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JFIF payload to
+    (H, W, 1) grayscale or (H, W, 3) RGB uint8. Full marker walk
+    (APPn/COM skipped, multiple DQT/DHT segments, DRI + RSTn restart
+    handling, 0xFF00 unstuffing); progressive scans accumulate
+    spectral-selection bands and successive-approximation bits per
+    T.81 G.2 (DC first/refine, AC first/refine with EOB-run coding)
+    before one dequant+IDCT. Extended/lossless/arithmetic frames,
+    16-bit quant tables and sampling factors outside {1, 2} raise
+    ValueError."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -567,6 +842,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None
     ri = 0
     scan = None
+    progressive = False
+    prog_grids = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -625,7 +902,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         _HUFF_CACHE[ck] = tbl
                 huffs[(tc, th)] = tbl
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise ValueError(f"{prec}-bit samples unsupported (8-bit only)")
@@ -641,50 +918,78 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError(f"sampling factor {hi}x{vi} unsupported")
                 comps.append([cid, hi, vi, tq, None, None])
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+            if progressive:
+                # coefficient accumulators shared by every scan
+                max_h = max(c[1] for c in comps)
+                max_v = max(c[2] for c in comps)
+                mx = (fw + 8 * max_h - 1) // (8 * max_h)
+                my = (fh + 8 * max_v - 1) // (8 * max_v)
+                prog_grids = [
+                    np.zeros((my * vi, mx * hi, 64), dtype=np.int64)
+                    for _, hi, vi, _, _, _ in comps
+                ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"non-baseline frame marker 0xFF{marker:02X} unsupported "
-                "(progressive/extended/arithmetic)"
+                "(extended/lossless/arithmetic)"
             )
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
+            if len(body) < 1:
+                raise ValueError("truncated SOS header")
             ns = body[0]
-            if ns != len(frame[2]):
+            if not 1 <= ns <= 4 or len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS header")
+            if not progressive and ns != len(frame[2]):
                 raise ValueError("non-interleaved scans unsupported")
+            scan_sel = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
-                for comp in frame[2]:
+                for ci, comp in enumerate(frame[2]):
                     if comp[0] == cs:
                         comp[4], comp[5] = tdta >> 4, tdta & 0x0F
+                        scan_sel.append(ci)
                         break
                 else:
                     raise ValueError(f"SOS references unknown component {cs}")
             scan_start = pos + seglen
-            scan, pos = _decode_scan(payload, scan_start, frame, qts, huffs, ri)
+            if progressive:
+                ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+                pos = _decode_scan_progressive(
+                    payload, scan_start, frame, scan_sel, ss, se,
+                    ahal >> 4, ahal & 0x0F, ri, prog_grids, huffs,
+                )
+                scan = True  # at least one scan decoded
+            else:
+                scan, pos = _decode_scan(payload, scan_start, frame, qts, huffs, ri)
             continue
         # APPn (E0-EF), COM (FE) and anything else with a length: skip
         pos += seglen
     if scan is None:
         raise ValueError("no scan data (missing SOS)")
+    if progressive:
+        for _, hi, vi, tq, _, _ in frame[2]:
+            if tq not in qts:
+                raise ValueError(f"missing quantization table {tq}")
+        planes = _dense_planes(frame[2], prog_grids, qts)
+        max_h = max(c[1] for c in frame[2])
+        max_v = max(c[2] for c in frame[2])
+        mx = (frame[1] + 8 * max_h - 1) // (8 * max_h)
+        my = (frame[0] + 8 * max_v - 1) // (8 * max_v)
+        return _assemble(frame, (planes, (mx, my, max_h, max_v)))
     return _assemble(frame, scan)
 
 
-def _decode_scan(payload, start, frame, qts, huffs, ri):
-    """Entropy-decode the scan: returns (per-component coefficient
-    block grids, position after the scan)."""
-    fh, fw, comps = frame
-    max_h = max(c[1] for c in comps)
-    max_v = max(c[2] for c in comps)
-    mcus_x = (fw + 8 * max_h - 1) // (8 * max_h)
-    mcus_y = (fh + 8 * max_v - 1) // (8 * max_v)
-
-    # split the entropy stream into restart segments, unstuffing 0xFF00
-    # — bulk-copy between 0xFF sightings (bytes.find) instead of a
-    # per-byte Python loop over the whole scan
+def _split_segments(payload, start):
+    """Split an entropy-coded scan into restart segments, unstuffing
+    0xFF00 — bulk-copy between 0xFF sightings (bytes.find) instead of
+    a per-byte Python loop. Returns (segments, position of the marker
+    that ended the scan)."""
     segments = []
     cur = bytearray()
     pos = start
@@ -714,6 +1019,19 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
             pos = ff
             break
     segments.append(bytes(cur))
+    return segments, end_pos
+
+
+def _decode_scan(payload, start, frame, qts, huffs, ri):
+    """Entropy-decode the scan: returns (per-component coefficient
+    block grids, position after the scan)."""
+    fh, fw, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = (fw + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (fh + 8 * max_v - 1) // (8 * max_v)
+
+    segments, end_pos = _split_segments(payload, start)
 
     # per-component accumulators: DC values in SCAN order + sparse ACs
     # as (scan_block_index, zigzag_k, value) — no per-block numpy
@@ -801,6 +1119,203 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
         plane = spat.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         planes.append(plane)
     return (planes, (mcus_x, mcus_y, max_h, max_v)), end_pos
+
+
+def _comp_block_dims(frame, ci):
+    """A component's OWN block-grid size (cbh, cbw) — the traversal
+    domain of non-interleaved progressive scans (T.81 A.2.2: ceil of
+    the component's sample dimensions over 8)."""
+    fh, fw, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    _, hi, vi, _, _, _ = comps[ci]
+    cw = (fw * hi + max_h - 1) // max_h
+    ch = (fh * vi + max_v - 1) // max_v
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_scan_progressive(
+    payload, start, frame, scan_sel, ss, se, ah, al, ri, grids, huffs
+):
+    """One progressive (SOF2) scan: accumulate coefficient bits into
+    `grids` (zigzag order, natural block positions) per T.81 G.2 —
+    DC first/refinement scans (interleaved or single-component), AC
+    first/refinement scans (single-component, EOB-run coded). Returns
+    the payload position after the scan."""
+    fh, fw, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = (fw + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (fh + 8 * max_v - 1) // (8 * max_v)
+    if not (0 <= ss <= se <= 63):
+        raise ValueError(f"invalid spectral selection {ss}..{se}")
+    if ah and ah != al + 1:
+        raise ValueError(f"invalid successive approximation Ah={ah} Al={al}")
+    segments, end_pos = _split_segments(payload, start)
+    seg_i = 0
+    br = _BitReader(segments[0])
+
+    def _restart(n_units):
+        nonlocal seg_i, br
+        if ri and n_units and n_units % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segments[seg_i])
+            return True
+        return False
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        dtabs = {}
+        for ci in scan_sel:
+            td = comps[ci][4]
+            if ah == 0:
+                if (0, td) not in huffs:
+                    raise ValueError("missing Huffman table for scan")
+                dtabs[ci] = huffs[(0, td)]
+        preds = {ci: 0 for ci in scan_sel}
+        interleaved = len(scan_sel) > 1
+
+        def dc_block(ci, by, bx):
+            blk = grids[ci][by, bx]
+            if ah == 0:  # first scan: DIFF of (DC >> Al)
+                size = br.huff(dtabs[ci])
+                if size > 11:
+                    raise ValueError(f"invalid DC magnitude category {size}")
+                preds[ci] += _extend(br.bits(size), size)
+                blk[0] = preds[ci] << al
+            else:  # refinement: one bit
+                if br.bits(1):
+                    blk[0] = int(blk[0]) | (1 << al)
+
+        if interleaved:
+            n_mcu = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if _restart(n_mcu):
+                        for ci in scan_sel:
+                            preds[ci] = 0
+                    for ci in scan_sel:
+                        _, hi, vi, _, _, _ = comps[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                dc_block(ci, my * vi + by, mx * hi + bx)
+                    n_mcu += 1
+        else:
+            ci = scan_sel[0]
+            cbh, cbw = _comp_block_dims(frame, ci)
+            n_blk = 0
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if _restart(n_blk):
+                        preds[ci] = 0
+                    dc_block(ci, by, bx)
+                    n_blk += 1
+        return end_pos
+
+    # AC scan: single component only (T.81 G.1.1.1.1)
+    if len(scan_sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci = scan_sel[0]
+    ta = comps[ci][5]
+    if (1, ta) not in huffs:
+        raise ValueError("missing Huffman table for scan")
+    act = huffs[(1, ta)]
+    cbh, cbw = _comp_block_dims(frame, ci)
+    grid = grids[ci]
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+    n_blk = 0
+    for by in range(cbh):
+        for bx in range(cbw):
+            if _restart(n_blk):
+                eobrun = 0
+            n_blk += 1
+            blk = grid[by, bx]
+            if ah == 0:  # AC first scan
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(act)
+                    r, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1  # EOBn: this block + n-1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past spectral band")
+                    blk[k] = _extend(br.bits(size), size) << al
+                    k += 1
+            else:  # AC refinement scan (T.81 G.1.2.3 / libjpeg shape)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.huff(act)
+                        r, size = rs >> 4, rs & 0x0F
+                        val = 0
+                        if size == 0:
+                            if r != 15:  # EOBn
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # r == 15: advance over 16 zero-history slots
+                        else:
+                            if size != 1:
+                                raise ValueError(
+                                    "AC refinement magnitude must be 1"
+                                )
+                            val = p1 if br.bits(1) else m1
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                # correction bit for already-nonzero coef
+                                if br.bits(1) and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c > 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val:
+                            if k > se:
+                                raise ValueError("AC run past spectral band")
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # EOB span: correction bits still arrive for the
+                    # remaining nonzero-history coefficients
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if br.bits(1) and (c & p1) == 0:
+                                blk[k] = c + (p1 if c > 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return end_pos
+
+
+def _dense_planes(comps, grids, qts):
+    """Dequantize + dezigzag + IDCT dense per-component block grids
+    (the progressive accumulators) into spatial planes."""
+    planes = []
+    for ci, (_, hi, vi, tq, _, _) in enumerate(comps):
+        deq = grids[ci] * qts[tq][ZIGZAG][None, None, :]
+        coef = deq[:, :, _UNZIGZAG].reshape(*deq.shape[:2], 8, 8)
+        spat = _idct_blocks(coef)
+        nby, nbx = spat.shape[:2]
+        planes.append(spat.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
+    return planes
 
 
 def _assemble(frame, scan):

@@ -25,7 +25,9 @@ can parse byte-for-byte:
   `video_frame_features`
 - JPEG baseline (SOF0), from-scratch Huffman + dequant + IDCT +
   YCbCr->RGB, grayscale and 4:4:4/4:2:2/4:2:0 color, restart markers
-  (`jpeg.decode_jpeg`, re-exported here; progressive/arithmetic raise)
+  plus PROGRESSIVE (SOF2) — spectral selection, successive
+  approximation, EOB-run coding — with a from-scratch encode twin
+  (`jpeg.decode_jpeg`, re-exported here; extended/arithmetic raise)
 - MP3: a REAL MPEG-1/2 audio frame-header walk (`mpeg_audio`) — sync
   validation, bitrate/sample-rate tables, exact frame stepping, ID3v2/
   ID3v1 skip — yielding the frame-count/bitrate/duration metadata a

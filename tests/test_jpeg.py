@@ -119,12 +119,18 @@ def test_rejects_unsupported_shapes():
         jpeg_bytes(np.zeros((8, 8, 2), dtype=np.uint8))
 
 
-def test_progressive_marker_rejected():
-    # take a valid payload, rewrite SOF0 (FFC0) to SOF2 (FFC2)
+def test_relabeled_sof_markers_rejected():
+    # SOF2 decodes for real now (test_jpeg_progressive.py), but a
+    # baseline payload RELABELED as progressive is malformed: its
+    # full-band interleaved scan is illegal under SOF2 rules
     p = bytearray(jpeg_bytes(synth_jpg_pixels(1)))
     i = p.find(b"\xff\xc0")
     p[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="DC scan with Se"):
+        decode_jpeg(bytes(p))
+    # extended-sequential (SOF1) stays honestly unsupported
+    p[i + 1] = 0xC1
+    with pytest.raises(ValueError, match="extended/lossless/arithmetic"):
         decode_jpeg(bytes(p))
 
 
