@@ -578,14 +578,61 @@ def _q_doc_tokens_fp(spark, sf):
     # (one ledger entry, two text operators), plus the pair-mass planning
     # probe (Σ df·(df−1)/2 over trigram shingles + per-cap cuts) riding
     # the same schema as six sentinel rows (doc_id<0, value in n_tokens,
-    # metric name in fp)
+    # metric name in fp), plus the WARC-ingestion arm: every document
+    # wrapped in REAL HTML -> HTTP response (chunked for ids%3==0) ->
+    # WARC record (per-record gzip members for ids%2==0), parsed back
+    # through warc_records/http_response, text re-extracted by the
+    # JVM-side html_to_text regex chain — the oracle rebuilds the SAME
+    # html string in SQL and runs the SAME RE2 chain, so fp mismatch
+    # catches a defect anywhere in the container/HTTP/extraction stack
     from grasper_spark.functions.dedup import pair_mass_estimate
-    from grasper_spark.functions.text import fingerprint, token_count
+    from grasper_spark.functions.text import (
+        fingerprint, html_to_text, token_count,
+    )
+    from grasper_spark.sources.warc import warc_to_documents
 
     per_doc = _docs(spark, sf).select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         fingerprint(F.col("text")).alias("fp"),
+    )
+
+    def synth_warc(batches):
+        import pandas as pd
+
+        from grasper_spark.sources.warc import (
+            http_response_bytes, warc_bytes,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                html = (
+                    f"<html><!-- c --><head><title>doc {did % 7}</title>"
+                    f"<style>p{{x}}</style></head><body><p>&lt;{txt}&gt;"
+                    f"</p><script>var x=1;</script></body></html>"
+                )
+                payload = http_response_bytes(
+                    html.encode(), chunked=(did % 3 == 0)
+                )
+                blobs.append(warc_bytes(
+                    [{"warc_type": "response",
+                      "target_uri": f"http://d/{did}",
+                      "payload": payload}],
+                    gzip_records=(did % 2 == 0),
+                ))
+                ids.append(did)
+            yield pd.DataFrame({"blob_id": ids, "blob": blobs})
+
+    blobs = _docs(spark, sf).select("doc_id", "text").mapInPandas(
+        synth_warc, "blob_id long, blob binary"
+    )
+    ex = html_to_text(F.decode(F.col("body"), "utf-8"))
+    warc_arm = warc_to_documents(blobs).select(
+        F.col("blob_id").alias("doc_id"),
+        F.length(ex).cast("long").alias("n_tokens"),
+        F.concat(F.lit("warc:"), F.md5(ex)).alias("fp"),
     )
     pm = pair_mass_estimate(_docs(spark, sf))
     metrics = [
@@ -605,7 +652,7 @@ def _q_doc_tokens_fp(spark, sf):
             ])
         ).alias("r")
     ).select("r.*")
-    return per_doc.unionByName(probe)
+    return per_doc.unionByName(probe).unionByName(warc_arm)
 
 
 def _q_doc_gopher_quality(spark, sf):
@@ -1899,6 +1946,28 @@ def _q_orders_rollup(spark, sf):
     return a.unionByName(b).unionByName(c)
 
 
+def _warc_extract_sql() -> str:
+    """DuckDB expression rebuilding doc_tokens_fp's warc-arm HTML from
+    `text` and running the SAME RE2 strip/entity/collapse chain as
+    text.html_to_text — built from the same constants, so the two
+    engines cannot silently diverge."""
+    from grasper_spark.functions.text import (
+        HTML_ENTITIES, HTML_STRIP_PATTERNS,
+    )
+
+    expr = (
+        "'<html><!-- c --><head><title>doc ' || (doc_id % 7)::VARCHAR || "
+        "'</title><style>p{x}</style></head><body><p>&lt;' || text || "
+        "'&gt;</p><script>var x=1;</script></body></html>'"
+    )
+    for pat, rep in HTML_STRIP_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
 def arms_version() -> dict[str, str]:
     """Per-entry arms fingerprint: md5 of (the entry's query-function
     source ⊕ its oracle SQL), 6 hex chars. BENCH_r{N} records it next
@@ -2815,6 +2884,15 @@ SELECT v.doc_id, v.n_tokens, v.fp FROM (
   UNION ALL SELECT -5, c1000, 'pm:pair_mass_cap1000' FROM agg
   UNION ALL SELECT -6, c10000, 'pm:pair_mass_cap10000' FROM agg
 ) v
+UNION ALL
+-- warc arm: Spark wrapped each document in REAL HTML -> HTTP (chunked
+-- for ids%3==0) -> WARC (.warc.gz members for ids%2==0), re-parsed the
+-- containers and extracted text with the JVM html_to_text chain; the
+-- oracle rebuilds the identical html string and runs the identical
+-- RE2 chain (_warc_extract_sql) — n_tokens = extracted char length,
+-- fp = 'warc:' || md5(extracted)
+SELECT doc_id, length(ex)::BIGINT AS n_tokens, 'warc:' || md5(ex) AS fp
+FROM (SELECT doc_id, {_warc_extract_sql()} AS ex FROM documents)
 """,
         "doc_gopher_quality": rf"""
 WITH base AS (

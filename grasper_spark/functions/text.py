@@ -84,6 +84,40 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+#: html_to_text regex sequence — RE2-compatible (lazy quantifiers are
+#: RE2; no lookaround/backrefs), so the DuckDB oracle runs the SAME
+#: patterns and must produce the SAME extraction. Order matters:
+#: comments, then script/style BLOCKS (content dropped), then remaining
+#: tags (content kept), then entities (&amp; last), then collapse.
+HTML_STRIP_PATTERNS = (
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<[^>]*>", " "),
+)
+HTML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+    ("&amp;", "&"),  # must be last or it re-creates entities
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Web-page text extraction at scan speed — pure JVM regex chain
+    (whole-stage codegen, no Python): drop comments and script/style
+    blocks, strip remaining tags, decode the common named entities,
+    collapse whitespace. The lightweight boilerplate-strip a web-corpus
+    pipeline runs over billions of WARC response bodies before
+    quality/dedup — heavier readability extraction plugs in behind the
+    same signature."""
+    c = html
+    for pat, rep in HTML_STRIP_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def normalize(text: Column) -> Column:
     """Canonical form for fingerprint/dedup: lowercase, collapse spaces."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
