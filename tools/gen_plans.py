@@ -232,6 +232,18 @@ def main() -> None:
             "driver map probe or a filter on this cached relation.",
         ),
         (
+            "Q6 shape: and() with factored common prefix",
+            'g.V().hasLabel("customer").and(out("placed").has("orderstatus", eq("F")), out("placed").has("totalprice", gt(150000))).values("name")',
+            g.V().hasLabel("customer").and_(
+                A.out("placed").has("orderstatus", P.eq("F")),
+                A.out("placed").has("totalprice", P.gt(150000.0)),
+            ).values("name").df(),
+            "Both branches share the out('placed') prefix, so the compiler factors "
+            "it: ONE expansion join feeds a per-tid flag aggregation (max-if per "
+            "branch condition) and one semi join — per-branch evaluation would run "
+            "the expansion once per branch (r8 rewrite; g_and sf1 2.1s -> 0.78s).",
+        ),
+        (
             "Q8 shape: aggregate('x') + where(without('x'))",
             'g.V().hasLabel("order").has("totalprice", gt(200000)).aggregate("big").in("placed").out("placed").where(without("big")).dedup().count()',
             g.V().hasLabel("order").has("totalprice", P.gt(200000.0)).aggregate("big")
