@@ -1368,12 +1368,16 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
             wav_bytes,
         )
 
+        from grasper_spark.functions.flac import (
+            flac_bytes, synth_flac_samples,
+        )
         from grasper_spark.functions.jpeg import jpeg_progressive_bytes
 
         _MP3_BRS = (96, 128, 160, 192)
         _MP3_SRS = (44100, 48000, 32000)
-        cols = ("wav", "avi", "jpg", "jpr", "mjp", "mp3", "bmp", "png",
-                "pn7", "p16", "gif")
+        _FLC_MODES = ("independent", "left-side", "right-side", "mid-side")
+        cols = ("wav", "avi", "jpg", "jpr", "mjp", "mp3", "flc", "bmp",
+                "png", "pn7", "p16", "gif")
         for pdf in batches:
             out = {"media_id": pdf["media_id"].tolist(),
                    "payload": pdf["payload"].tolist()}
@@ -1422,6 +1426,13 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
                         id3v1=(mid % 16) >= 8,
                         fill_seed=mid,
                     )
+                    # flc: REAL lossless FLAC — closed-form stereo
+                    # samples, the decorrelation mode cycling all four
+                    # channel assignments across the corpus
+                    row["flc"] = flac_bytes(
+                        synth_flac_samples(mid), 8000,
+                        stereo_mode=_FLC_MODES[mid % 4],
+                    )
                 else:
                     px = synth_png_pixels(mid)
                     row["bmp"] = bmp_bytes(synth_bmp_pixels(mid))
@@ -1437,8 +1448,8 @@ def _media_rel(spark, sf_dir: str) -> DataFrame:
 
     schema = ("media_id long, payload binary, wav binary, avi binary, "
               "jpg binary, jpr binary, mjp binary, mp3 binary, "
-              "bmp binary, png binary, pn7 binary, p16 binary, "
-              "gif binary")
+              "flc binary, bmp binary, png binary, pn7 binary, "
+              "p16 binary, gif binary")
     rel = docs.mapInPandas(synth, schema).persist()
     while len(_MEDIA_SLOTS) >= 3:  # bounded executor storage
         _MEDIA_SLOTS.pop(next(iter(_MEDIA_SLOTS))).unpersist()
@@ -1497,6 +1508,7 @@ def _q_multimodal_features(spark, sf):
         import numpy as np
         import pandas as pd
 
+        from grasper_spark.functions.flac import decode_flac
         from grasper_spark.functions.mpeg_audio import mp3_features
         from grasper_spark.functions.multimodal import (
             audio_decimate, byte_stats, decode_avi, decode_bmp,
@@ -1530,11 +1542,11 @@ def _q_multimodal_features(spark, sf):
             # production posture: payloads live in the table, the job
             # decodes them (synthesis happened once, in the persisted
             # media relation build — bench load_phases.media_persist)
-            for (mid, wavp, avip, jpgp, jprp, mjpp, mp3p, bmpp, pngp,
-                 pn7p, p16p, gifp) in zip(
+            for (mid, wavp, avip, jpgp, jprp, mjpp, mp3p, flcp, bmpp,
+                 pngp, pn7p, p16p, gifp) in zip(
                 mids, pdf["wav"], pdf["avi"], pdf["jpg"], pdf["jpr"],
-                pdf["mjp"], pdf["mp3"], pdf["bmp"], pdf["png"],
-                pdf["pn7"], pdf["p16"], pdf["gif"],
+                pdf["mjp"], pdf["mp3"], pdf["flc"], pdf["bmp"],
+                pdf["png"], pdf["pn7"], pdf["p16"], pdf["gif"],
             ):
                 mid = int(mid)
                 if mid % 97 == 0:
@@ -1586,6 +1598,14 @@ def _q_multimodal_features(spark, sf):
                     # forms (VBR frames + ID3v2/ID3v1 tag skipping)
                     nf, br, sr3, dur = mp3_features(bytes(mp3p))
                     emit("mp3", mid, nf, br, sr3, dur)
+                    # real lossless FLAC decode (fixed predictors, rice
+                    # residuals, all four stereo decorrelation modes,
+                    # CRC-8/CRC-16/MD5 verified) — lossless, so the
+                    # features equal the closed forms EXACTLY
+                    fsr, fsam = decode_flac(bytes(flcp))
+                    f64 = fsam.astype(np.int64)
+                    emit("flc", mid, fsr, fsam.shape[0],
+                         int((f64 * f64).sum()), int(np.abs(f64).max()))
                 else:
                     px = decode_bmp(bytes(bmpp))
                     lu = luma_int(px)
@@ -3445,6 +3465,29 @@ SELECT 'mp3' AS op, doc_id AS media_id,
        ((3 + doc_id % 5) * 1152 * 1000
         // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
                             ELSE 32000 END))::BIGINT AS d
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
+UNION ALL
+-- flc rows: REAL lossless FLAC round trip — closed-form STEREO
+-- samples (ch0 = the wav formula, ch1 with the multipliers swapped)
+-- through actual FLAC frames (fixed predictors, rice residuals, the
+-- stereo decorrelation mode cycling independent/left-side/right-side/
+-- mid-side by id, CRC-8+CRC-16+MD5) and decoded back; lossless, so
+-- c = sum of squares over BOTH channels and d = max|s| are exact
+SELECT 'flc' AS op, doc_id AS media_id,
+       8000::BIGINT AS a,
+       (64 + doc_id % 64)::BIGINT AS b,
+       (list_sum(list_transform(range(0, 64 + doc_id % 64),
+          i -> ((doc_id*7919 + i*104729) % 65536 - 32768)
+             * ((doc_id*7919 + i*104729) % 65536 - 32768)))
+        + list_sum(list_transform(range(0, 64 + doc_id % 64),
+          i -> ((doc_id*104729 + i*7919) % 65536 - 32768)
+             * ((doc_id*104729 + i*7919) % 65536 - 32768))))::BIGINT AS c,
+       greatest(
+         list_max(list_transform(range(0, 64 + doc_id % 64),
+           i -> abs((doc_id*7919 + i*104729) % 65536 - 32768))),
+         list_max(list_transform(range(0, 64 + doc_id % 64),
+           i -> abs((doc_id*104729 + i*7919) % 65536 - 32768)))
+       )::BIGINT AS d
 FROM documents WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
 UNION ALL
 SELECT 'bmp' AS op, doc_id AS media_id,

@@ -110,12 +110,13 @@ def byte_stats(payloads):
 
 def decode_real(payload: bytes) -> bytes:  # pragma: no cover
     """Production decode hook for codecs needing licensed/stateful
-    transform decoders (FLAC/AAC/H.264, and MP3's PCM synthesis) —
-    requires ffmpeg, absent here. WAV, BMP, PNG, GIF, AVI and baseline
-    JPEG decode ARE implemented (decode_wav / decode_bmp / decode_png /
-    decode_gif / decode_avi / decode_jpeg), and MP3 gets a REAL
-    frame-header walk for metadata (mpeg_audio.mp3_features) — only
-    its audio transform stays behind this hook."""
+    transform decoders (Ogg/Vorbis, AAC, H.264, and MP3's PCM
+    synthesis) — requires ffmpeg, absent here. WAV, BMP, PNG, GIF,
+    AVI, baseline+progressive JPEG and FLAC decode ARE implemented
+    (decode_wav / decode_bmp / decode_png / decode_gif / decode_avi /
+    decode_jpeg / flac.decode_flac), and MP3 gets a REAL frame-header
+    walk for metadata (mpeg_audio.mp3_features) — only its audio
+    transform stays behind this hook."""
     raise NotImplementedError("compressed-media decode libs not available in this environment")
 
 
@@ -1153,9 +1154,10 @@ def synthetic_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 if mid % 97 == 0:
-                    # FLAC stream magic: sniffs to no implemented
+                    # Ogg container magic: sniffs to no implemented
                     # decoder -> decode_real's NotImplementedError
-                    payloads.append(b"fLaC\x00\x00\x00\x22" + b"\x00" * 16)
+                    # (FLAC decodes for real now — flac.decode_flac)
+                    payloads.append(b"OggS\x00\x02" + b"\x00" * 16)
                     kinds.append("audio")
                 elif mid % 2 == 0:
                     payloads.append(wav_bytes(synth_wav_samples(mid), WAV_SR))
@@ -1287,7 +1289,11 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
                     duration_ms) — REAL frame-header walk
                     (mpeg_audio.mp3_features): the metadata a corpus
                     pipeline needs, without the audio transform
-    - FLAC/other -> decode_real (NotImplementedError), which under
+    - FLAC      -> ('flc',  id, sample_rate, n_samples, sum(s^2),
+                    max|s|) over every channel — REAL lossless decode
+                    (flac.decode_flac: fixed/LPC subframes, rice
+                    partitions, stereo decorrelation, CRC+MD5 verified)
+    - Ogg/other -> decode_real (NotImplementedError), which under
       on_error='null' (production posture: a corrupt or unsupported file
       must not kill the job) becomes ('error', id, -1, -1, -1, -1);
       on_error='raise' propagates.
@@ -1309,6 +1315,7 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from grasper_spark.functions.flac import decode_flac
         from grasper_spark.functions.mpeg_audio import mp3_features
         from grasper_spark.functions.multimodal import (
             GIF_SIGS, JPEG_SIG, PNG_SIG, decode_bmp, decode_gif,
@@ -1343,6 +1350,8 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
                         kind, decoded = "gif", decode_gif(p)
                     elif p[:2] == JPEG_SIG:
                         kind, decoded = "jpg", decode_jpeg(p)
+                    elif p[:4] == b"fLaC":
+                        kind, decoded = "flc", decode_flac(p)
                     elif p[:3] == b"ID3" or (
                         len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
                     ):
@@ -1358,6 +1367,12 @@ def media_decode_features(media: DataFrame, on_error: str = "null") -> DataFrame
                 if kind == "mp3":
                     nf, br, sr, dur = decoded
                     emit("mp3", mid, nf, br, sr, dur)
+                elif kind == "flc":
+                    fsr, fs = decoded
+                    f64 = fs.astype(np.int64)
+                    emit("flc", mid, fsr, fs.shape[0],
+                         int((f64 * f64).sum()),
+                         int(np.abs(f64).max()) if fs.size else 0)
                 elif kind == "wav":
                     sr, ch, s = decoded
                     s64 = s.astype(np.int64)

@@ -104,14 +104,14 @@ def test_encoder_rejects_invalid_parameters():
         mp3_bytes([64], 22050, version=2, layer=1)
 
 
-def test_pipeline_mp3_rows_and_flac_error(spark):
+def test_pipeline_mp3_rows_and_ogg_error(spark):
     from pyspark.sql import types as T
 
     from grasper_spark.functions.multimodal import media_decode_features
 
     rows = [
         (1, bytearray(mp3_bytes([160, 96], 32000, id3v2_size=12))),
-        (2, bytearray(b"fLaC\x00\x00\x00\x22" + b"\x00" * 16)),
+        (2, bytearray(b"OggS\x00\x02" + b"\x00" * 16)),
     ]
     schema = T.StructType(
         [
@@ -125,7 +125,7 @@ def test_pipeline_mp3_rows_and_flac_error(spark):
     assert out[1]["op"] == "mp3"
     assert (out[1]["a"], out[1]["b"], out[1]["c"]) == (2, 160, 32000)
     assert out[1]["d"] == 2 * 1152 * 1000 // 32000
-    # FLAC: no implemented decoder -> decode_real -> error row
+    # Ogg: no implemented decoder -> decode_real -> error row
     assert out[2]["op"] == "error"
 
 

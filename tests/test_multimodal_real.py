@@ -133,7 +133,7 @@ def test_pipeline_decodes_and_flags_errors(spark):
     rows = {r.media_id: r for r in
             media_decode_features(synthetic_media(docs)).collect()}
     assert len(rows) == 41
-    # id 0 and 97: FLAC magic -> error rows under the null policy
+    # id 0 and 97: Ogg magic -> error rows under the null policy
     assert rows[0].op == "error" and rows[0].a == -1
     assert rows[97].op == "error"
     # even ids: wav features equal the closed form
@@ -363,7 +363,7 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path):
 def test_pipeline_raise_policy_propagates(spark):
     from grasper_spark.functions.multimodal import media_decode_features, synthetic_media
 
-    docs = spark.createDataFrame([(0,)], ["doc_id"])  # 0 % 97 == 0 -> FLAC stub
+    docs = spark.createDataFrame([(0,)], ["doc_id"])  # 0 % 97 == 0 -> Ogg stub
     with pytest.raises(Exception, match="NotImplementedError|decode libs"):
         media_decode_features(synthetic_media(docs), on_error="raise").collect()
     with pytest.raises(ValueError, match="on_error"):
