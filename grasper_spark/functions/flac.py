@@ -118,15 +118,37 @@ class _Reader:
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def unary(self) -> int:
+        """Count leading zeros word-wise (bit_length on the buffered
+        window) instead of one bits(1) call per zero — rice decode's
+        hottest path."""
         q = 0
         while True:
-            if self.bits(1):
-                return q
-            q += 1
-            if q > 1 << 24:
-                raise ValueError("unary run overflow (corrupt rice code)")
+            if self.n == 0:
+                take = min(len(self.data) - self.pos, 8)
+                if take == 0:
+                    raise ValueError("truncated FLAC bitstream")
+                self.acc = int.from_bytes(
+                    self.data[self.pos:self.pos + take], "big"
+                )
+                self.n = take * 8
+                self.pos += take
+            if self.acc == 0:
+                q += self.n
+                self.n = 0
+                if q > 1 << 24:
+                    raise ValueError("unary run overflow (corrupt rice code)")
+                continue
+            bl = self.acc.bit_length()
+            q += self.n - bl
+            self.n = bl - 1
+            self.acc &= (1 << self.n) - 1
+            return q
 
     def align(self):
+        # advance to the next STREAM byte boundary, giving back whole
+        # buffered bytes (bulk refills may buffer up to 63 bits)
+        consumed = self.pos * 8 - self.n
+        self.pos = (consumed + 7) // 8
         self.n = 0
         self.acc = 0
 
@@ -157,11 +179,48 @@ def _rice_write(w: _Writer, res: np.ndarray, param: int):
 
 
 def _rice_read(r: _Reader, n: int, param: int) -> list[int]:
+    """Inlined unary+remainder loop over local variables — the method
+    dispatch per sample was ~3x the arithmetic."""
+    data, pos, acc, nb = r.data, r.pos, r.acc, r.n
+    ln = len(data)
+    mask_p = (1 << param) - 1
     out = []
+    append = out.append
     for _ in range(n):
-        q = r.unary()
-        u = (q << param) | (r.bits(param) if param else 0)
-        out.append(_unzigzag(u))
+        q = 0
+        while True:  # unary: count leading zeros word-wise
+            if nb == 0:
+                take = min(ln - pos, 8)
+                if take == 0:
+                    raise ValueError("truncated FLAC bitstream")
+                acc = int.from_bytes(data[pos:pos + take], "big")
+                nb = take * 8
+                pos += take
+            if acc == 0:
+                q += nb
+                nb = 0
+                if q > 1 << 24:
+                    raise ValueError("unary run overflow (corrupt rice code)")
+                continue
+            bl = acc.bit_length()
+            q += nb - bl
+            nb = bl - 1
+            acc &= (1 << nb) - 1
+            break
+        if param:
+            while nb < param:
+                if pos >= ln:
+                    raise ValueError("truncated FLAC bitstream")
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nb += 8
+            nb -= param
+            u = (q << param) | ((acc >> nb) & mask_p)
+            acc &= (1 << nb) - 1
+        else:
+            u = q
+        append((u >> 1) if (u & 1) == 0 else -((u + 1) >> 1))
+    r.pos, r.acc, r.n = pos, acc, nb
     return out
 
 
@@ -435,14 +494,21 @@ def _decode_subframe(r: _Reader, bs: int, bps: int) -> np.ndarray:
         order = tp & 0x07
         warm = [r.sbits(ebps) for _ in range(order)]
         res = _decode_residuals(r, bs, order)
-        coefs = _FIXED_COEFS[order]
-        out = np.empty(bs, dtype=np.int64)
-        out[:order] = warm
-        for i in range(order, bs):
-            acc = res[i - order]
-            for j, c in enumerate(coefs):
-                acc += c * out[i - 1 - j]
-            out[i] = acc
+        # a fixed predictor of order k makes the residual the k-th
+        # forward difference, so reconstruction is k iterated cumsums
+        # seeded by the warmup differences — vectorized, not a Python
+        # loop per sample
+        if order == 0:
+            out = np.asarray(res, dtype=np.int64)
+        else:
+            diffs = [np.asarray(warm, dtype=np.int64)]
+            for _ in range(order - 1):
+                diffs.append(np.diff(diffs[-1]))
+            arr = np.asarray(res, dtype=np.int64)
+            for k in range(order, 0, -1):
+                seed = int(diffs[k - 1][0])
+                arr = np.concatenate(([seed], seed + np.cumsum(arr)))
+            out = arr
     elif tp >= 0b100000:  # LPC, order = (tp & 31) + 1
         order = (tp & 0x1F) + 1
         warm = [r.sbits(ebps) for _ in range(order)]
