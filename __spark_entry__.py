@@ -1482,6 +1482,11 @@ def _q_multimodal_features(spark, sf):
     # - pn7/p16 rows: Adam7-interlaced and 16-bit PNG twins of the png
     #   arm — deinterlacing geometry and big-endian 16-bit lanes are
     #   each their own closed-form-checked path
+    # - flc rows: REAL lossless FLAC round trip — closed-form stereo
+    #   samples through actual FLAC frames (fixed predictors, rice
+    #   residuals, the four stereo decorrelation modes cycling by id,
+    #   CRC-8/CRC-16/MD5 verified); lossless means the decoded features
+    #   equal the closed forms EXACTLY for any input
     # - mp3 rows: REAL MPEG-1 Layer III frame-header walk (sync
     #   validation, bitrate/sample-rate tables, exact frame stepping,
     #   ID3v2 syncsafe-size + ID3v1 trailer skip) over VBR payloads —
