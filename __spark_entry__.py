@@ -1493,10 +1493,11 @@ def _q_multimodal_features(spark, sf):
     #   frame count / first bitrate / sample rate / integer duration,
     #   all closed-form-recomputable (audio transform decode stays the
     #   honest decode_real NotImplementedError)
-    # - error rows: ids % 97 == 0 carry a FLAC-magic payload in the
+    # - error rows: ids % 97 == 0 carry an Ogg-magic payload in the
     #   public synthetic_media op, exercising the honest
     #   compressed-codec NotImplementedError hook under the production
-    #   on_error='null' posture (MP3 frame headers walk for real now)
+    #   on_error='null' posture (MP3 frame headers walk and FLAC
+    #   decodes for real now)
     # ONE timed mapInPandas pass over the PERSISTED payload relation
     # (_media_rel): payload synthesis runs once per corpus in the load
     # phase — a production decode job reads stored bytes from a table,
