@@ -600,12 +600,15 @@ def _q_doc_tokens_fp(spark, sf):
     def synth_warc(batches):
         import pandas as pd
 
+        from grasper_spark.sources.archives import (
+            tar_bytes, tar_members, zip_bytes, zip_members,
+        )
         from grasper_spark.sources.warc import (
             http_response_bytes, warc_bytes,
         )
 
         for pdf in batches:
-            ids, blobs = [], []
+            ids, blobs, arc_texts = [], [], []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 html = (
@@ -622,17 +625,39 @@ def _q_doc_tokens_fp(spark, sf):
                       "payload": payload}],
                     gzip_records=(did % 2 == 0),
                 ))
+                # archive round trip: the document through a REAL
+                # ZIP (deflate/stored) or ustar(.gz) container and the
+                # central-directory / header-checksum walks back out —
+                # any container defect shows as an fp mismatch
+                name = f"doc_{did}.txt"
+                if did % 2 == 0:
+                    back = zip_members(zip_bytes(
+                        [(name, txt.encode())], compress=(did % 4 == 0)
+                    ))
+                else:
+                    back = tar_members(tar_bytes(
+                        [(name, txt.encode())], gz=(did % 4 == 1)
+                    ))
+                (_, data), = back
+                arc_texts.append(data.decode("utf-8"))
                 ids.append(did)
-            yield pd.DataFrame({"blob_id": ids, "blob": blobs})
+            yield pd.DataFrame(
+                {"blob_id": ids, "blob": blobs, "arc_text": arc_texts}
+            )
 
     blobs = _docs(spark, sf).select("doc_id", "text").mapInPandas(
-        synth_warc, "blob_id long, blob binary"
+        synth_warc, "blob_id long, blob binary, arc_text string"
     )
     ex = html_to_text(F.decode(F.col("body"), "utf-8"))
     warc_arm = warc_to_documents(blobs).select(
         F.col("blob_id").alias("doc_id"),
         F.length(ex).cast("long").alias("n_tokens"),
         F.concat(F.lit("warc:"), F.md5(ex)).alias("fp"),
+    )
+    arc_arm = blobs.select(
+        F.col("blob_id").alias("doc_id"),
+        F.length("arc_text").cast("long").alias("n_tokens"),
+        F.concat(F.lit("arc:"), F.md5(F.col("arc_text"))).alias("fp"),
     )
     pm = pair_mass_estimate(_docs(spark, sf))
     metrics = [
@@ -652,7 +677,10 @@ def _q_doc_tokens_fp(spark, sf):
             ])
         ).alias("r")
     ).select("r.*")
-    return per_doc.unionByName(probe).unionByName(warc_arm)
+    return (
+        per_doc.unionByName(probe).unionByName(warc_arm)
+        .unionByName(arc_arm)
+    )
 
 
 def _q_doc_gopher_quality(spark, sf):
@@ -2919,6 +2947,13 @@ UNION ALL
 -- fp = 'warc:' || md5(extracted)
 SELECT doc_id, length(ex)::BIGINT AS n_tokens, 'warc:' || md5(ex) AS fp
 FROM (SELECT doc_id, {_warc_extract_sql()} AS ex FROM documents)
+UNION ALL
+-- archive arm: each document through a REAL ZIP (deflate/stored) or
+-- ustar(.gz) round trip (central-directory walk, CRC-32, header
+-- checksums) — the extracted member must equal the text byte-for-byte
+SELECT doc_id, length(text)::BIGINT AS n_tokens,
+       'arc:' || md5(text) AS fp
+FROM documents
 """,
         "doc_gopher_quality": rf"""
 WITH base AS (
