@@ -630,6 +630,8 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         if fbps != bps:
             raise ValueError("frame bit depth differs from STREAMINFO")
         head_end = r.byte_pos()
+        if head_end >= len(payload):
+            raise ValueError("truncated frame header (missing CRC-8)")
         if _crc8(payload[fstart:head_end]) != payload[head_end]:
             raise ValueError("frame header CRC-8 mismatch")
         r = _Reader(payload, head_end + 1)

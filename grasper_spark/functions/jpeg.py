@@ -886,6 +886,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 raw = bytes(body[i + 1:i + 17])
+                if len(raw) != 16:
+                    raise ValueError("truncated DHT")
                 bits = list(raw)
                 n = sum(bits)
                 vals = list(body[i + 17:i + 17 + n])
@@ -903,6 +905,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huffs[(tc, th)] = tbl
                 i += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if len(body) < 6:
+                raise ValueError("truncated SOF header")
             prec, fh, fw, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise ValueError(f"{prec}-bit samples unsupported (8-bit only)")
@@ -936,6 +940,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "(extended/lossless/arithmetic)"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             (ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:

@@ -107,7 +107,10 @@ def mp3_bytes(
         if br not in row:
             raise ValueError(f"bitrate {br} invalid for MPEG-{version} L{layer}")
         bidx = row.index(br) + 1
-        num = (12 * br * 1000 * 4) if layer == 1 else (
+        # fractional frame-length deficit per frame, in the unit the
+        # padding bit adds: SLOTS (4 bytes) for Layer I, bytes for
+        # Layers II/III — 12*br/sr slots vs 144*br/sr (72 MPEG-2) bytes
+        num = (12 * br * 1000) if layer == 1 else (
             (72 if version == 2 else 144) * br * 1000
         )
         rem += num % sample_rate

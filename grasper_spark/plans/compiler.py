@@ -1768,11 +1768,24 @@ class GremlinCompiler:
             st.name not in self._ROW_FILTER_STEPS for b in suffixes for st in b
         ):
             return None
-        if pre.kind == "V" and any(
-            st.name in ("has", "hasNot", "hasKey", "hasLabel")
-            for b in suffixes for st in b
-        ):
-            pre = self._ensure_vprops(pre)
+        if pre.kind == "V" and not pre.props:
+            needs_props = [
+                any(st.name in ("has", "hasNot", "hasKey", "hasLabel")
+                    for st in b)
+                for b in suffixes
+            ]
+            if any(needs_props):
+                # the props attach is an INNER vertex join: it drops
+                # prefix rows whose target has no vertex row (dangling
+                # edges). That matches per-branch semantics ONLY when
+                # every branch itself requires the vertex row — a
+                # branch with no property step keeps dangling witnesses
+                # in per-branch evaluation, so a MIXED branch set must
+                # take the generic factored path (confirmed divergence:
+                # or(out(e), out(e).has(k,p)) on a dangling edge)
+                if not all(needs_props):
+                    return None
+                pre = self._ensure_vprops(pre)
         conds: list[Column] = []
         for b in suffixes:
             cs: list[Column] = []

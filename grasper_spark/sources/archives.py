@@ -90,6 +90,11 @@ def zip_members(blob: bytes) -> list[tuple[str, bytes]]:
     )
     if cd_off + cd_len > len(blob):
         raise ValueError("central directory extends past blob")
+    if total == 0:
+        # an EOCD-only blob still sniffs as ZIP: surface it instead of
+        # returning [] (archive_to_documents would emit NO row for the
+        # blob, silently losing it from per-blob accounting)
+        raise ValueError("ZIP archive has no members")
     out = []
     pos = cd_off
     for _ in range(total):
@@ -173,22 +178,37 @@ def tar_members(blob: bytes) -> list[tuple[str, bytes]]:
     files returned, directories/links skipped, unknown type flags
     refused. Raises ValueError on malformed headers or truncation."""
     if blob[:2] == b"\x1f\x8b":
-        d = zlib.decompressobj(wbits=31)
-        try:
-            blob = d.decompress(blob)
-        except zlib.error as e:
-            raise ValueError(f"corrupt gzip wrapper: {e}") from None
-        if not d.eof:
-            raise ValueError("truncated gzip wrapper")
+        # multi-member gzip: decompress EVERY member (a concatenation
+        # of .tar.gz files is itself valid gzip — silently stopping at
+        # the first member would truncate the archive)
+        buf = bytearray()
+        data = blob
+        while data[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=31)
+            try:
+                buf += d.decompress(data)
+            except zlib.error as e:
+                raise ValueError(f"corrupt gzip wrapper: {e}") from None
+            if not d.eof:
+                raise ValueError("truncated gzip wrapper")
+            data = d.unused_data
+        if data:
+            raise ValueError("trailing non-gzip bytes after gzip members")
+        blob = bytes(buf)
     out = []
     pos = 0
     n = len(blob)
     saw_end = False
     while pos + 512 <= n:
         hdr = blob[pos:pos + 512]
-        if hdr == b"\x00" * 512:  # end-of-archive marker
+        if hdr == b"\x00" * 512:
+            # end-of-archive marker — keep scanning (GNU --ignore-zeros
+            # semantics) so CONCATENATED tars parse fully instead of
+            # silently dropping every archive after the first
             saw_end = True
-            break
+            pos += 512
+            continue
+        saw_end = False
         name = hdr[0:100].split(b"\x00")[0].decode("utf-8", "replace")
         prefix = hdr[345:500].split(b"\x00")[0].decode("utf-8", "replace")
         if prefix:

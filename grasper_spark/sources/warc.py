@@ -21,10 +21,12 @@ implements the PUBLIC container format from scratch:
                          corrupt archive cannot kill the job)
 
 Scale note: this operator parallelizes per BLOB (per .warc.gz file —
-the natural Common Crawl unit, ~1 GB each); within a worker the gzip
-members stream, so peak memory is one decompressed record, not the
-archive. Splitting a single archive by record offsets needs a
-side index (CDX) — out of scope, noted honestly.
+the natural Common Crawl unit, ~1 GB each). The current walk
+DECOMPRESSES THE WHOLE ARCHIVE in the worker before parsing (peak
+memory per task ≈ the decompressed archive, ~4-5 GB for a real crawl
+shard — size executor memory or shrink blobs accordingly); a
+rolling-buffer record walk and CDX-offset record splitting are the
+two production upgrades, noted honestly rather than claimed.
 
 The reference system has no ingestion beyond its HDFS text loader
 (/root/reference/utils/hdfs_core.cpp); WARC belongs to the
@@ -232,9 +234,12 @@ def warc_to_documents(
 ) -> DataFrame:
     """WARC blobs -> one row per HTTP response record. Non-response
     records (warcinfo, request, metadata) are skipped — the standard
-    extraction posture. A malformed BLOB becomes one
-    (id, -1, null, null, -1, null, null) error row under
-    on_error='null'; 'raise' propagates."""
+    extraction posture. Error containment is TWO-LEVEL under
+    on_error='null': a broken record WALK yields one
+    (id, -1, ...) row for the blob, while a single malformed HTTP
+    record yields one (id, record_idx, uri, date, -1, null, null) row
+    for that record and every other record still extracts;
+    'raise' propagates either."""
     if on_error not in ("null", "raise"):
         raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
     sel = blobs.select(id_col, blob_col)
@@ -256,24 +261,32 @@ def warc_to_documents(
                 bid = int(bid)
                 try:
                     recs = warc_records(bytes(blob))
-                    parsed = []
-                    for idx, rec in enumerate(recs):
-                        h = rec["headers"]
-                        if h.get("warc-type") != "response":
-                            continue
-                        status, hh, body = http_response(rec["payload"])
-                        parsed.append((
-                            idx, h.get("warc-target-uri"),
-                            h.get("warc-date"), status,
-                            hh.get("content-type"), body,
-                        ))
                 except Exception:
+                    # container-level failure (the record walk itself
+                    # broke): one error row for the whole blob
                     if on_error == "raise":
                         raise
                     emit(bid, -1, None, None, -1, None, None)
                     continue
-                for idx, uri, date, status, ctype, body in parsed:
-                    emit(bid, idx, uri, date, status, ctype, body)
+                for idx, rec in enumerate(recs):
+                    h = rec["headers"]
+                    if h.get("warc-type") != "response":
+                        continue
+                    try:
+                        # RECORD-level failure (one colon-less HTTP
+                        # header among 50k records): an error row for
+                        # THAT record only — a 1 GB archive's good
+                        # documents must not vanish with it
+                        status, hh, body = http_response(rec["payload"])
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        emit(bid, idx, h.get("warc-target-uri"),
+                             h.get("warc-date"), -1, None, None)
+                        continue
+                    emit(bid, idx, h.get("warc-target-uri"),
+                         h.get("warc-date"), status,
+                         hh.get("content-type"), body)
             yield pd.DataFrame(rows)
 
     return sel.mapInPandas(fn, WARC_DOC_SCHEMA)

@@ -113,6 +113,29 @@ def test_archive_to_documents_all_formats(spark):
         ).collect()
 
 
+def test_concatenated_tar_gz_members_all_parse():
+    # r8 review: concatenated .tar.gz files are valid gzip AND valid
+    # (--ignore-zeros) tar — both members must come back, never a
+    # silent first-archive-only truncation
+    a = tar_bytes([("a.txt", b"AAA")], gz=True)
+    b = tar_bytes([("b.txt", b"BBB")], gz=True)
+    got = tar_members(a + b)
+    assert got == [("a.txt", b"AAA"), ("b.txt", b"BBB")]
+    # plain concatenated tars too
+    got = tar_members(tar_bytes([("a", b"1")]) + tar_bytes([("b", b"2")]))
+    assert got == [("a", b"1"), ("b", b"2")]
+    with pytest.raises(ValueError, match="trailing non-gzip"):
+        tar_members(a + b"junk after gzip")
+
+
+def test_empty_zip_surfaces_as_error():
+    # r8 review: an EOCD-only blob sniffs as ZIP; zip_members must
+    # raise (not return []) so the Spark operator emits an error row
+    eocd = struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="no members"):
+        zip_members(eocd)
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st

@@ -132,6 +132,55 @@ def test_and_factored_plan_single_expansion(g):
     assert njoin <= 3, f"expected <=3 joins in factored plan, got {njoin}:\n{plan}"
 
 
+def test_mixed_prop_suffixes_keep_dangling_edge_witnesses(spark):
+    # REGRESSION (r8 review): or(out(e), out(e).has(k, p)) with a
+    # dangling edge (dst has no vertex row). The flag fast path's
+    # props attach is an inner vertex join — with a MIXED branch set
+    # (one branch needs no props) it must NOT engage, or the bare
+    # branch loses its dangling witness. Per-branch semantics: the
+    # bare out() sees the edge, so 'solo' passes the or().
+    from pyspark.sql import types as T
+
+    from grasper_spark import G, PropertyGraph, P
+    from grasper_spark.plans.api import A
+
+    v_schema = T.StructType([
+        T.StructField("vid", T.LongType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("age", T.IntegerType()),
+    ])
+    e_schema = T.StructType([
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+        T.StructField("label", T.StringType()),
+    ])
+    v = spark.createDataFrame(
+        [(1, "person", "marko", 29), (2, "person", "vadas", 27),
+         (7, "person", "solo", 40)], v_schema
+    )
+    e = spark.createDataFrame(
+        [(1, 2, "knows"), (7, 99, "knows")], e_schema  # 99 dangles
+    )
+    gg = G(PropertyGraph(v, e, name="dangling").cache())
+    got = sorted(
+        gg.V().or_(
+            A.out("knows"),
+            A.out("knows").has("age", P.gt(0)),
+        ).values("name").to_list()
+    )
+    assert got == ["marko", "solo"]
+    # the all-branches-need-props case stays on the fast path and
+    # correctly drops the dangling witness
+    got = sorted(
+        gg.V().or_(
+            A.out("knows").has("age", P.gt(100)),
+            A.out("knows").has("age", P.gt(0)),
+        ).values("name").to_list()
+    )
+    assert got == ["marko"]
+
+
 def test_where_not_rewrite_still_green(g):
     # where(not(...)) routes through _labelled_filter with ONE branch:
     # factoring must not engage (needs >=2 branches)

@@ -135,6 +135,36 @@ def test_warc_to_documents_rows_and_error_row(spark):
         ).collect()
 
 
+def test_one_bad_record_does_not_sink_the_archive(spark):
+    # r8 review: record-level containment — one malformed HTTP record
+    # among good ones yields ONE per-record error row, and every other
+    # document still extracts
+    from pyspark.sql import types as T
+
+    recs = [
+        {"warc_type": "response", "target_uri": "http://e.org/0",
+         "payload": http_response_bytes(b"good one")},
+        {"warc_type": "response", "target_uri": "http://e.org/bad",
+         "payload": b"HTTP/1.1 200 OK\r\nno-colon-header\r\n\r\nbody"},
+        {"warc_type": "response", "target_uri": "http://e.org/2",
+         "payload": http_response_bytes(b"good two")},
+    ]
+    blobs = [(1, bytearray(warc_bytes(recs)))]
+    schema = T.StructType([
+        T.StructField("blob_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    out = sorted(
+        warc_to_documents(spark.createDataFrame(blobs, schema)).collect(),
+        key=lambda r: r["record_idx"],
+    )
+    assert len(out) == 3
+    assert bytes(out[0]["body"]) == b"good one"
+    assert out[1]["status"] == -1 and out[1]["body"] is None
+    assert out[1]["target_uri"] == "http://e.org/bad"
+    assert bytes(out[2]["body"]) == b"good two"
+
+
 def test_html_to_text_extraction(spark):
     from pyspark.sql import functions as F
 
