@@ -64,13 +64,24 @@ def _exploded_shingles(
     unsegmented scripts (CJK), where whitespace tokenization sees one
     giant token per document and word Jaccard degenerates to 0/1.
 
-    posexplode + window-lead formulation: higher-order-function lambdas
-    (transform/array_distinct) run on Spark's interpreted path (~9 ms/row
-    measured); exploding tokens to rows and building shingles with
-    lead() keeps the whole pipeline in WholeStageCodegen (~5× faster).
-    One shuffle (window partitionBy id) + one distinct."""
-    from pyspark.sql import Window
+    ZERO-SHUFFLE formulation: keep the token ARRAY in the row, explode
+    the shingle START-INDEX range (a narrow generator), and read the
+    n tokens per shingle with try_element_at — everything stays in one
+    WholeStageCodegen span with no exchange. The previous posexplode +
+    window-lead form shuffled EVERY token row through a
+    Window.partitionBy(id) exchange just to reassemble neighbors that
+    were already adjacent in the source row (~0.4 s of doc_minhash_sig's
+    0.87 s at sf0.1, round-8 optimization). Higher-order-function
+    lambdas (transform/array_distinct) would also avoid the shuffle but
+    run on Spark's interpreted path (~9 ms/row measured) — the
+    index-explode form is codegen end to end.
 
+    Row-set parity with the old window form (pinned by tests): cnt >= n
+    → one row per start 0..cnt-n; 0 < cnt < n → ONE row, the whole
+    normalized text (try_element_at past the end is NULL and concat_ws
+    skips nulls, exactly like the lead() nulls); cnt == 0 → no rows
+    (explode of a NULL index range emits nothing, like posexplode of an
+    empty array)."""
     if unit == "char":
         units = F.filter(
             F.split(normalize(F.col(text_col)), ""), lambda c: c != ""
@@ -81,28 +92,18 @@ def _exploded_shingles(
         sep = " "
     else:
         raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
-    toks = (
-        _spread(df)
-        .select(F.col(id_col), F.posexplode(units).alias("pos", "t"))
+    base = _spread(df).select(F.col(id_col), units.alias("_toks"))
+    cnt = F.size("_toks")
+    idx = F.when(cnt > 0, F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0))))
+    out = base.select(
+        F.col(id_col), F.col("_toks"), F.explode(idx).alias("_i")
+    ).select(
+        id_col,
+        F.concat_ws(
+            sep,
+            *[F.try_element_at("_toks", F.col("_i") + j + 1) for j in range(n)],
+        ).alias("sh"),
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
-    with_sh = toks.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("_cnt"),
-        F.concat_ws(sep, *leads).alias("sh"),
-        leads[-1].alias("_last"),
-    )
-    long_docs = with_sh.filter((F.col("_cnt") >= n) & F.col("_last").isNotNull()).select(
-        id_col, "sh"
-    )
-    # cnt < n → the whole normalized text is the single shingle; the
-    # pos==0 row already holds it (concat_ws skips the null leads)
-    short_docs = with_sh.filter((F.col("_cnt") < n) & (F.col("pos") == 0)).select(
-        id_col, "sh"
-    )
-    out = long_docs.unionByName(short_docs)
     return out.distinct() if distinct else out
 
 
