@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from grasper_spark.functions.text import (
     fingerprint,
@@ -47,11 +46,20 @@ def curate(
     gated = scored.filter(
         (F.col("quality") >= min_quality) & F.col("lang_pred").isin(list(languages))
     )
-    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    # one representative (min id) per exact-duplicate group via
+    # min(struct(id, ...)): id is the FIRST struct field and unique, so
+    # struct ordering picks exactly the min-id row — same result as the
+    # old row_number() window, but min() partial-aggregates map-side
+    # (each task ships at most one row per fingerprint it saw) where the
+    # window shuffled and sorted EVERY surviving row including the text
+    # payload.
+    others = [c for c in gated.columns if c not in (id_col, "fingerprint")]
     exact_kept = (
-        gated.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        gated.groupBy("fingerprint")
+        .agg(F.min(F.struct(id_col, *others)).alias("_r"))
+        .select(F.col(f"_r.{id_col}").alias(id_col), *[
+            F.col(f"_r.{c}").alias(c) for c in others
+        ], "fingerprint")
     )
     if near_dup_threshold is not None:
         from grasper_spark.functions.dedup import minhash_lsh_pairs

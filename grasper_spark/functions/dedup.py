@@ -467,46 +467,55 @@ def line_dedup(
     their original order. Returns (id, text, n_lines, n_kept) — text is
     '' when every line was boilerplate.
 
-    Scale: one explode + one groupBy(norm) with countDistinct (partial
-    aggregation map-side), producing the HOT-line relation — boilerplate
-    lines are a tiny minority of distinct lines, so AQE broadcasts it
-    into the anti-join (no forced hint: a pathological corpus where most
-    lines are hot falls back to a shuffle join instead of OOMing).
-    Reassembly is one groupBy(id) with an array_sort over (pos, line) —
-    no window, no global sort. Blank lines are never counted as
-    boilerplate (kept verbatim).
+    Scale: the TEXT PAYLOAD never moves — only normalized-line keys do
+    (the "shuffle keys, not payloads" rule). Per doc, the distinct
+    non-empty normalized lines explode (already unique per doc, so the
+    countDistinct is ONE plain groupBy(norm) count with map-side partial
+    aggregation, not the two-exchange distinct-aggregate rewrite); the
+    hot relation semi-joins back to (doc, hot-norm) pairs — a relation
+    bounded by hot-line OCCURRENCES, tiny next to the line stream — and
+    one groupBy(id) collects each doc's own hot set, which re-attaches
+    to the source rows (AQE broadcasts it at sane scale; a pathological
+    all-hot corpus falls back to a shuffle join of keys, still never of
+    text). Line filtering + reassembly + counts are then per-row array
+    work at scan speed: no line-level shuffle, no window, no global
+    sort. The previous form shuffled EVERY (pos, line) row through a
+    groupBy(id) to reassemble text — at 100 TB that is a full-payload
+    exchange; this form ships a few bytes of key per hot occurrence.
+    Blank lines are never counted as boilerplate (kept verbatim).
     """
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
-    ).withColumn("norm", F.lower(F.trim(F.col("ln"))))
+    lines_arr = F.split(F.col(text_col), "\n")
+    norm = lambda s: F.lower(F.trim(s))  # noqa: E731
+    doc_norms = F.array_distinct(
+        F.filter(F.transform(lines_arr, norm), lambda s: F.length(s) > 0)
+    )
     hot = (
-        lines.filter(F.length("norm") > 0)
+        df.select(F.col(id_col), F.explode(doc_norms).alias("norm"))
         .groupBy("norm")
-        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .agg(F.count(F.lit(1)).alias("ndocs"))
         .filter(F.col("ndocs") >= max_df)
         .select("norm")
     )
-    kept = lines.join(hot, "norm", "left_anti")
-    packed = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
-                lambda x: x["ln"],
-            ),
-        ).alias("_text_kept"),
-        F.count(F.lit(1)).alias("_n_kept"),
+    # (doc, hot-norm) occurrences -> one small array of hot norms per doc
+    doc_hot = (
+        df.select(F.col(id_col), F.explode(doc_norms).alias("norm"))
+        .join(hot, "norm", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("norm").alias("_hot"))
     )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    kept_arr = F.filter(
+        lines_arr, lambda s: ~F.array_contains(F.col("_hot"), norm(s))
+    )
     return (
-        totals.join(packed, id_col, "left")
+        df.join(doc_hot, id_col, "left")
+        .withColumn("_hot", F.coalesce("_hot", F.array().cast("array<string>")))
         .select(
             F.col(id_col),
-            F.coalesce("_text_kept", F.lit("")).alias(text_col),
-            F.col("n_lines"),
-            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.concat_ws("\n", kept_arr).alias("_text_kept"),
+            F.size(lines_arr).cast("long").alias("n_lines"),
+            F.size(kept_arr).cast("long").alias("n_kept"),
         )
+        .withColumnRenamed("_text_kept", text_col)
     )
 
 
