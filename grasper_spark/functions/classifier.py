@@ -30,7 +30,6 @@ from grasper_spark.functions.text import (
     punct_ratio,
     stopword_ratio,
     token_count,
-    tokens,
 )
 
 #: feature column names, in assembly order (stable contract for a
@@ -45,28 +44,40 @@ FEATURE_COLS = (
 )
 
 
+#: feature-column cache keyed by text column name — the six expression
+#: trees cost ~0.14 s of py4j round trips to build (pure per-query
+#: compile latency); Columns are unresolved expressions, reusable
+#: across queries in one JVM (see text._name_cached)
+_FEATURE_COL_CACHE: dict[str, list] = {}
+
+
+def _feature_cols(text_col: str) -> list:
+    cols = _FEATURE_COL_CACHE.get(text_col)
+    if cols is None:
+        t: Column = F.col(text_col)
+        n = token_count(text_col).cast("double")
+        cols = _FEATURE_COL_CACHE[text_col] = [
+            n.alias("f_n_tokens"),
+            stopword_ratio(text_col).cast("double").alias("f_stopword_ratio"),
+            punct_ratio(text_col).cast("double").alias("f_punct_ratio"),
+            (F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n, F.lit(1.0)))
+            .alias("f_mean_token_len"),
+            (
+                F.length(F.regexp_replace(t, r"[^0-9]", ""))
+                / F.greatest(F.length(t).cast("double"), F.lit(1.0))
+            ).alias("f_digit_ratio"),
+            (
+                F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+                / F.greatest(F.length(t).cast("double"), F.lit(1.0))
+            ).alias("f_upper_ratio"),
+        ]
+    return cols
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the `FEATURE_COLS` statistics — pure column arithmetic,
     zero shuffle, shared by training and scoring."""
-    t: Column = F.col(text_col)
-    toks = tokens(F.lower(t))
-    n = token_count(t).cast("double")
-    return df.select(
-        "*",
-        n.alias("f_n_tokens"),
-        stopword_ratio(t).cast("double").alias("f_stopword_ratio"),
-        punct_ratio(t).cast("double").alias("f_punct_ratio"),
-        (F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n, F.lit(1.0)))
-        .alias("f_mean_token_len"),
-        (
-            F.length(F.regexp_replace(t, r"[^0-9]", ""))
-            / F.greatest(F.length(t).cast("double"), F.lit(1.0))
-        ).alias("f_digit_ratio"),
-        (
-            F.length(F.regexp_replace(t, r"[^A-Z]", ""))
-            / F.greatest(F.length(t).cast("double"), F.lit(1.0))
-        ).alias("f_upper_ratio"),
-    )
+    return df.select("*", *_feature_cols(text_col))
 
 
 def train_quality_classifier(

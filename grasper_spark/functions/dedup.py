@@ -152,15 +152,20 @@ def minhash_signature(
     sh = _exploded_shingles(df, text_col, id_col, shingle_n, distinct=False).select(
         id_col, _md5_int(F.col("sh")).alias("x")
     )
+    # expressions as SQL strings: one expr() gateway call each instead
+    # of ~6 Column-op round trips per hash — plan CONSTRUCTION was
+    # ~0.26 s of the query's wall time (py4j latency, measured), pure
+    # compile overhead a serving tier pays per query
     mins = [
-        F.min((F.lit(a).cast("long") * F.col("x") + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
+        F.expr(f"min(({a}L * x + {b}L) % {MERSENNE_P}L) AS m{i}")
         for i, (a, b) in enumerate(zip(_A[:num_hashes], _B[:num_hashes]))
     ]
     sig = sh.groupBy(id_col).agg(*mins)
-    return sig.select(
-        id_col,
-        F.concat_ws(",", *[F.col(f"m{i}").cast("string") for i in range(num_hashes)]).alias("sig"),
-        *[F.col(f"m{i}") for i in range(num_hashes)],
+    cat = ", ".join(f"cast(m{i} as string)" for i in range(num_hashes))
+    return sig.selectExpr(
+        f"`{id_col}`",
+        f"concat_ws(',', {cat}) AS sig",
+        *[f"m{i}" for i in range(num_hashes)],
     )
 
 
@@ -237,6 +242,17 @@ def _persisted_shingles(sh: DataFrame) -> DataFrame:
     return _persist_one_slot(sh, _SH_PERSISTED)
 
 
+#: identity fast path over the one-slot persist: when the SAME input
+#: DataFrame object comes back with the same args (input handles are
+#: memoized upstream), skip _persist_one_slot's per-call JVM
+#: analyzed()/semanticHash()/sameResult() round trips (~0.1 s of pure
+#: compile latency per query). The cached value holds a strong ref to
+#: the input df so its id() cannot be recycled.
+_SH_ARGS_CACHE: dict = {}
+#: same identity fast path for the assembled overlap_pair_stats plan
+_OPS_CACHE: dict = {}
+
+
 def _hashed_shingle_relation(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int, unit: str,
 ) -> DataFrame:
@@ -246,11 +262,23 @@ def _hashed_shingle_relation(
     aggregates then read co-partitioned cached data with ZERO exchange;
     only the per-pair groupBy still shuffles. At sf1 this removed three
     2.6M-row exchanges per pass from ngram_jaccard/containment."""
-    return _persisted_shingles(
+    key = (id(df), text_col, id_col, shingle_n, unit)
+    hit = _SH_ARGS_CACHE.get(key)
+    if (
+        hit is not None
+        and hit[0] is df
+        and _SH_PERSISTED
+        and _SH_PERSISTED[0][1] is hit[1]
+    ):
+        return hit[1]
+    rel = _persisted_shingles(
         _exploded_shingles(df, text_col, id_col, shingle_n, unit=unit)
         .select(id_col, F.xxhash64("sh").alias("sh"))
         .repartition("sh")
     )
+    _SH_ARGS_CACHE.clear()
+    _SH_ARGS_CACHE[key] = (df, rel)
+    return rel
 
 
 def overlap_pair_stats(
@@ -268,12 +296,26 @@ def overlap_pair_stats(
     8-byte keys, repartitioned by shingle hash before the persist): the
     hot-shingle aggregate reads it once and the anti-joined consumers
     (both self-join sides + sizes) re-traverse it with zero exchange
-    and no window re-shingling."""
-    sh = _hashed_shingle_relation(df, text_col, id_col, shingle_n, unit)
-    hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
+    and no window re-shingling.
+
+    The assembled pair-stats PLAN is identity-cached per (input df,
+    args) — building the hot/anti/self-join/size tree is ~0.2 s of
+    py4j round trips, pure per-query compile latency; the returned
+    DataFrame is lazy, every action still computes from the inputs."""
+    key = (id(df), text_col, id_col, shingle_n, max_shingle_df, unit)
+    hit = _OPS_CACHE.get(key)
+    if (
+        hit is not None
+        and hit[0] is df
+        and _SH_PERSISTED
+        and _SH_PERSISTED[0][1] is hit[1]
+    ):
+        return hit[2]
+    rel = _hashed_shingle_relation(df, text_col, id_col, shingle_n, unit)
+    hot = rel.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
         F.col("df_cnt") > max_shingle_df
     ).select("sh")
-    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sh = rel.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -286,7 +328,12 @@ def overlap_pair_stats(
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     # sizes is one row per DOC (tiny vs the pair stream) — broadcast
     # both joins or the 10M+-row candidate relation shuffles twice
-    return common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    stats = common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    # slot-guarded: the cache entry is valid only while `rel` is still
+    # the one-slot persisted occupant (see the hit check above)
+    _OPS_CACHE.clear()
+    _OPS_CACHE[key] = (df, rel, stats)
+    return stats
 
 
 def ngram_jaccard_pairs(

@@ -8,8 +8,38 @@ by the driver's oracle (see __spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _name_cached(fn):
+    """Memoize a Column-builder for the common string-column-name call.
+
+    These builders construct LARGE expression trees (stopword isin
+    lists, HOF lambdas, when-chains) — each construction is dozens of
+    py4j round trips, measured at ~0.1-0.15 s per lang_id/quality_score
+    call, pure per-query COMPILE latency a serving tier pays every
+    time. A Column is an unresolved expression, reusable across
+    queries/DataFrames in one JVM, so the tree keyed by the input
+    column NAME is built once per process. Column arguments and
+    non-default extra args bypass the cache (expressions are not
+    hashable keys)."""
+
+    @functools.wraps(fn)
+    def wrap(text, *args, **kwargs):
+        if isinstance(text, str) and not args and not kwargs:
+            key = text
+            hit = wrap._cache.get(key)
+            if hit is None:
+                hit = wrap._cache[key] = fn(F.col(text))
+            return hit
+        return fn(text, *args, **kwargs)
+
+    wrap._cache = {}
+    return wrap
+
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deterministic and mirrored literally in the SQL oracle.
@@ -26,7 +56,8 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def token_count(text: Column) -> Column:
+@_name_cached
+def token_count(text: Column | str) -> Column:
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens(text)))
 
 
@@ -37,25 +68,29 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(pieces))
 
 
-def punct_ratio(text: Column) -> Column:
+@_name_cached
+def punct_ratio(text: Column | str) -> Column:
     clean = F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", "")
     return F.round(F.length(clean) / F.greatest(F.length(text), F.lit(1)), 6)
 
 
-def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+@_name_cached
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
     sw = stopwords or LANG_STOPWORDS["en"]
     toks = tokens(F.lower(text))
     hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
     return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
 
 
-def mean_token_len(text: Column) -> Column:
+@_name_cached
+def mean_token_len(text: Column | str) -> Column:
     toks = tokens(text)
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
 
 
-def quality_score(text: Column) -> Column:
+@_name_cached
+def quality_score(text: Column | str) -> Column:
     """Composite [0,1] quality heuristic: length band + stopword presence
     - punctuation excess. Deterministic arithmetic, 6-dp rounded."""
     n = token_count(text)
@@ -65,7 +100,8 @@ def quality_score(text: Column) -> Column:
     return F.round((0.5 * len_term + 0.4 * sw_term) * (1.0 - 0.3 * punct_term), 6)
 
 
-def lang_id(text: Column) -> Column:
+@_name_cached
+def lang_id(text: Column | str) -> Column:
     """Stopword-vote language ID with deterministic tie-break (first of
     en < de < es < fr in vote order wins ties via > comparison chain)."""
     toks = tokens(F.lower(text))

@@ -46,11 +46,26 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: lazy handle memo per (session, dir): read.parquet pays ~166 ms of
+#: listing + footer/schema work per call — registration-time cost in a
+#: serving session, not a per-query one. The handle is an
+#: unmaterialized plan (no result caching); a NEW events file under the
+#: same path needs a fresh session (or cache clear) to be seen, the
+#: same contract as the graph snapshot cache.
+_EVENTS_CACHE: dict = {}
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grasper_spark.session import ensure_runtime_confs
 
-    ensure_runtime_confs(spark)
-    return _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    key = (id(spark), sf_dir.rstrip("/"))
+    hit = _EVENTS_CACHE.get(key)
+    if hit is None:
+        ensure_runtime_confs(spark)
+        hit = _EVENTS_CACHE[key] = _normalize_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        )
+    return hit
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

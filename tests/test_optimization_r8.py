@@ -80,6 +80,67 @@ def test_char_unit_short_and_exact(spark):
     assert got == sorted([(1, "ab"), (2, "abc"), (3, "abc"), (3, "bcd")])
 
 
+def test_line_dedup_semantics_pinned(spark):
+    # the payload-free line_dedup must keep the old form's exact
+    # contract: drop EVERY occurrence of a line whose normalized form
+    # appears in >= max_df docs; blanks kept verbatim; all-hot docs
+    # come back as '' with n_kept 0; original line order preserved
+    from grasper_spark.functions.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nBOILER\nbeta"),
+            (2, "boiler\ngamma"),
+            (3, "\n\n"),
+            (4, "  BOILER  \nonly boiler"),
+            (5, "only boiler\nunique"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+           for r in line_dedup(df, max_df=2).collect()}
+    assert got == {
+        1: ("alpha\nbeta", 3, 2),
+        2: ("gamma", 2, 1),
+        3: ("\n\n", 3, 3),          # blanks never hot
+        4: ("", 2, 0),              # all-hot -> empty text
+        5: ("unique", 2, 1),
+    }
+
+
+def test_text_name_cache_reuses_columns(spark):
+    from grasper_spark.functions.text import lang_id, quality_score
+
+    # same name -> same cached Column object (built once per process)
+    assert lang_id("text") is lang_id("text")
+    assert quality_score("text") is quality_score("text")
+    assert lang_id("text") is not lang_id("other")
+    # Column args bypass the cache but stay correct
+    df = spark.createDataFrame([("the and of to in",)], "text string")
+    a = df.select(lang_id("text").alias("l")).collect()[0]["l"]
+    b = df.select(lang_id(F.col("text")).alias("l")).collect()[0]["l"]
+    assert a == b == "en"
+
+
+def test_shingle_relation_identity_fast_path(spark):
+    from grasper_spark.functions import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e")], "doc_id long, text string"
+    )
+    r1 = dd._hashed_shingle_relation(df, "text", "doc_id", 3, "word")
+    r2 = dd._hashed_shingle_relation(df, "text", "doc_id", 3, "word")
+    assert r1 is r2  # identity fast path (no JVM re-analysis)
+    # a different corpus evicts the slot and must NOT return the stale
+    # relation for the old one afterwards without rebuilding
+    df2 = spark.createDataFrame([(9, "x y z w")], "doc_id long, text string")
+    r3 = dd._hashed_shingle_relation(df2, "text", "doc_id", 3, "word")
+    assert r3 is not r2
+    r4 = dd._hashed_shingle_relation(df, "text", "doc_id", 3, "word")
+    assert r4 is not r2 or dd._SH_PERSISTED[0][1] is r4
+    assert sorted(r["doc_id"] for r in r4.select("doc_id").distinct().collect()) == [1, 2]
+
+
 def test_no_hash_exchange_in_non_distinct_plan(docs):
     # the rewrite removed the Window.partitionBy(id) hash exchange; the
     # only exchange _exploded_shingles may still introduce is _spread's
