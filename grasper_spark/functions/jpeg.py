@@ -729,6 +729,14 @@ class _HuffTable:
 
 _HUFF_CACHE: dict = {}
 _DQT_CACHE: dict = {}
+#: whole-DHT-segment parse cache: corpora repeat the Annex K tables in
+#: every payload, so the per-payload list/sum/slice parse of the DHT
+#: body (~15 us) collapses to one dict lookup on the raw segment bytes
+_DHT_SEG_CACHE: dict = {}
+#: scan-order -> row-major scatter index cache for multi-block MCUs:
+#: the 4-way arange broadcast costs ~10 us per component per image and
+#: depends only on the MCU grid geometry
+_POS_CACHE: dict = {}
 
 
 class _BitReader:
@@ -796,34 +804,6 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def _decode_block(br, dc_tbl, ac_tbl, pred):
-    """Decode one block -> (new DC pred, [(zigzag_k, ac_value), ...]).
-    Coefficients come back SPARSE (most real blocks are a DC plus a
-    few ACs; the flat ledger blocks are DC-only) — the caller scatters
-    them into its preallocated grid, so no 64-slot numpy array is
-    allocated or copied per block."""
-    size = br.huff(dc_tbl)
-    if size > 11:
-        raise ValueError(f"invalid DC magnitude category {size}")
-    pred += _extend(br.bits(size), size)
-    acs = []
-    k = 1
-    while k < 64:
-        rs = br.huff(ac_tbl)
-        run, size = rs >> 4, rs & 0x0F
-        if size == 0:
-            if run == 15:  # ZRL
-                k += 16
-                continue
-            break  # EOB
-        k += run
-        if k >= 64:
-            raise ValueError("AC run past end of block")
-        acs.append((k, _extend(br.bits(size), size)))
-        k += 1
-    return pred, acs
-
-
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline (SOF0) or progressive (SOF2) JFIF payload to
     (H, W, 1) grayscale or (H, W, 3) RGB uint8. Full marker walk
@@ -882,28 +862,36 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 qts[tq] = nat
                 i += 65
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                raw = bytes(body[i + 1:i + 17])
-                if len(raw) != 16:
-                    raise ValueError("truncated DHT")
-                bits = list(raw)
-                n = sum(bits)
-                vals = list(body[i + 17:i + 17 + n])
-                if len(vals) != n:
-                    raise ValueError("truncated DHT")
-                # table cache: corpora reuse the Annex K tables in every
-                # payload — building the decode arrays once per distinct
-                # table, not once per image, saves ~7% of decode
-                ck = raw + bytes(vals)
-                tbl = _HUFF_CACHE.get(ck)
-                if tbl is None:
-                    tbl = _HuffTable(bits, vals)
-                    if len(_HUFF_CACHE) < 64:
-                        _HUFF_CACHE[ck] = tbl
-                huffs[(tc, th)] = tbl
-                i += 17 + n
+            seg = _DHT_SEG_CACHE.get(body)
+            if seg is None:
+                seg = {}
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0x0F
+                    raw = bytes(body[i + 1:i + 17])
+                    if len(raw) != 16:
+                        raise ValueError("truncated DHT")
+                    bits = list(raw)
+                    n = sum(bits)
+                    vals = list(body[i + 17:i + 17 + n])
+                    if len(vals) != n:
+                        raise ValueError("truncated DHT")
+                    # table cache: corpora reuse the Annex K tables in
+                    # every payload — building the decode arrays once
+                    # per distinct table, not once per image
+                    ck = raw + bytes(vals)
+                    tbl = _HUFF_CACHE.get(ck)
+                    if tbl is None:
+                        tbl = _HuffTable(bits, vals)
+                        if len(_HUFF_CACHE) < 64:
+                            _HUFF_CACHE[ck] = tbl
+                    seg[(tc, th)] = tbl
+                    i += 17 + n
+                # segment-level cache on top (only complete parses land
+                # here, so malformed bodies keep raising every time)
+                if len(_DHT_SEG_CACHE) < 64:
+                    _DHT_SEG_CACHE[body] = seg
+            huffs.update(seg)
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if len(body) < 6:
                 raise ValueError("truncated SOF header")
@@ -1052,8 +1040,22 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
             raise ValueError("missing Huffman table for scan")
         tables.append((huffs[(0, td)], huffs[(1, ta)]))
 
+    # the MCU loop keeps the ENTIRE bit-reader state in locals (data,
+    # pos, acc, n) and resolves Huffman codes by direct LUT index —
+    # method dispatch per symbol (br.huff / br.bits) was ~2x the
+    # arithmetic on small images. Semantics identical to _BitReader's
+    # huff/bits (truncation -> ValueError, invalid code -> ValueError);
+    # the component/restart structure is unchanged.
+    comp_meta = []  # (dc_lut_holder, ac_lut_holder, nblk) per component
+    for ci, (_, hi, vi, tq, td, ta) in enumerate(comps):
+        dct, act = tables[ci]
+        dlut = dct.lut if dct.lut is not None else dct.build_lut()
+        alut = act.lut if act.lut is not None else act.build_lut()
+        comp_meta.append((dlut, alut, hi * vi, dcs[ci], sparse[ci]))
     seg_i = 0
-    br = _BitReader(segments[0])
+    data = segments[0]
+    ln = len(data)
+    pos = acc = n = 0
     preds = [0] * len(comps)
     n_mcu = 0
     for my in range(mcus_y):
@@ -1062,19 +1064,94 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
                 seg_i += 1
                 if seg_i >= len(segments):
                     raise ValueError("missing restart segment")
-                br = _BitReader(segments[seg_i])
+                data = segments[seg_i]
+                ln = len(data)
+                pos = acc = n = 0
                 preds = [0] * len(comps)
-            for ci, (_, hi, vi, tq, td, ta) in enumerate(comps):
-                dct, act = tables[ci]
-                cd = dcs[ci]
-                nblk = hi * vi
+            for ci, (dlut, alut, nblk, cd, sp) in enumerate(comp_meta):
+                pred = preds[ci]
                 for _ in range(nblk):
-                    pred, acs = _decode_block(br, dct, act, preds[ci])
-                    preds[ci] = pred
-                    if acs:
-                        b = len(cd)
-                        sparse[ci].extend((b, k, v) for k, v in acs)
+                    # ---- DC: huff(dlut) ----
+                    while n < 16 and pos < ln:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        n += 8
+                    e = dlut[(acc >> (n - 16)) & 0xFFFF] if n >= 16 else \
+                        dlut[(acc << (16 - n)) & 0xFFFF]
+                    length = e >> 8
+                    if length == 0:
+                        raise ValueError("invalid Huffman code in scan")
+                    if length > n:
+                        raise ValueError("truncated entropy-coded segment")
+                    n -= length
+                    acc &= (1 << n) - 1
+                    size = e & 0xFF
+                    if size > 11:
+                        raise ValueError(
+                            f"invalid DC magnitude category {size}"
+                        )
+                    if size:
+                        while n < size:
+                            if pos >= ln:
+                                raise ValueError(
+                                    "truncated entropy-coded segment"
+                                )
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            n += 8
+                        n -= size
+                        v = (acc >> n) & ((1 << size) - 1)
+                        acc &= (1 << n) - 1
+                        pred += v if v >= (1 << (size - 1)) else \
+                            v - (1 << size) + 1
+                    # ---- ACs: run-length loop over huff(alut) ----
+                    b = len(cd)
+                    k = 1
+                    while k < 64:
+                        while n < 16 and pos < ln:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            n += 8
+                        e = alut[(acc >> (n - 16)) & 0xFFFF] if n >= 16 \
+                            else alut[(acc << (16 - n)) & 0xFFFF]
+                        length = e >> 8
+                        if length == 0:
+                            raise ValueError("invalid Huffman code in scan")
+                        if length > n:
+                            raise ValueError(
+                                "truncated entropy-coded segment"
+                            )
+                        n -= length
+                        acc &= (1 << n) - 1
+                        rs = e & 0xFF
+                        size = rs & 0x0F
+                        if size == 0:
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k >= 64:
+                            raise ValueError("AC run past end of block")
+                        while n < size:
+                            if pos >= ln:
+                                raise ValueError(
+                                    "truncated entropy-coded segment"
+                                )
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            n += 8
+                        n -= size
+                        v = (acc >> n) & ((1 << size) - 1)
+                        acc &= (1 << n) - 1
+                        sp.append((
+                            b, k,
+                            v if v >= (1 << (size - 1))
+                            else v - (1 << size) + 1,
+                        ))
+                        k += 1
                     cd.append(pred)
+                preds[ci] = pred
             n_mcu += 1
 
     # scatter scan-order blocks into row-major grids, dequantize,
@@ -1093,12 +1170,19 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
             pos = None  # one block per MCU: scan order IS row-major
         else:
             # multi-block MCUs: scan order walks (by, bx) inside each
-            # MCU, row-major does not — scatter via index math
-            myi = np.arange(mcus_y)[:, None, None, None]
-            mxi = np.arange(mcus_x)[None, :, None, None]
-            byi = np.arange(vi)[None, None, :, None]
-            bxi = np.arange(hi)[None, None, None, :]
-            pos = ((myi * vi + byi) * nbx + mxi * hi + bxi).ravel()
+            # MCU, row-major does not — scatter via index math (cached
+            # by grid geometry; rebuilding the 4-way broadcast costs
+            # ~10 us per component per image)
+            pkey = (mcus_y, mcus_x, vi, hi)
+            pos = _POS_CACHE.get(pkey)
+            if pos is None:
+                myi = np.arange(mcus_y)[:, None, None, None]
+                mxi = np.arange(mcus_x)[None, :, None, None]
+                byi = np.arange(vi)[None, None, :, None]
+                bxi = np.arange(hi)[None, None, None, :]
+                pos = ((myi * vi + byi) * nbx + mxi * hi + bxi).ravel()
+                if len(_POS_CACHE) < 256:
+                    _POS_CACHE[pkey] = pos
         qt = qts[tq]
         if not sparse[ci]:
             dc_rm = dc_scan if pos is None else np.empty_like(dc_scan)
@@ -1313,10 +1397,23 @@ def _decode_scan_progressive(
 
 def _dense_planes(comps, grids, qts):
     """Dequantize + dezigzag + IDCT dense per-component block grids
-    (the progressive accumulators) into spatial planes."""
+    (the progressive accumulators) into spatial planes. Components
+    where EVERY block is DC-only (flat-block exact domain; common in
+    real images' chroma) skip the matmul IDCT — a DC-only block is
+    spatially constant at (M00*dcq)*M00, the same left-associated
+    product the matmul computes (mirrors _decode_scan's fast path)."""
     planes = []
+    m00 = _DCT_M[0, 0]
     for ci, (_, hi, vi, tq, _, _) in enumerate(comps):
-        deq = grids[ci] * qts[tq][ZIGZAG][None, None, :]
+        g = grids[ci]
+        qt = qts[tq]
+        if not g[:, :, 1:].any():
+            dcq = (g[:, :, 0] * qt[0]).astype(np.float64)
+            spat = np.clip(np.rint((m00 * dcq) * m00) + 128, 0, 255)
+            blkmap = spat.astype(np.uint8)
+            planes.append(np.repeat(np.repeat(blkmap, 8, axis=0), 8, axis=1))
+            continue
+        deq = g * qt[ZIGZAG][None, None, :]
         coef = deq[:, :, _UNZIGZAG].reshape(*deq.shape[:2], 8, 8)
         spat = _idct_blocks(coef)
         nby, nbx = spat.shape[:2]
