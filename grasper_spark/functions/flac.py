@@ -56,10 +56,27 @@ def _crc8(data: bytes) -> int:
     return c
 
 
+# 16-bit-at-a-time CRC-16 table: _CRC16_TBL2[x] advances a 16-bit CRC
+# state over two zero data bytes, so pairs of payload bytes fold in one
+# lookup (the frame CRC runs over every frame byte — the per-byte loop
+# was ~13% of decode_flac)
+_CRC16_TBL2 = []
+for _x in range(65536):
+    _h = _CRC16_TBL[_x >> 8]
+    _CRC16_TBL2.append(_CRC16_TBL[((_h >> 8) ^ _x) & 0xFF] ^ ((_h << 8) & 0xFFFF))
+
+
 def _crc16(data: bytes) -> int:
     c = 0
-    for b in data:
-        c = _CRC16_TBL[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    n2 = len(data) >> 1
+    if n2:
+        tbl2 = _CRC16_TBL2
+        # one xor + one lookup per big-endian 16-bit word; the word
+        # split happens in C (struct), not per-byte Python indexing
+        for w in struct.unpack(f">{n2}H", data[:n2 * 2]):
+            c = tbl2[c ^ w]
+    if len(data) & 1:
+        c = _CRC16_TBL[((c >> 8) ^ data[-1]) & 0xFF] ^ ((c << 8) & 0xFFFF)
     return c
 
 

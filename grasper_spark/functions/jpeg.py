@@ -141,6 +141,7 @@ for _u in range(8):
     _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
     for _x in range(8):
         _DCT_M[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+_M00_F = float(_DCT_M[0, 0])  # scalar twin for the pure-Python DC path
 
 
 def rgb_to_ycbcr_int(px: np.ndarray) -> np.ndarray:
@@ -917,8 +918,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 max_v = max(c[2] for c in comps)
                 mx = (fw + 8 * max_h - 1) // (8 * max_h)
                 my = (fh + 8 * max_v - 1) // (8 * max_v)
+                # plain nested lists, not numpy: the scan loops touch
+                # single coefficients (blk[k] reads/writes), where
+                # numpy scalar indexing costs ~10x a list index;
+                # _dense_planes converts to an ndarray once at the end
                 prog_grids = [
-                    np.zeros((my * vi, mx * hi, 64), dtype=np.int64)
+                    [[[0] * 64 for _ in range(mx * hi)]
+                     for _ in range(my * vi)]
                     for _, hi, vi, _, _, _ in comps
                 ]
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -1165,7 +1171,6 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
     m00 = _DCT_M[0, 0]
     for ci, (_, hi, vi, tq, _, _) in enumerate(comps):
         nby, nbx = mcus_y * vi, mcus_x * hi
-        dc_scan = np.asarray(dcs[ci], dtype=np.int64)
         if (hi, vi) == (1, 1):
             pos = None  # one block per MCU: scan order IS row-major
         else:
@@ -1185,6 +1190,17 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
                     _POS_CACHE[pkey] = pos
         qt = qts[tq]
         if not sparse[ci]:
+            if nby * nbx <= 64:  # tiny grid: pure-Python DC path
+                if pos is None:
+                    dc_rm = dcs[ci]
+                else:
+                    pl = pos.tolist()
+                    dc_rm = [0] * (nby * nbx)
+                    for i, v in enumerate(dcs[ci]):
+                        dc_rm[pl[i]] = v
+                planes.append(_dc_only_plane(dc_rm, int(qt[0]), nby, nbx))
+                continue
+            dc_scan = np.asarray(dcs[ci], dtype=np.int64)
             dc_rm = dc_scan if pos is None else np.empty_like(dc_scan)
             if pos is not None:
                 dc_rm[pos] = dc_scan
@@ -1194,6 +1210,7 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
             plane = np.repeat(np.repeat(blkmap, 8, axis=0), 8, axis=1)
             planes.append(plane)
             continue
+        dc_scan = np.asarray(dcs[ci], dtype=np.int64)
         flat = np.zeros((nby * nbx, 64), dtype=np.int64)
         rows = pos if pos is not None else slice(None)
         flat[rows, 0] = dc_scan
@@ -1209,6 +1226,29 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
         plane = spat.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         planes.append(plane)
     return (planes, (mcus_x, mcus_y, max_h, max_v)), end_pos
+
+
+def _dc_only_plane(dc_rm, qt0, nby, nbx):
+    """Spatial plane for a DC-only component from ROW-MAJOR dc values
+    (Python ints). A DC-only block is constant at rint((M00*dcq)*M00)+128
+    — identical float ops to the numpy formulation (Python floats are
+    the same IEEE doubles, round() is the same half-even rule), but for
+    the tiny grids of thumbnail-class images the ~12 ufunc calls of the
+    array version cost more than the arithmetic, so small grids run as
+    a plain Python loop into one frombuffer."""
+    if nby * nbx <= 64:
+        m00 = _M00_F
+        vals = bytearray(nby * nbx)
+        for i, dc in enumerate(dc_rm):
+            v = int(round((m00 * (dc * qt0)) * m00)) + 128
+            vals[i] = 0 if v < 0 else 255 if v > 255 else v
+        blkmap = np.frombuffer(bytes(vals), dtype=np.uint8).reshape(nby, nbx)
+    else:
+        dcq = (np.asarray(dc_rm, dtype=np.int64) * qt0).astype(np.float64)
+        m00 = _DCT_M[0, 0]
+        spat = np.clip(np.rint((m00 * dcq) * m00) + 128, 0, 255)
+        blkmap = spat.astype(np.uint8).reshape(nby, nbx)
+    return np.repeat(np.repeat(blkmap, 8, axis=0), 8, axis=1)
 
 
 def _comp_block_dims(frame, ci):
@@ -1269,7 +1309,7 @@ def _decode_scan_progressive(
         interleaved = len(scan_sel) > 1
 
         def dc_block(ci, by, bx):
-            blk = grids[ci][by, bx]
+            blk = grids[ci][by][bx]
             if ah == 0:  # first scan: DIFF of (DC >> Al)
                 size = br.huff(dtabs[ci])
                 if size > 11:
@@ -1278,7 +1318,7 @@ def _decode_scan_progressive(
                 blk[0] = preds[ci] << al
             else:  # refinement: one bit
                 if br.bits(1):
-                    blk[0] = int(blk[0]) | (1 << al)
+                    blk[0] |= 1 << al
 
         if interleaved:
             n_mcu = 0
@@ -1324,7 +1364,7 @@ def _decode_scan_progressive(
             if _restart(n_blk):
                 eobrun = 0
             n_blk += 1
-            blk = grid[by, bx]
+            blk = grid[by][bx]
             if ah == 0:  # AC first scan
                 if eobrun > 0:
                     eobrun -= 1
@@ -1367,7 +1407,7 @@ def _decode_scan_progressive(
                                 )
                             val = p1 if br.bits(1) else m1
                         while k <= se:
-                            c = int(blk[k])
+                            c = blk[k]
                             if c != 0:
                                 # correction bit for already-nonzero coef
                                 if br.bits(1) and (c & p1) == 0:
@@ -1386,7 +1426,7 @@ def _decode_scan_progressive(
                     # EOB span: correction bits still arrive for the
                     # remaining nonzero-history coefficients
                     while k <= se:
-                        c = int(blk[k])
+                        c = blk[k]
                         if c != 0:
                             if br.bits(1) and (c & p1) == 0:
                                 blk[k] = c + (p1 if c > 0 else m1)
@@ -1405,8 +1445,29 @@ def _dense_planes(comps, grids, qts):
     planes = []
     m00 = _DCT_M[0, 0]
     for ci, (_, hi, vi, tq, _, _) in enumerate(comps):
-        g = grids[ci]
+        # the scan loops accumulate into nested Python lists (scalar
+        # indexing dominates there); densify here — but for tiny grids
+        # (thumbnail-class images) walk the blocks in Python instead:
+        # the asarray + fancy-index + ufunc chain costs more than the
+        # arithmetic it vectorizes
+        gl = grids[ci]
+        nby, nbx = len(gl), len(gl[0])
         qt = qts[tq]
+        if nby * nbx <= 64:
+            ac_any = False
+            dc_rm = []
+            for grow in gl:
+                for b in grow:
+                    if any(b[1:]):
+                        ac_any = True
+                        break
+                    dc_rm.append(b[0])
+                if ac_any:
+                    break
+            if not ac_any:
+                planes.append(_dc_only_plane(dc_rm, int(qt[0]), nby, nbx))
+                continue
+        g = np.asarray(gl, dtype=np.int64)
         if not g[:, :, 1:].any():
             dcq = (g[:, :, 0] * qt[0]).astype(np.float64)
             spat = np.clip(np.rint((m00 * dcq) * m00) + 128, 0, 255)
