@@ -824,23 +824,44 @@ def _positional_grams(
     """(id, pos, k) — every full n-gram with its 0-based start index,
     keyed by xxhash64 of the gram string (8-byte join/agg keys instead
     of ~50-byte strings; identical groups up to a ~2^-64 collision).
-    Same posexplode + window-lead formulation as _exploded_shingles —
-    whole pipeline stays in WholeStageCodegen."""
-    from pyspark.sql import Window
 
-    toks = _positional_units(df, text_col, id_col, unit)
-    sep = " " if unit == "word" else ""
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
-    return (
-        toks.select(
-            F.col(id_col),
-            F.col("pos"),
-            F.xxhash64(F.concat_ws(sep, *leads)).alias("k"),
-            leads[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+    ZERO-SHUFFLE index-explode formulation (same rewrite as
+    _exploded_shingles, round-8 optimization): keep the token array in
+    the row, explode the gram start-index range — the index IS the
+    0-based position — and read the n tokens with try_element_at, all
+    in one WholeStageCodegen span. The previous posexplode +
+    Window.partitionBy(id) + lead form shuffled every token row through
+    a hash exchange just to reassemble neighbors already adjacent in
+    the source row. Row parity with the window form: positions are
+    contiguous (normalize trims + collapses whitespace, so '' units
+    only arise for EMPTY docs — array_remove drops them, matching the
+    old t != '' filter); docs with fewer than n tokens emit no rows
+    (the lead-null filter's behavior)."""
+    if unit == "char":
+        units = F.split(normalize(F.col(text_col)), "")
+        sep = ""
+    elif unit == "word":
+        units = tokens(normalize(F.col(text_col)))
+        sep = " "
+    else:
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    base = _spread(df).select(
+        F.col(id_col), F.array_remove(units, "").alias("_toks")
+    )
+    cnt = F.size("_toks")
+    idx = F.when(cnt >= n, F.sequence(F.lit(0), cnt - n))
+    return base.select(
+        F.col(id_col), F.col("_toks"), F.explode(idx).alias("pos")
+    ).select(
+        id_col,
+        "pos",
+        F.xxhash64(
+            F.concat_ws(
+                sep,
+                *[F.try_element_at("_toks", F.col("pos") + j + 1)
+                  for j in range(n)],
+            )
+        ).alias("k"),
     )
 
 

@@ -151,3 +151,60 @@ def test_no_hash_exchange_in_non_distinct_plan(docs):
     )
     assert "hashpartitioning" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_positional_grams_pinned(spark):
+    # _positional_grams moved to the same zero-shuffle index-explode
+    # form as _exploded_shingles, with the explode index doubling as
+    # the 0-based gram position. Pin the (id, pos, gram-key) contract
+    # the old window-lead form produced: contiguous positions, no rows
+    # for docs shorter than n (incl. empty/whitespace-only), char unit.
+    from grasper_spark.functions.dedup import _positional_grams
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, ""),
+            (3, "   "),
+            (4, "x y"),
+            (5, " Pad  me "),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["pos"], r["k"])
+        for r in _positional_grams(df, "text", "doc_id", 3).collect()
+    )
+    def key(s):
+        return df.sparkSession.createDataFrame(
+            [(s,)], "g string"
+        ).select(F.xxhash64("g").alias("k")).collect()[0]["k"]
+
+    # only doc 1 has >= 3 tokens (doc 5 normalizes to 'pad me', 2 tokens
+    # -> no rows, the old lead-null filter's behavior)
+    assert got == [(1, 0, key("a b c")), (1, 1, key("b c d"))]
+    # n=1 on an empty doc must emit nothing (the old t != '' filter)
+    n1 = _positional_grams(df.filter("doc_id in (2,3)"), "text", "doc_id", 1)
+    assert n1.count() == 0
+    # char unit: positions address codepoints of the normalized text
+    ch = sorted(
+        (r["doc_id"], r["pos"])
+        for r in _positional_grams(
+            df.filter("doc_id = 4"), "text", "doc_id", 2, unit="char"
+        ).collect()
+    )
+    assert ch == [(4, 0), (4, 1)]  # "x y" -> 'x ', ' y'
+
+
+def test_positional_grams_no_window_exchange(spark):
+    from grasper_spark.functions.dedup import _positional_grams
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    plan = (
+        _positional_grams(df, "text", "doc_id", 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
