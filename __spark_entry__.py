@@ -173,6 +173,32 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tbl(spark, sf_dir, "documents")
 
 
+#: identity-keyed lazy-PLAN memo for the compile-heavy non-graph
+#: entries — the batch twin of the graph tier's prepared-plan LRU
+#: (plans/prepared.py) and of dedup's _OPS_CACHE: assembling these
+#: DataFrames costs 0.1-0.4 s of py4j round trips per pass (measured:
+#: doc_line_dedup ~1,050 JVM calls / ~0.38 s to build a plan whose
+#: execution takes 0.11 s). Keyed on the IDENTITY of the session and
+#: the memoized input handles (the stored strong refs keep ids stable,
+#: compared with `is`), so a different corpus dir, a rebuilt handle, or
+#: an evicted one-slot persist all miss and rebuild. NOT result
+#: caching: the cached object is an unmaterialized plan — every action
+#: still scans the parquet inputs and recomputes.
+_ENTRY_PLANS: dict = {}
+
+
+def _plan_memo(name: str, deps: tuple, build):
+    key = (name,) + tuple(id(o) for o in deps)
+    hit = _ENTRY_PLANS.get(key)
+    if hit is not None and all(a is b for a, b in zip(hit[0], deps)):
+        return hit[1]
+    df = build()
+    if len(_ENTRY_PLANS) > 64:
+        _ENTRY_PLANS.clear()
+    _ENTRY_PLANS[key] = (deps, df)
+    return df
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (Q7 shape from the reference paper, Table 4):
     scan→filter→as→union→traverse→where(neq)→order→limit."""
@@ -763,15 +789,19 @@ def _q_doc_text_lang(spark, sf):
     # String column names hit the library's name-keyed expression cache
     # (text._name_cached) — the trees build once per process instead of
     # per pass.
-    return quality_features(_docs(spark, sf)).select(
-        "doc_id",
-        punct_ratio("text").alias("punct_ratio"),
-        stopword_ratio("text").alias("stopword_ratio"),
-        quality_score("text").alias("quality"),
-        lang_id("text").alias("lang_pred"),
-        F.round("f_mean_token_len", 6).alias("mean_token_len"),
-        F.round("f_digit_ratio", 6).alias("digit_ratio"),
-        F.round("f_upper_ratio", 6).alias("upper_ratio"),
+    docs = _docs(spark, sf)
+    return _plan_memo(
+        "doc_text_lang", (spark, docs),
+        lambda: quality_features(docs).select(
+            "doc_id",
+            punct_ratio("text").alias("punct_ratio"),
+            stopword_ratio("text").alias("stopword_ratio"),
+            quality_score("text").alias("quality"),
+            lang_id("text").alias("lang_pred"),
+            F.round("f_mean_token_len", 6).alias("mean_token_len"),
+            F.round("f_digit_ratio", 6).alias("digit_ratio"),
+            F.round("f_upper_ratio", 6).alias("upper_ratio"),
+        ),
     )
 
 
@@ -784,33 +814,38 @@ def _q_doc_line_dedup(spark, sf):
     from grasper_spark.functions.dedup import intra_doc_line_dedup, line_dedup
     from grasper_spark.functions.text import tokens
 
-    t = tokens(F.col("text"))
-    n = F.greatest(F.ceil(F.size(t) / F.lit(8.0)).cast("int"), F.lit(1))
-    lines_arr = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.array_join(F.slice(t, (i - F.lit(1)) * F.lit(8) + F.lit(1), F.lit(8)), " "),
-    )
-    seg = _docs(spark, sf).select(
-        "doc_id", F.array_join(lines_arr, "\n").alias("text")
-    )
-    cross = line_dedup(seg, max_df=2).select(
-        F.lit("cross").alias("op"), "doc_id", "text", "n_lines", "n_kept"
-    )
-    # intra-doc half (MassiveText): the natural corpus has zero repeated
-    # lines WITHIN a doc, so append each doc's first line once more —
-    # deterministic on both engines — making the first-occurrence filter
-    # non-vacuous for every document
-    aug = seg.select(
-        "doc_id",
-        F.concat_ws(
-            "\n", F.col("text"), F.element_at(F.split(F.col("text"), "\n"), 1)
-        ).alias("text"),
-    )
-    intra = intra_doc_line_dedup(aug).select(
-        F.lit("intra").alias("op"), "doc_id", "text",
-        F.col("n_lines").cast("long").alias("n_lines"), "n_kept",
-    )
-    return cross.unionByName(intra)
+    docs = _docs(spark, sf)
+
+    def build():
+        t = tokens(F.col("text"))
+        n = F.greatest(F.ceil(F.size(t) / F.lit(8.0)).cast("int"), F.lit(1))
+        lines_arr = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(t, (i - F.lit(1)) * F.lit(8) + F.lit(1), F.lit(8)), " "),
+        )
+        seg = docs.select(
+            "doc_id", F.array_join(lines_arr, "\n").alias("text")
+        )
+        cross = line_dedup(seg, max_df=2).select(
+            F.lit("cross").alias("op"), "doc_id", "text", "n_lines", "n_kept"
+        )
+        # intra-doc half (MassiveText): the natural corpus has zero
+        # repeated lines WITHIN a doc, so append each doc's first line
+        # once more — deterministic on both engines — making the
+        # first-occurrence filter non-vacuous for every document
+        aug = seg.select(
+            "doc_id",
+            F.concat_ws(
+                "\n", F.col("text"), F.element_at(F.split(F.col("text"), "\n"), 1)
+            ).alias("text"),
+        )
+        intra = intra_doc_line_dedup(aug).select(
+            F.lit("intra").alias("op"), "doc_id", "text",
+            F.col("n_lines").cast("long").alias("n_lines"), "n_kept",
+        )
+        return cross.unionByName(intra)
+
+    return _plan_memo("doc_line_dedup", (spark, docs), build)
 
 
 def _q_doc_exact_dedup(spark, sf):
@@ -853,7 +888,11 @@ def _q_doc_exact_dedup(spark, sf):
 def _q_doc_minhash_sig(spark, sf):
     from grasper_spark.functions.dedup import minhash_signature
 
-    return minhash_signature(_docs(spark, sf)).select("doc_id", "sig")
+    docs = _docs(spark, sf)
+    return _plan_memo(
+        "doc_minhash_sig", (spark, docs),
+        lambda: minhash_signature(docs).select("doc_id", "sig"),
+    )
 
 
 def _q_doc_simhash(spark, sf):
@@ -873,33 +912,40 @@ def _q_doc_neardup_jaccard(spark, sf):
     from grasper_spark.functions.dedup import overlap_pair_stats
 
     stats = overlap_pair_stats(_docs(spark, sf))
-    jac = F.round(
-        F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
-    )
-    rows = stats.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("jaccard").alias("op"),
-                    F.col("id_a"), F.col("id_b"), jac.alias("v"),
-                ),
-                F.struct(
-                    F.lit("containment").alias("op"),
-                    F.col("id_a"), F.col("id_b"),
-                    F.round(F.col("common") / F.col("sz_a"), 6).alias("v"),
-                ),
-                F.struct(
-                    F.lit("containment").alias("op"),
-                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"),
-                    F.round(F.col("common") / F.col("sz_b"), 6).alias("v"),
-                ),
-            )
-        ).alias("r")
-    ).select("r.*")
-    return rows.filter(
-        ((F.col("op") == "jaccard") & (F.col("v") >= 0.2))
-        | ((F.col("op") == "containment") & (F.col("v") >= 0.5))
-    )
+
+    def build():
+        jac = F.round(
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+        )
+        rows = stats.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("jaccard").alias("op"),
+                        F.col("id_a"), F.col("id_b"), jac.alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("containment").alias("op"),
+                        F.col("id_a"), F.col("id_b"),
+                        F.round(F.col("common") / F.col("sz_a"), 6).alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("containment").alias("op"),
+                        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"),
+                        F.round(F.col("common") / F.col("sz_b"), 6).alias("v"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.*")
+        return rows.filter(
+            ((F.col("op") == "jaccard") & (F.col("v") >= 0.2))
+            | ((F.col("op") == "containment") & (F.col("v") >= 0.5))
+        )
+
+    # keyed on the stats plan's identity: overlap_pair_stats is itself
+    # identity-cached and slot-guarded, so an evicted shingle persist
+    # yields a NEW stats object and this memo rebuilds with it
+    return _plan_memo("doc_neardup_jaccard", (spark, stats), build)
 
 
 def _q_emb_cosine_topk(spark, sf):
@@ -915,8 +961,11 @@ def _q_emb_cosine_topk(spark, sf):
 
     ensure_runtime_confs(spark)
     emb = _tbl(spark, sf, "embeddings")
-    return qint_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
-        "query_id", "neighbor_id", F.col("sim_q").alias("sim"), "rank"
+    return _plan_memo(
+        "emb_cosine_topk", (spark, emb),
+        lambda: qint_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
+            "query_id", "neighbor_id", F.col("sim_q").alias("sim"), "rank"
+        ),
     )
 
 
@@ -1346,21 +1395,28 @@ def _q_events_agg(spark, sf):
     # (DuckDB may sum pairwise) and round(·,4) itself differs between
     # exact-decimal HALF_UP and multiply-based rounding, so the ledger
     # hashes only fold-order-free integers.
-    a = windowed_counts_batch(spark, sf, quantize=10000).select(
-        F.lit("window").alias("op"),
-        F.col("window_start").alias("k1"),
-        F.col("event_type").alias("k2"),
-        F.col("cnt").alias("n"),
-        F.col("sum_value").alias("v"),
-    )
-    b = sessionize_batch(spark, sf).select(
-        F.lit("session").alias("op"),
-        F.col("user_id").cast("string").alias("k1"),
-        F.lit("").alias("k2"),
-        F.col("n_sessions").alias("n"),
-        F.col("max_session_events").cast("long").alias("v"),
-    )
-    return a.unionByName(b)
+    from grasper_spark.streaming.windows import load_events
+
+    ev = load_events(spark, sf)
+
+    def build():
+        a = windowed_counts_batch(spark, sf, quantize=10000).select(
+            F.lit("window").alias("op"),
+            F.col("window_start").alias("k1"),
+            F.col("event_type").alias("k2"),
+            F.col("cnt").alias("n"),
+            F.col("sum_value").alias("v"),
+        )
+        b = sessionize_batch(spark, sf).select(
+            F.lit("session").alias("op"),
+            F.col("user_id").cast("string").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("n_sessions").alias("n"),
+            F.col("max_session_events").cast("long").alias("v"),
+        )
+        return a.unionByName(b)
+
+    return _plan_memo("events_agg", (spark, ev), build)
 
 
 def _q_events_interval_join(spark, sf):
@@ -1368,8 +1424,13 @@ def _q_events_interval_join(spark, sf):
     # user within 30 min); the streaming form with watermark-bounded
     # state is asserted equal in tests
     from grasper_spark.streaming.joins import interval_join_batch
+    from grasper_spark.streaming.windows import load_events
 
-    return interval_join_batch(spark, sf)
+    ev = load_events(spark, sf)
+    return _plan_memo(
+        "events_interval_join", (spark, ev),
+        lambda: interval_join_batch(spark, sf),
+    )
 
 
 #: persisted payload relations keyed by sf_dir (capacity 3: base, sf1

@@ -208,3 +208,51 @@ def test_positional_grams_no_window_exchange(spark):
     )
     assert "hashpartitioning" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_entry_plan_memo_identity_and_isolation(spark):
+    # the entry-level plan memo (__spark_entry__._plan_memo) must return
+    # the SAME unmaterialized plan for the same (session, corpus) and a
+    # DIFFERENT one per corpus — and each must compute ITS corpus' rows
+    # (no cross-corpus leakage, no result caching)
+    import __spark_entry__ as entry
+
+    d1, d2 = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+
+    def chk(df):  # content checksum — both corpora have 500 docs
+        return df.select(
+            F.xxhash64(F.concat_ws("|", *df.columns)).alias("h")
+        ).agg(F.expr("bit_xor(h)").alias("h")).collect()[0]["h"]
+
+    a = entry._q_doc_text_lang(spark, d1)
+    assert entry._q_doc_text_lang(spark, d1) is a
+    h1 = chk(a)
+    b = entry._q_doc_text_lang(spark, d2)
+    assert b is not a
+    assert chk(b) != h1
+    # returning to the first corpus hits the memo and still recomputes
+    assert chk(entry._q_doc_text_lang(spark, d1)) == h1
+    # the cached object is a lazy PLAN — nothing got persisted
+    assert not a.storageLevel.useMemory and not a.storageLevel.useDisk
+    # the other memoized entries share the helper: spot-check identity
+    assert entry._q_events_agg(spark, d1) is entry._q_events_agg(spark, d1)
+    assert entry._q_emb_cosine_topk(spark, d1) is entry._q_emb_cosine_topk(spark, d1)
+    assert entry._q_doc_line_dedup(spark, d1) is entry._q_doc_line_dedup(spark, d1)
+
+
+def test_entry_plan_memo_slot_guard(spark):
+    # doc_neardup_jaccard's memo keys on the overlap_pair_stats object,
+    # which is itself guarded by the one-slot shingle persist: switching
+    # corpora evicts the slot, and the entry must rebuild (stale plans
+    # over an evicted persist would silently recompute the WRONG corpus)
+    import __spark_entry__ as entry
+
+    d1, d2 = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    a = entry._q_doc_neardup_jaccard(spark, d1)
+    assert entry._q_doc_neardup_jaccard(spark, d1) is a
+    n1 = a.count()
+    b = entry._q_doc_neardup_jaccard(spark, d2)  # evicts the d1 slot
+    assert b is not a
+    c = entry._q_doc_neardup_jaccard(spark, d1)  # rebuilt, not stale
+    assert c is not a
+    assert c.count() == n1
