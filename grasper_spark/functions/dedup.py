@@ -18,7 +18,7 @@ functions/__init__).  No Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from grasper_spark.functions.text import _md5_int, normalize, tokens
@@ -261,7 +261,13 @@ def _hashed_shingle_relation(
     persist — the self-join (a.sh = b.sh) and the document-frequency
     aggregates then read co-partitioned cached data with ZERO exchange;
     only the per-pair groupBy still shuffles. At sf1 this removed three
-    2.6M-row exchanges per pass from ngram_jaccard/containment."""
+    2.6M-row exchanges per pass from ngram_jaccard/containment.
+
+    Each row also carries `sz` = the doc's TOTAL distinct-shingle count
+    (one window pass at build time, amortized into the one-time
+    persist): overlap_pair_stats then threads sizes THROUGH the
+    self-join instead of re-aggregating them per pass (r8: the per-pass
+    sizes groupBy + two broadcast joins were ~25% of the pair time)."""
     key = (id(df), text_col, id_col, shingle_n, unit)
     hit = _SH_ARGS_CACHE.get(key)
     if (
@@ -274,6 +280,9 @@ def _hashed_shingle_relation(
     rel = _persisted_shingles(
         _exploded_shingles(df, text_col, id_col, shingle_n, unit=unit)
         .select(id_col, F.xxhash64("sh").alias("sh"))
+        .withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
         .repartition("sh")
     )
     _SH_ARGS_CACHE.clear()
@@ -315,20 +324,35 @@ def overlap_pair_stats(
     hot = rel.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
         F.col("df_cnt") > max_shingle_df
     ).select("sh")
-    sh = rel.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # effective size = persisted total `sz` minus the doc's hot-shingle
+    # count (hot_per_doc is at most one row per doc that HAS a hot
+    # shingle — usually empty — so the probe side broadcasts); sizes
+    # then ride THROUGH the self-join as per-row columns and fall out
+    # of the pair groupBy as min() of a per-group constant. This
+    # replaces the old per-pass sizes aggregate over the whole anti-
+    # joined relation plus two broadcast joins over the pair stream
+    # (guide §2.3: aggregate once at build, ship constants with rows).
+    hot_per_doc = rel.join(F.broadcast(hot), "sh").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("hot_cnt")
+    )
+    sh = (
+        rel.join(F.broadcast(hot), "sh", "left_anti")
+        .join(F.broadcast(hot_per_doc), id_col, "left")
+        .withColumn(
+            "sze", F.col("sz") - F.coalesce(F.col("hot_cnt"), F.lit(0))
+        )
+    )
     a, b = sh.alias("a"), sh.alias("b")
-    common = (
+    stats = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min(F.col("a.sze")).alias("sz_a"),
+            F.min(F.col("b.sze")).alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    # sizes is one row per DOC (tiny vs the pair stream) — broadcast
-    # both joins or the 10M+-row candidate relation shuffles twice
-    stats = common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
     # slot-guarded: the cache entry is valid only while `rel` is still
     # the one-slot persisted occupant (see the hit check above)
     _OPS_CACHE.clear()
