@@ -1689,9 +1689,14 @@ def _q_multimodal_features(spark, sf):
                     # bottom-up BGR strides); one row per frame,
                     # b = fps parsed from strh
                     vfps, vframes = decode_avi(bytes(avip))
-                    for vf, vpx in enumerate(vframes):
-                        vlu = luma_int(vpx)
-                        emit("vid", mid, vf, vfps, int(vlu.sum()), int(vlu[0, 0]))
+                    # one stacked luma pass over all frames (same dims
+                    # within a video): identical integers, one ufunc
+                    # launch instead of one per frame
+                    vlus = luma_int(np.stack(vframes)) if vframes else None
+                    vsums = vlus.sum(axis=(1, 2)) if vframes else None
+                    for vf in range(len(vframes)):
+                        emit("vid", mid, vf, vfps,
+                             int(vsums[vf]), int(vlus[vf, 0, 0]))
                     # real baseline JPEG decode (marker walk, canonical
                     # Huffman, dequant, IDCT); flat blocks under the
                     # all-ones quant table reconstruct EXACTLY, so the
@@ -1712,10 +1717,11 @@ def _q_multimodal_features(spark, sf):
                     # gray-valued flat blocks stay integer-exact through
                     # the color path (Y=v, Cb=Cr=128), one row per frame
                     mfps, mframes = decode_avi(bytes(mjpp))
-                    for mf, mpx in enumerate(mframes):
-                        mlu = luma_int(mpx)
+                    mlus = luma_int(np.stack(mframes)) if mframes else None
+                    msums = mlus.sum(axis=(1, 2)) if mframes else None
+                    for mf in range(len(mframes)):
                         emit("mjp", mid, mf, mfps,
-                             int(mlu.sum()), int(mlu[0, 0]))
+                             int(msums[mf]), int(mlus[mf, 0, 0]))
                     # real MP3 frame-header walk: frame count, first
                     # bitrate, sample rate and exact-integer duration
                     # re-derived by the oracle from the same closed

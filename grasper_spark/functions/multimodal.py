@@ -993,11 +993,22 @@ def audio_decimate(samples, factor: int):
 
 def luma_int(rgb) -> "object":
     """Integer BT.601-ish luma (77R + 150G + 29B) >> 8 — exact on any
-    engine (pure int arithmetic; the floats-never-hash contract)."""
+    engine (pure int arithmetic; the floats-never-hash contract).
+
+    Computed as one int64 matmul over the channel axis instead of three
+    ufunc passes (identical integers, ~2x fewer kernel launches — this
+    runs per decoded frame in the multimodal feature path). Extra
+    channels beyond RGB (alpha) are ignored, as before."""
     import numpy as np
 
-    px = np.asarray(rgb, dtype=np.int64)
-    return (77 * px[..., 0] + 150 * px[..., 1] + 29 * px[..., 2]) >> 8
+    global _LUMA_W
+    if _LUMA_W is None:
+        _LUMA_W = np.array([77, 150, 29], dtype=np.int64)
+    px = np.asarray(rgb, dtype=np.int64)[..., :3]
+    return (px @ _LUMA_W) >> 8
+
+
+_LUMA_W = None
 
 
 # deterministic synthesis formulas — these ARE the cross-engine
