@@ -1636,7 +1636,7 @@ def _q_multimodal_features(spark, sf):
         from grasper_spark.functions.mpeg_audio import mp3_features
         from grasper_spark.functions.multimodal import (
             audio_decimate, byte_stats, decode_avi, decode_bmp,
-            decode_gif, decode_jpeg, decode_png, decode_wav,
+            decode_gif, decode_png, decode_wav,
             image_resize_nn, luma_int,
         )
 
@@ -1666,12 +1666,43 @@ def _q_multimodal_features(spark, sf):
             # production posture: payloads live in the table, the job
             # decodes them (synthesis happened once, in the persisted
             # media relation build — bench load_phases.media_persist)
-            for (mid, wavp, avip, jpgp, jprp, mjpp, mp3p, flcp, bmpp,
-                 pngp, pn7p, p16p, gifp) in zip(
+            rows = list(zip(
                 mids, pdf["wav"], pdf["avi"], pdf["jpg"], pdf["jpr"],
                 pdf["mjp"], pdf["mp3"], pdf["flc"], pdf["bmp"],
                 pdf["png"], pdf["pn7"], pdf["p16"], pdf["gif"],
-            ):
+            ))
+            # batched baseline-JPEG pre-pass (guide §4.2 — batch-axis
+            # work): ONE grouped decode over the batch's jpg payloads
+            # and over every MJPEG video's frames. decode_jpeg_batch is
+            # result-identical to per-payload decode_jpeg; same-header
+            # DC-only images share one whole-group plane build instead
+            # of ~20 small numpy calls each. Progressive (jpr) payloads
+            # take the scalar path inside the batch API anyway, so
+            # they stay per-row below.
+            from grasper_spark.functions.jpeg import decode_jpeg_batch
+            from grasper_spark.functions.multimodal import (
+                mjpeg_frame_bytes,
+            )
+
+            jpg_k, jpg_pl, jpr_pl = [], [], []
+            mjp_meta, mjp_pl = {}, []
+            for k, r in enumerate(rows):
+                mid_k, wavp_k, mjpp_k = int(r[0]), r[1], r[5]
+                if mid_k % 97 == 0 or wavp_k is None:
+                    continue
+                jpg_k.append(k)
+                jpg_pl.append(bytes(r[3]))
+                jpr_pl.append(bytes(r[4]))
+                mj = mjpeg_frame_bytes(bytes(mjpp_k))
+                if mj is not None:
+                    mjp_meta[k] = (mj[0], len(mjp_pl), len(mj[1]))
+                    mjp_pl.extend(mj[1])
+            jpg_dec = dict(zip(jpg_k, decode_jpeg_batch(jpg_pl)))
+            jpr_dec = dict(zip(jpg_k, decode_jpeg_batch(jpr_pl)))
+            mjp_dec = decode_jpeg_batch(mjp_pl)
+
+            for k, (mid, wavp, avip, jpgp, jprp, mjpp, mp3p, flcp, bmpp,
+                    pngp, pn7p, p16p, gifp) in enumerate(rows):
                 mid = int(mid)
                 if mid % 97 == 0:
                     emit("error", mid, -1, -1, -1, -1)
@@ -1701,14 +1732,14 @@ def _q_multimodal_features(spark, sf):
                     # Huffman, dequant, IDCT); flat blocks under the
                     # all-ones quant table reconstruct EXACTLY, so the
                     # luma features hash cross-engine
-                    jpx = decode_jpeg(bytes(jpgp))
+                    jpx = jpg_dec[k]
                     jlu = jpx[..., 0].astype(np.int64)
                     emit("jpg", mid, jpx.shape[1], jpx.shape[0],
                          int(jlu.sum()), int(jlu[0, 0]))
                     # progressive (SOF2) twin: DC/AC first + refinement
                     # scans reassemble the SAME coefficients — decoded
                     # luma must hash identically to the closed forms
-                    rpx = decode_jpeg(bytes(jprp))
+                    rpx = jpr_dec[k]
                     rlu = rpx[..., 0].astype(np.int64)
                     emit("jpr", mid, rpx.shape[1], rpx.shape[0],
                          int(rlu.sum()), int(rlu[0, 0]))
@@ -1716,7 +1747,15 @@ def _q_multimodal_features(spark, sf):
                     # the RIFF demux + the same baseline JPEG decoder;
                     # gray-valued flat blocks stay integer-exact through
                     # the color path (Y=v, Cb=Cr=128), one row per frame
-                    mfps, mframes = decode_avi(bytes(mjpp))
+                    if k in mjp_meta:
+                        mfps, s0, nfr = mjp_meta[k]
+                        mframes = [
+                            px if px.shape[2] == 3
+                            else np.repeat(px, 3, axis=2)
+                            for px in mjp_dec[s0:s0 + nfr]
+                        ]
+                    else:  # non-MJPG AVI in the mjp column
+                        mfps, mframes = decode_avi(bytes(mjpp))
                     mlus = luma_int(np.stack(mframes)) if mframes else None
                     msums = mlus.sum(axis=(1, 2)) if mframes else None
                     for mf in range(len(mframes)):

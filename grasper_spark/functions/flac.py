@@ -242,10 +242,13 @@ def _rice_scalar(r: _Reader, n: int, param: int) -> list[int]:
 
 
 def _rice_read(r: _Reader, n: int, param: int) -> list[int]:
-    """Rice decode via _rice_scalar (a numpy unpackbits+gather
-    formulation was measured SLOWER at every partition size - the
-    separator walk is inherently sequential, and the scalar loop is
-    already local-variable-inlined at ~0.65 us/sample)."""
+    """Rice decode via _rice_scalar. Two vectorized formulations were
+    measured SLOWER: r8's unpackbits + per-bit separator walk, and
+    r9's set-bit-positions + C-bisect terminator chase with batch
+    quotient/remainder extraction (scalar 21/57/240 us vs numpy
+    35/74/274 at n=64/128/512 — the scalar loop's ~0.4 us/sample beats
+    per-sample bisect plus the unpack/gather overhead at every
+    realistic partition size)."""
     return _rice_scalar(r, n, param)
 
 

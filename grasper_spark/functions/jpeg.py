@@ -805,6 +805,195 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _parse_dqt(body, qts):
+    """Parse one DQT segment body into qts (natural-order int64
+    tables, cached — corpora repeat tables)."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        if pq != 0:
+            raise ValueError("16-bit quantization tables unsupported")
+        if i + 65 > len(body):
+            raise ValueError("truncated DQT")
+        raw = bytes(body[i + 1:i + 65])
+        nat = _DQT_CACHE.get(raw)
+        if nat is None:
+            zz = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            nat = np.zeros(64, dtype=np.int64)
+            nat[ZIGZAG] = zz  # store in natural order
+            nat.setflags(write=False)
+            if len(_DQT_CACHE) < 64:
+                _DQT_CACHE[raw] = nat
+        qts[tq] = nat
+        i += 65
+
+
+def _parse_dht(body, huffs):
+    """Parse one DHT segment body into huffs, via the segment- and
+    table-level caches (corpora reuse the Annex K tables in every
+    payload — decode arrays build once per distinct table, not once
+    per image; only complete parses are cached, so malformed bodies
+    keep raising every time)."""
+    seg = _DHT_SEG_CACHE.get(body)
+    if seg is None:
+        seg = {}
+        i = 0
+        while i < len(body):
+            tc, th = body[i] >> 4, body[i] & 0x0F
+            raw = bytes(body[i + 1:i + 17])
+            if len(raw) != 16:
+                raise ValueError("truncated DHT")
+            bits = list(raw)
+            n = sum(bits)
+            vals = list(body[i + 17:i + 17 + n])
+            if len(vals) != n:
+                raise ValueError("truncated DHT")
+            ck = raw + bytes(vals)
+            tbl = _HUFF_CACHE.get(ck)
+            if tbl is None:
+                tbl = _HuffTable(bits, vals)
+                if len(_HUFF_CACHE) < 64:
+                    _HUFF_CACHE[ck] = tbl
+            seg[(tc, th)] = tbl
+            i += 17 + n
+        if len(_DHT_SEG_CACHE) < 64:
+            _DHT_SEG_CACHE[body] = seg
+    huffs.update(seg)
+
+
+def _parse_sof(body):
+    """Parse a SOF0/SOF2 segment body -> (fh, fw, comps) with
+    per-component [cid, hi, vi, tq, td, ta] (td/ta filled by SOS)."""
+    if len(body) < 6:
+        raise ValueError("truncated SOF header")
+    prec, fh, fw, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+    if prec != 8:
+        raise ValueError(f"{prec}-bit samples unsupported (8-bit only)")
+    if fh == 0 or fw == 0:
+        raise ValueError("empty image dimensions")
+    if nc not in (1, 3):
+        raise ValueError(f"{nc}-component JPEG unsupported")
+    comps = []
+    for c in range(nc):
+        cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+        hi, vi = hv >> 4, hv & 0x0F
+        if hi not in (1, 2) or vi not in (1, 2):
+            raise ValueError(f"sampling factor {hi}x{vi} unsupported")
+        comps.append([cid, hi, vi, tq, None, None])
+    return (fh, fw, comps)
+
+
+#: memoized parses of complete plain-baseline header prefixes
+#: (SOI..SOS): corpora repeat the exact header bytes across images —
+#: and across every frame of an MJPEG video — so the marker walk runs
+#: once per distinct header. A complete header is self-delimiting
+#: (the bytes up to its SOS fully determine where entropy data
+#: starts), so a byte-exact prefix match at a cached length is
+#: definitive. Values: (qts, comp_meta, frame, ri, hdr_len, geom).
+_HDR_CACHE: dict = {}
+_HDR_LENS: list = []
+
+
+def _parse_baseline_header(payload: bytes):
+    """Walk markers up to and including the first SOS of a plain
+    BASELINE (SOF0) frame. Returns None for anything else — progressive
+    frames, malformed segments, unexpected markers — so the caller
+    falls back to the full decode_jpeg walk (which raises the canonical
+    errors for malformed input)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qts: dict = {}
+    huffs: dict = {}
+    frame = None
+    ri = 0
+    try:
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            pos += 2
+            if marker == 0xD9 or 0xD0 <= marker <= 0xD7:
+                return None
+            if pos + 2 > len(payload):
+                return None
+            (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+            body = payload[pos + 2:pos + seglen]
+            if len(body) != seglen - 2:
+                return None
+            if marker == 0xDB:
+                _parse_dqt(body, qts)
+            elif marker == 0xC4:
+                _parse_dht(body, huffs)
+            elif marker == 0xC0:
+                frame = _parse_sof(body)
+            elif marker == 0xDD:
+                if len(body) < 2:
+                    return None
+                (ri,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:  # SOS — the header ends here
+                if frame is None or len(body) < 1:
+                    return None
+                ns = body[0]
+                if not 1 <= ns <= 4 or len(body) < 1 + 2 * ns + 3:
+                    return None
+                comps = frame[2]
+                if ns != len(comps):
+                    return None
+                for c in range(ns):
+                    cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                    for comp in comps:
+                        if comp[0] == cs:
+                            comp[4], comp[5] = tdta >> 4, tdta & 0x0F
+                            break
+                    else:
+                        return None
+                for _, hi, vi, tq, _, _ in comps:
+                    if tq not in qts:
+                        return None
+                comp_meta = _scan_comp_meta(comps, huffs)
+                fh, fw, _ = frame
+                max_h = max(c[1] for c in comps)
+                max_v = max(c[2] for c in comps)
+                geom = (
+                    (fw + 8 * max_h - 1) // (8 * max_h),
+                    (fh + 8 * max_v - 1) // (8 * max_v),
+                    max_h,
+                    max_v,
+                )
+                # freeze comps: the cached header is shared between
+                # decodes and must never be mutated
+                frame = (fh, fw, tuple(tuple(c) for c in comps))
+                return (qts, comp_meta, frame, ri, pos + seglen, geom)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/extended: full walk
+            pos += seglen
+    except ValueError:
+        return None
+    return None
+
+
+def _baseline_header(payload: bytes):
+    """Memoized _parse_baseline_header (see _HDR_CACHE)."""
+    for ln in _HDR_LENS:
+        hit = _HDR_CACHE.get(payload[:ln])
+        if hit is not None:
+            return hit
+    parsed = _parse_baseline_header(payload)
+    if parsed is None:
+        return None
+    hlen = parsed[4]
+    if len(_HDR_CACHE) < 256:
+        _HDR_CACHE[payload[:hlen]] = parsed
+        if hlen not in _HDR_LENS:
+            _HDR_LENS.append(hlen)
+    return parsed
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline (SOF0) or progressive (SOF2) JFIF payload to
     (H, W, 1) grayscale or (H, W, 3) RGB uint8. Full marker walk
@@ -817,6 +1006,39 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ValueError."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
+    # plain-baseline fast path: a memoized header parse (corpora repeat
+    # exact header bytes) + the same entropy/plane/assemble code the
+    # full walk runs. Only taken when the byte after the scan is EOI
+    # (or the payload ends) — i.e. exactly the payloads for which the
+    # full walk would do nothing else; anything unusual falls through.
+    hdr = _baseline_header(payload)
+    if hdr is not None:
+        h_qts, comp_meta, h_frame, h_ri, hlen, geom = hdr
+        mcus_x, mcus_y, max_h, max_v = geom
+        dcs, sparse, end_pos = _entropy_decode(
+            payload, hlen, h_frame[2], comp_meta, h_ri, mcus_x, mcus_y
+        )
+        if (end_pos + 4 > len(payload)
+                or payload[end_pos:end_pos + 2] == b"\xff\xd9"):
+            planes = _scan_planes(
+                h_frame[2], h_qts, dcs, sparse, mcus_x, mcus_y
+            )
+            return _assemble(h_frame, (planes, geom))
+    frame, qts, progressive, prog_grids, scan = _decode_jpeg_walk(payload)
+    if progressive:
+        planes = _dense_planes(frame[2], prog_grids, qts)
+        max_h = max(c[1] for c in frame[2])
+        max_v = max(c[2] for c in frame[2])
+        mx = (frame[1] + 8 * max_h - 1) // (8 * max_h)
+        my = (frame[0] + 8 * max_v - 1) // (8 * max_v)
+        return _assemble(frame, (planes, (mx, my, max_h, max_v)))
+    return _assemble(frame, scan)
+
+
+def _decode_jpeg_walk(payload):
+    """The full marker walk of decode_jpeg, stopping before the final
+    plane assembly: returns (frame, qts, progressive, prog_grids,
+    scan) with progressive quant tables already validated."""
     pos = 2
     qts = {}
     huffs = {}
@@ -844,73 +1066,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if len(body) != seglen - 2:
             raise ValueError("truncated marker segment")
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quantization tables unsupported")
-                if i + 65 > len(body):
-                    raise ValueError("truncated DQT")
-                raw = bytes(body[i + 1:i + 65])
-                nat = _DQT_CACHE.get(raw)  # corpora repeat tables
-                if nat is None:
-                    zz = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
-                    nat = np.zeros(64, dtype=np.int64)
-                    nat[ZIGZAG] = zz  # store in natural order
-                    nat.setflags(write=False)
-                    if len(_DQT_CACHE) < 64:
-                        _DQT_CACHE[raw] = nat
-                qts[tq] = nat
-                i += 65
+            _parse_dqt(body, qts)
         elif marker == 0xC4:  # DHT
-            seg = _DHT_SEG_CACHE.get(body)
-            if seg is None:
-                seg = {}
-                i = 0
-                while i < len(body):
-                    tc, th = body[i] >> 4, body[i] & 0x0F
-                    raw = bytes(body[i + 1:i + 17])
-                    if len(raw) != 16:
-                        raise ValueError("truncated DHT")
-                    bits = list(raw)
-                    n = sum(bits)
-                    vals = list(body[i + 17:i + 17 + n])
-                    if len(vals) != n:
-                        raise ValueError("truncated DHT")
-                    # table cache: corpora reuse the Annex K tables in
-                    # every payload — building the decode arrays once
-                    # per distinct table, not once per image
-                    ck = raw + bytes(vals)
-                    tbl = _HUFF_CACHE.get(ck)
-                    if tbl is None:
-                        tbl = _HuffTable(bits, vals)
-                        if len(_HUFF_CACHE) < 64:
-                            _HUFF_CACHE[ck] = tbl
-                    seg[(tc, th)] = tbl
-                    i += 17 + n
-                # segment-level cache on top (only complete parses land
-                # here, so malformed bodies keep raising every time)
-                if len(_DHT_SEG_CACHE) < 64:
-                    _DHT_SEG_CACHE[body] = seg
-            huffs.update(seg)
+            _parse_dht(body, huffs)
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
-            if len(body) < 6:
-                raise ValueError("truncated SOF header")
-            prec, fh, fw, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
-            if prec != 8:
-                raise ValueError(f"{prec}-bit samples unsupported (8-bit only)")
-            if fh == 0 or fw == 0:
-                raise ValueError("empty image dimensions")
-            if nc not in (1, 3):
-                raise ValueError(f"{nc}-component JPEG unsupported")
-            comps = []
-            for c in range(nc):
-                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                hi, vi = hv >> 4, hv & 0x0F
-                if hi not in (1, 2) or vi not in (1, 2):
-                    raise ValueError(f"sampling factor {hi}x{vi} unsupported")
-                comps.append([cid, hi, vi, tq, None, None])
-            frame = (fh, fw, comps)
+            frame = _parse_sof(body)
+            fh, fw, comps = frame
             progressive = marker == 0xC2
             if progressive:
                 # coefficient accumulators shared by every scan
@@ -976,13 +1137,149 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for _, hi, vi, tq, _, _ in frame[2]:
             if tq not in qts:
                 raise ValueError(f"missing quantization table {tq}")
-        planes = _dense_planes(frame[2], prog_grids, qts)
-        max_h = max(c[1] for c in frame[2])
-        max_v = max(c[2] for c in frame[2])
-        mx = (frame[1] + 8 * max_h - 1) // (8 * max_h)
-        my = (frame[0] + 8 * max_v - 1) // (8 * max_v)
-        return _assemble(frame, (planes, (mx, my, max_h, max_v)))
-    return _assemble(frame, scan)
+    return frame, qts, progressive, prog_grids, scan
+
+
+def decode_jpeg_batch(payloads):
+    """Decode a sequence of JPEG payloads — result-identical to
+    ``[decode_jpeg(p) for p in payloads]`` (same arrays, same
+    ValueErrors), but payloads that share one memoized baseline header
+    (same geometry and tables — a corpus of same-shape thumbnails, or
+    every frame of an MJPEG video) and whose blocks are all DC-only
+    run the dequant + spatial construction and the crop/upsample/color
+    assembly ONCE per group as whole-batch numpy ops, instead of ~20
+    small per-image array calls. Anything else (progressive, AC
+    coefficients, unusual trailers) decodes through the scalar path
+    element-wise."""
+    out = [None] * len(payloads)
+    groups: dict = {}
+    for i, p in enumerate(payloads):
+        hdr = _baseline_header(p) if (
+            len(p) >= 4 and p[:2] == b"\xff\xd8"
+        ) else None
+        if hdr is not None:
+            qts, comp_meta, frame, ri, hlen, geom = hdr
+            mcus_x, mcus_y, _, _ = geom
+            dcs, sparse, end_pos = _entropy_decode(
+                p, hlen, frame[2], comp_meta, ri, mcus_x, mcus_y
+            )
+            if (end_pos + 4 > len(p)
+                    or p[end_pos:end_pos + 2] == b"\xff\xd9"):
+                if any(sparse):
+                    planes = _scan_planes(
+                        frame[2], qts, dcs, sparse, mcus_x, mcus_y
+                    )
+                    out[i] = _assemble(frame, (planes, geom))
+                else:
+                    groups.setdefault(
+                        id(hdr), (frame, qts, geom, True, [])
+                    )[4].append((i, dcs))
+                continue
+            # unusual trailer: the full walk decides what follows
+        frame, qts, progressive, prog_grids, scan = _decode_jpeg_walk(p)
+        if not progressive:
+            out[i] = _assemble(frame, scan)
+            continue
+        comps = frame[2]
+        max_h = max(c[1] for c in comps)
+        max_v = max(c[2] for c in comps)
+        geom = (
+            (frame[1] + 8 * max_h - 1) // (8 * max_h),
+            (frame[0] + 8 * max_v - 1) // (8 * max_v),
+            max_h, max_v,
+        )
+        # extract row-major DC lists when every block of every (small)
+        # grid is DC-only — the batched-assembly domain; anything else
+        # finishes through the scalar dense-planes path
+        dc_lists = []
+        for gl in prog_grids:
+            dcl = None
+            if len(gl) * len(gl[0]) <= 64:
+                dcl = []
+                for grow in gl:
+                    for b in grow:
+                        if any(b[1:]):
+                            dcl = None
+                            break
+                        dcl.append(b[0])
+                    if dcl is None:
+                        break
+            if dcl is None:
+                dc_lists = None
+                break
+            dc_lists.append(dcl)
+        if dc_lists is None:
+            planes = _dense_planes(comps, prog_grids, qts)
+            out[i] = _assemble(frame, (planes, geom))
+            continue
+        key = (
+            frame[0], frame[1],
+            tuple((c[1], c[2], id(qts[c[3]])) for c in comps),
+        )
+        groups.setdefault(
+            key, (frame, qts, geom, False, [])
+        )[4].append((i, dc_lists))
+    for frame, qts, geom, scan_order, items in groups.values():
+        _assemble_dc_group(frame, qts, geom, scan_order, items, out)
+    return out
+
+
+def _assemble_dc_group(frame, qts, geom, scan_order, items, out):
+    """Batched DC-only plane construction + assembly for a group of
+    decodes sharing one geometry + quant tables: identical float ops
+    to _dc_only_plane / _scan_planes / _dense_planes / _assemble
+    (rint((M00*dcq)*M00)+128, clip, 8x repeat, crop, chroma upsample,
+    gray-in-color fast path), lifted to a leading batch axis.
+    scan_order=True marks baseline DC lists (MCU scan order, scattered
+    to row-major); progressive grids arrive row-major already."""
+    fh, fw, comps = frame
+    mcus_x, mcus_y, max_h, max_v = geom
+    n = len(items)
+    m00 = _DCT_M[0, 0]
+    planes = []
+    for ci, (_, hi, vi, tq, _, _) in enumerate(comps):
+        nby, nbx = mcus_y * vi, mcus_x * hi
+        dcm = np.array([dcs[ci] for _, dcs in items], dtype=np.int64)
+        if not scan_order or (hi, vi) == (1, 1):
+            rm = dcm  # row-major already (or one block per MCU)
+        else:
+            pkey = (mcus_y, mcus_x, vi, hi)
+            pos = _POS_CACHE.get(pkey)
+            if pos is None:
+                myi = np.arange(mcus_y)[:, None, None, None]
+                mxi = np.arange(mcus_x)[None, :, None, None]
+                byi = np.arange(vi)[None, None, :, None]
+                bxi = np.arange(hi)[None, None, None, :]
+                pos = ((myi * vi + byi) * nbx + mxi * hi + bxi).ravel()
+                if len(_POS_CACHE) < 256:
+                    _POS_CACHE[pkey] = pos
+            rm = np.empty_like(dcm)
+            rm[:, pos] = dcm
+        dcq = (rm * int(qts[tq][0])).astype(np.float64)
+        spat = np.clip(np.rint((m00 * dcq) * m00) + 128, 0, 255)
+        blkmap = spat.astype(np.uint8).reshape(n, nby, nbx)
+        planes.append(blkmap.repeat(8, axis=1).repeat(8, axis=2))
+    out_planes = []
+    for ci, (_, hi, vi, _, _, _) in enumerate(comps):
+        cw = (fw * hi + max_h - 1) // max_h
+        ch = (fh * vi + max_v - 1) // max_v
+        p = planes[ci][:, :ch, :cw]
+        if hi != max_h or vi != max_v:
+            p = p.repeat(max_v // vi, axis=1).repeat(max_h // hi, axis=2)
+        out_planes.append(p[:, :fh, :fw])
+    if len(out_planes) == 1:
+        gray = out_planes[0][:, :, :, None]
+        for j, (i, _) in enumerate(items):
+            out[i] = gray[j]
+        return
+    y, cb, cr = out_planes
+    gray_ok = (cb == 128).all(axis=(1, 2)) & (cr == 128).all(axis=(1, 2))
+    rep = np.repeat(y[:, :, :, None], 3, axis=-1) if gray_ok.any() else None
+    for j, (i, _) in enumerate(items):
+        if gray_ok[j]:
+            out[i] = rep[j]
+        else:
+            out[i] = ycbcr_to_rgb_int(np.stack([y[j], cb[j], cr[j]], axis=-1))
 
 
 def _split_segments(payload, start):
@@ -1031,20 +1328,40 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
     mcus_x = (fw + 8 * max_h - 1) // (8 * max_h)
     mcus_y = (fh + 8 * max_v - 1) // (8 * max_v)
 
-    segments, end_pos = _split_segments(payload, start)
-
-    # per-component accumulators: DC values in SCAN order + sparse ACs
-    # as (scan_block_index, zigzag_k, value) — no per-block numpy
     for _, hi, vi, tq, _, _ in comps:
         if tq not in qts:
             raise ValueError(f"missing quantization table {tq}")
-    dcs: list[list[int]] = [[] for _ in comps]
-    sparse: list[list[tuple[int, int, int]]] = [[] for _ in comps]
-    tables = []
+    comp_meta = _scan_comp_meta(comps, huffs)
+    dcs, sparse, end_pos = _entropy_decode(
+        payload, start, comps, comp_meta, ri, mcus_x, mcus_y
+    )
+    planes = _scan_planes(comps, qts, dcs, sparse, mcus_x, mcus_y)
+    return (planes, (mcus_x, mcus_y, max_h, max_v)), end_pos
+
+
+def _scan_comp_meta(comps, huffs):
+    """Resolve per-component (dc LUT, ac LUT, blocks-per-MCU) for a
+    baseline scan; raises like the scan decode when a table is
+    missing."""
+    comp_meta = []
     for _, hi, vi, tq, td, ta in comps:
         if (0, td) not in huffs or (1, ta) not in huffs:
             raise ValueError("missing Huffman table for scan")
-        tables.append((huffs[(0, td)], huffs[(1, ta)]))
+        dct, act = huffs[(0, td)], huffs[(1, ta)]
+        dlut = dct.lut if dct.lut is not None else dct.build_lut()
+        alut = act.lut if act.lut is not None else act.build_lut()
+        comp_meta.append((dlut, alut, hi * vi))
+    return comp_meta
+
+
+def _entropy_decode(payload, start, comps, comp_meta, ri, mcus_x, mcus_y):
+    """Scalar baseline entropy decode over the scan's restart segments.
+    Returns (dcs, sparse, end_pos): per-component DC values in SCAN
+    order + sparse ACs as (scan_block_index, zigzag_k, value) — no
+    per-block numpy."""
+    segments, end_pos = _split_segments(payload, start)
+    dcs: list[list[int]] = [[] for _ in comps]
+    sparse: list[list[tuple[int, int, int]]] = [[] for _ in comps]
 
     # the MCU loop keeps the ENTIRE bit-reader state in locals (data,
     # pos, acc, n) and resolves Huffman codes by direct LUT index —
@@ -1052,12 +1369,10 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
     # arithmetic on small images. Semantics identical to _BitReader's
     # huff/bits (truncation -> ValueError, invalid code -> ValueError);
     # the component/restart structure is unchanged.
-    comp_meta = []  # (dc_lut_holder, ac_lut_holder, nblk) per component
-    for ci, (_, hi, vi, tq, td, ta) in enumerate(comps):
-        dct, act = tables[ci]
-        dlut = dct.lut if dct.lut is not None else dct.build_lut()
-        alut = act.lut if act.lut is not None else act.build_lut()
-        comp_meta.append((dlut, alut, hi * vi, dcs[ci], sparse[ci]))
+    comp_meta = [
+        (dlut, alut, nblk, dcs[ci], sparse[ci])
+        for ci, (dlut, alut, nblk) in enumerate(comp_meta)
+    ]
     seg_i = 0
     data = segments[0]
     ln = len(data)
@@ -1159,14 +1474,17 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
                     cd.append(pred)
                 preds[ci] = pred
             n_mcu += 1
+    return dcs, sparse, end_pos
 
-    # scatter scan-order blocks into row-major grids, dequantize,
-    # dezigzag and IDCT per component. Components where EVERY block is
-    # DC-only (the flat-block exact domain, and common in real images)
-    # skip the matmul IDCT: a DC-only block is spatially constant at
-    # ((M00*dcq)*M00) — the same left-associated float product the
-    # matmul computes — so the plane is one rint/clip over the block
-    # grid plus an 8x repeat.
+
+def _scan_planes(comps, qts, dcs, sparse, mcus_x, mcus_y):
+    """Scatter scan-order blocks into row-major grids, dequantize,
+    dezigzag and IDCT per component. Components where EVERY block is
+    DC-only (the flat-block exact domain, and common in real images)
+    skip the matmul IDCT: a DC-only block is spatially constant at
+    ((M00*dcq)*M00) — the same left-associated float product the
+    matmul computes — so the plane is one rint/clip over the block
+    grid plus an 8x repeat."""
     planes = []
     m00 = _DCT_M[0, 0]
     for ci, (_, hi, vi, tq, _, _) in enumerate(comps):
@@ -1225,7 +1543,7 @@ def _decode_scan(payload, start, frame, qts, huffs, ri):
         spat = _idct_blocks(coef)
         plane = spat.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         planes.append(plane)
-    return (planes, (mcus_x, mcus_y, max_h, max_v)), end_pos
+    return planes
 
 
 def _dc_only_plane(dc_rm, qt0, nby, nbx):

@@ -867,18 +867,11 @@ def avi_bytes(frames, fps: int = 10, codec: str = "DIB ") -> bytes:
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
-def decode_avi(payload: bytes):
-    """Demux a RIFF/AVI payload: returns (fps, [HxWx3 uint8 RGB
-    frames]). Walks RIFF LISTs like the WAV chunk walk (word-aligned),
-    reads BITMAPINFOHEADER from strf. Uncompressed 24bpp DIB streams
-    decode via the stride/orientation path; MJPG streams decode each
-    frame chunk through the real baseline JPEG decoder
-    (jpeg.decode_jpeg — grayscale frames expand to RGB). Any other
-    codec is rejected with the same honesty as decode_bmp. Malformed
-    payloads raise ValueError."""
+def _avi_demux(payload: bytes):
+    """RIFF/AVI walk shared by decode_avi and mjpeg_frame_bytes:
+    returns (fps, w, h, bpp, compression, top_down, mjpeg,
+    [(frame_lo, frame_hi)]). Malformed payloads raise ValueError."""
     import struct
-
-    import numpy as np
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
@@ -932,11 +925,42 @@ def decode_avi(payload: bytes):
             handle_list(blo, bhi)
     if w is None or bpp is None:
         raise ValueError("missing strf (video format) chunk")
-    import struct as _struct
+    return fps, w, h, bpp, compression, top_down, mjpeg, frames
 
-    mjpg_cc = _struct.unpack("<I", b"MJPG")[0]
-    if mjpeg or compression == mjpg_cc:
-        if not (mjpeg and compression == mjpg_cc):
+
+_MJPG_CC = 1196444237  # struct.unpack("<I", b"MJPG")[0]
+
+
+def mjpeg_frame_bytes(payload: bytes):
+    """(fps, [per-frame JPEG bytes]) for an MJPG AVI — the demux half
+    of decode_avi, exposed so callers can BATCH the frame decodes
+    across payloads (jpeg.decode_jpeg_batch groups same-header frames).
+    Returns None for a non-MJPG AVI (callers use decode_avi); raises
+    exactly like decode_avi for malformed/inconsistent payloads."""
+    fps, w, h, bpp, compression, top_down, mjpeg, frames = _avi_demux(payload)
+    if not (mjpeg or compression == _MJPG_CC):
+        return None
+    if not (mjpeg and compression == _MJPG_CC):
+        raise ValueError("inconsistent MJPG codec/compression fields")
+    if not frames:
+        raise ValueError("no video frames in movi list")
+    return (fps or 0), [payload[blo:bhi] for blo, bhi in frames]
+
+
+def decode_avi(payload: bytes):
+    """Demux a RIFF/AVI payload: returns (fps, [HxWx3 uint8 RGB
+    frames]). Walks RIFF LISTs like the WAV chunk walk (word-aligned),
+    reads BITMAPINFOHEADER from strf. Uncompressed 24bpp DIB streams
+    decode via the stride/orientation path; MJPG streams decode each
+    frame chunk through the real baseline JPEG decoder
+    (jpeg.decode_jpeg — grayscale frames expand to RGB). Any other
+    codec is rejected with the same honesty as decode_bmp. Malformed
+    payloads raise ValueError."""
+    import numpy as np
+
+    fps, w, h, bpp, compression, top_down, mjpeg, frames = _avi_demux(payload)
+    if mjpeg or compression == _MJPG_CC:
+        if not (mjpeg and compression == _MJPG_CC):
             raise ValueError("inconsistent MJPG codec/compression fields")
         if not frames:
             raise ValueError("no video frames in movi list")
