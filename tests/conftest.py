@@ -49,7 +49,7 @@ E_SCHEMA = T.StructType(
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("grasper-tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark("grasper-tests", master="local[2]", shuffle_partitions=2)
     yield s
 
 
