@@ -1,10 +1,10 @@
-"""Capture .explain('formatted') for declared queries into plans/r08/.
+"""Capture .explain('formatted') for declared queries into plans/r09/.
 
 Usage:
     python tools/capture_plans.py before [q1,q2,...]
     python tools/capture_plans.py after  [q1,q2,...]
 
-Writes plans/r08/<query>_<tag>.txt. Defaults to the bench HEADLINE set;
+Writes plans/r09/<query>_<tag>.txt. Defaults to the bench HEADLINE set;
 pass an explicit comma list to capture others.
 """
 
@@ -31,7 +31,7 @@ def main() -> int:
     qs = entry.queries()
     names = only or bench.HEADLINE
     outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r08")
+        os.path.abspath(__file__))), "plans", "r09")
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         try:
