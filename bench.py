@@ -520,6 +520,13 @@ def main() -> None:
             result["sf1"] = {
                 "gen_s": gen_s, "load_s": sf1_load_s, "queries": sf1,
             }
+            # scored sf1 surface (VERDICT r8 item 2): the sf0.1 headline
+            # is overhead-bound (8-core ≈ 32-core on 18/19 queries), so
+            # scale behavior only shows at sf1. ADDITIVE key — the
+            # existing metric/value/queries contract is unchanged.
+            result["sf1_total"] = round(
+                sum(q["sf1_s"] for q in sf1.values()), 3
+            )
             # the media payload relations (sf0.1 + scaled + sf1, ~GB
             # deserialized) are only read by multimodal_features — done
             # by here. Evict them before the emu sections: a serving
@@ -699,6 +706,11 @@ def main() -> None:
         k: result[k]
         for k in ("metric", "value", "unit", "queries", "sentinel", "sf")
     }
+    # additive: the scored sf1 total (sum of best-pass seconds across
+    # the full headline set at sf1) rides the compact line when the
+    # sf1 section ran; existing keys and their meanings are unchanged
+    if "sf1_total" in result:
+        compact["sf1_total"] = result["sf1_total"]
     print(json.dumps(compact))
 
 

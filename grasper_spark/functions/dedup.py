@@ -343,16 +343,53 @@ def overlap_pair_stats(
         )
     )
     a, b = sh.alias("a"), sh.alias("b")
-    stats = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.min(F.col("a.sze")).alias("sz_a"),
-            F.min(F.col("b.sze")).alias("sz_b"),
-        )
+    joined = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        "inner",
     )
+    aggs = [
+        F.count(F.lit(1)).alias("common"),
+        F.min(F.col("a.sze")).alias("sz_a"),
+        F.min(F.col("b.sze")).alias("sz_b"),
+    ]
+    # guarded pair-key packing (guide §2.3 — narrower shuffle keys):
+    # when every id provably fits 31 bits (one cheap aggregate over the
+    # PERSISTED relation, computed once per corpus — the assembled plan
+    # is identity-cached below), the pair groupBy keys on ONE packed
+    # long instead of two — 8 fewer key bytes and one hash/compare per
+    # pair row through the heaviest exchange of the query. Unpacking
+    # restores the exact (id_a, id_b) columns, cast to the input id
+    # dtype, so the output is bit-identical; ids outside [0, 2^31)
+    # keep the two-column key (a library must not assume 32-bit ids).
+    bounds = rel.select(
+        F.min(id_col).alias("mn"), F.max(id_col).alias("mx")
+    ).first()
+    id_dt = dict(rel.dtypes)[id_col]
+    if (
+        bounds.mn is not None
+        and bounds.mn >= 0
+        and bounds.mx < (1 << 31)
+        and id_dt in ("int", "bigint", "smallint", "tinyint")
+    ):
+        pk = F.shiftleft(F.col(f"a.{id_col}").cast("long"), 32).bitwiseOR(
+            F.col(f"b.{id_col}").cast("long")
+        )
+        stats = (
+            joined.groupBy(pk.alias("_pk"))
+            .agg(*aggs)
+            .select(
+                F.shiftright(F.col("_pk"), 32).cast(id_dt).alias("id_a"),
+                F.col("_pk").bitwiseAND(F.lit(0xFFFFFFFF)).cast(id_dt).alias("id_b"),
+                "common", "sz_a", "sz_b",
+            )
+        )
+    else:
+        stats = joined.groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        ).agg(*aggs)
     # slot-guarded: the cache entry is valid only while `rel` is still
     # the one-slot persisted occupant (see the hit check above)
     _OPS_CACHE.clear()
@@ -962,51 +999,57 @@ def remove_repeated_spans(
     normalized units, so removal must too; a caller-supplied `spans`
     must have been computed with the same unit).
 
-    Plan: equi-join token rows to spans on the doc id with a range
-    post-filter (spans per doc are few — cost is tokens x spans/doc,
-    not a shuffle explosion), left-anti to keep uncovered tokens, one
-    groupBy per doc to rebuild. Docs with zero surviving tokens keep
-    their row with text='' (the caller decides whether to drop)."""
+    Plan (in-row rewrite, guide §2.3 "shuffle keys, not payloads" —
+    the round-8 line_dedup/shingle family): the token PAYLOAD stays in
+    the source row as an array; the spans collapse to one small array
+    per doc (the only shuffle is the span rows through that groupBy,
+    typically broadcast back by AQE); coverage filtering, reassembly
+    and the counts are per-row array work. The previous formulation
+    exploded every token row and reassembled text through a
+    groupBy(id).collect_list — a full-payload exchange of the corpus
+    (plus a second exchange for the totals join), exactly the shape
+    round 8 eliminated from line_dedup. Docs with zero surviving
+    tokens keep their row with text='' (the caller decides whether to
+    drop)."""
     if spans is None:
         spans = repeated_ngram_spans(
             df, n=n, min_count=min_count, text_col=text_col, id_col=id_col,
             unit=unit,
         )
     sep = " " if unit == "word" else ""
-    # _positional_units drops the phantom '' element split('') produces
-    # for empty docs — otherwise an empty document reports n_tokens=1
-    toks = _positional_units(df, text_col, id_col, unit)
-    sp = spans.select(
-        F.col(id_col).alias("_sid"), "span_start", "span_end"
+    if unit == "char":
+        units = F.split(normalize(F.col(text_col)), "")
+    elif unit == "word":
+        units = tokens(normalize(F.col(text_col)))
+    else:
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    # array_remove drops the phantom '' element split('') produces for
+    # empty docs (positions stay contiguous: normalize trims+collapses
+    # whitespace, so '' units only arise for empty docs) — size(_toks)
+    # therefore equals the old totals expression (tokens for 'word',
+    # codepoints for 'char', 0 for empty)
+    base = _spread(df).select(
+        F.col(id_col), F.array_remove(units, "").alias("_toks")
     )
-    covered = (
-        toks[id_col] == sp["_sid"]
-    ) & (toks["pos"] >= sp["span_start"]) & (toks["pos"] < sp["span_end"])
-    kept = toks.join(sp, covered, "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_sort(F.collect_list(F.struct("pos", "t"))).alias("_a"),
-    ).select(
-        id_col,
-        F.concat_ws(sep, F.transform("_a", lambda s: s["t"])).alias("text"),
-        F.size("_a").cast("long").alias("n_tokens"),
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
-    # totals from df (not toks) so zero-token docs keep their output
-    # row; the when() guards the phantom '' unit of empty docs
-    norm = normalize(F.col(text_col))
-    total = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
-        F.size(tokens(norm)) if unit == "word" else F.length(norm)
-    )
-    totals = _spread(df).select(
-        F.col(id_col), total.cast("long").alias("_total"),
-    )
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
-            (F.col("_total") - F.coalesce(F.col("n_tokens"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
+    joined = base.join(per_doc, id_col, "left")
+    # in-row coverage filter: token index i survives unless some span
+    # [start, end) of THIS doc covers it — identical to the old
+    # left-anti join of (id, pos) token rows against the span table
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            "_toks",
+            lambda t, i: ~F.exists(
+                "_spans",
+                lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+            ),
         )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(sep, kept).alias("text"),
+        F.size(kept).cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
     )

@@ -1,0 +1,177 @@
+"""Round-9 optimization pins: every rewrite here must be
+result-identical to the formulation it replaced — the tests assert the
+row-set contract AND the plan property the rewrite exists for."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+EDGE_DOCS = [
+    (0, ""),
+    (1, "   "),
+    (2, "a"),
+    (3, "a b c d e a b c d e a b c d e"),  # in-doc repeat
+    (4, "x y z q r s t u v w"),            # unique
+    (5, "a b c d e tail tail tail"),       # cross-doc repeat with 3
+    (6, "a b c d e prefix only once"),
+    (7, "Ünï çôdé Ünï çôdé Ünï çôdé Ünï çôdé"),
+    (8, "  spaced   out\ttokens\nhere  a b c d e "),
+]
+
+
+def _old_remove_repeated_spans(df, spans, unit, text_col="text", id_col="doc_id"):
+    """The pre-r9 formulation: explode token rows, anti-join spans,
+    reassemble via groupBy(id).collect_list — kept verbatim as the
+    differential reference."""
+    from grasper_spark.functions.dedup import _positional_units
+    from grasper_spark.functions.text import normalize, tokens
+
+    sep = " " if unit == "word" else ""
+    toks = _positional_units(df, text_col, id_col, unit)
+    sp = spans.select(F.col(id_col).alias("_sid"), "span_start", "span_end")
+    covered = (
+        (toks[id_col] == sp["_sid"])
+        & (toks["pos"] >= sp["span_start"])
+        & (toks["pos"] < sp["span_end"])
+    )
+    kept = toks.join(sp, covered, "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "t"))).alias("_a"),
+    ).select(
+        id_col,
+        F.concat_ws(sep, F.transform("_a", lambda s: s["t"])).alias("text"),
+        F.size("_a").cast("long").alias("n_tokens"),
+    )
+    norm = normalize(F.col(text_col))
+    total = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(tokens(norm)) if unit == "word" else F.length(norm)
+    )
+    totals = df.select(F.col(id_col), total.cast("long").alias("_total"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        (F.col("_total") - F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+@pytest.mark.parametrize("unit,n", [("word", 3), ("word", 5), ("char", 4)])
+def test_remove_repeated_spans_matches_old_formulation(spark, unit, n):
+    from grasper_spark.functions.dedup import (
+        remove_repeated_spans, repeated_ngram_spans,
+    )
+
+    docs = spark.createDataFrame(EDGE_DOCS, ["doc_id", "text"])
+    spans = repeated_ngram_spans(docs, n=n, min_count=2, unit=unit)
+    new = remove_repeated_spans(docs, spans=spans, unit=unit)
+    old = _old_remove_repeated_spans(docs, spans, unit)
+    assert new.columns == old.columns
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_remove_repeated_spans_no_payload_reassembly(spark):
+    """The rewrite's reason to exist: no collect_list reassembly and no
+    exchange carrying the token payload — the only aggregate groups the
+    small span rows."""
+    from grasper_spark.functions.dedup import (
+        remove_repeated_spans, repeated_ngram_spans,
+    )
+
+    docs = spark.createDataFrame(EDGE_DOCS, ["doc_id", "text"])
+    spans = repeated_ngram_spans(docs, n=3, min_count=2)
+    plan = (
+        remove_repeated_spans(docs, spans=spans)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the old plan collected (pos, t) structs per doc; the new plan's
+    # only collect_list is over the (span_start, span_end) structs
+    assert "collect_list(struct(pos" not in plan
+    assert "collect_list(struct(span_start" in plan
+
+
+def test_remove_repeated_spans_caller_supplied_spans(spark):
+    """Spans for one doc never bleed into another; out-of-range and
+    overlapping caller spans behave like the old anti-join."""
+    from grasper_spark.functions.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], ["doc_id", "text"]
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 3, 1), (1, 2, 4, 1), (2, 100, 200, 1)],
+        ["doc_id", "span_start", "span_end", "n_grams"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(docs, spans=spans).collect()
+    }
+    assert rows[1]["text"] == "a e"
+    assert rows[1]["n_tokens"] == 2 and rows[1]["n_removed"] == 3
+    assert rows[2]["text"] == "a b c d e"
+    assert rows[2]["n_tokens"] == 5 and rows[2]["n_removed"] == 0
+
+
+def _brute_pair_stats(rows, n=3, max_df=10000):
+    """Reference overlap stats computed in Python: distinct word
+    n-gram shingles per doc, hot shingles (df > max_df) dropped."""
+    from collections import Counter
+
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.strip().lower())
+
+    sh = {}
+    for did, text in rows:
+        toks = norm(text).split(" ") if norm(text) else []
+        sh[did] = {
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        }
+    cnt = Counter(g for s in sh.values() for g in s)
+    hot = {g for g, c in cnt.items() if c > max_df}
+    eff = {d: s - hot for d, s in sh.items()}
+    out = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            common = len(eff[a] & eff[b])
+            if common:
+                out[(a, b)] = (common, len(eff[a]), len(eff[b]))
+    return out
+
+
+@pytest.mark.parametrize("shift", [0, 1 << 31])
+def test_overlap_pair_stats_packed_and_fallback_match_reference(spark, shift):
+    """shift=0 exercises the packed-long pair key; shift=2^31 pushes
+    ids past the 31-bit guard so the two-column fallback runs. Both
+    must equal the brute-force reference (and hence each other)."""
+    from grasper_spark.functions import dedup as D
+
+    rows = [
+        (0 + shift, "a b c d e f g"),
+        (1 + shift, "a b c d e x y"),
+        (2 + shift, "a b c d e f g"),
+        (3 + shift, "q r s t u v w"),
+        (4 + shift, "c d e f g h i"),
+        (5 + shift, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # fresh slot: these tiny corpora must not reuse a previous test's
+    # persisted relation
+    D._SH_ARGS_CACHE.clear()
+    D._OPS_CACHE.clear()
+    got = {
+        (r["id_a"], r["id_b"]): (r["common"], r["sz_a"], r["sz_b"])
+        for r in D.overlap_pair_stats(df, max_shingle_df=3).collect()
+    }
+    want = _brute_pair_stats(rows, n=3, max_df=3)
+    assert got == want
+    # schema must be identical in both regimes
+    sdf = D.overlap_pair_stats(df, max_shingle_df=3)
+    assert [f.name for f in sdf.schema.fields] == [
+        "id_a", "id_b", "common", "sz_a", "sz_b"
+    ]
+    assert dict(sdf.dtypes)["id_a"] == "bigint"
