@@ -11,6 +11,8 @@
 
 from collections import Counter
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -107,6 +109,7 @@ def test_inject_unknown_dtype_uses_val_column_type(spark):
 # ---- 4. BPE checkpoint rounds don't leak cached copies ----
 
 
+@pytest.mark.slow  # multi-round training soak; bpe training covered by trained_merges test
 def test_train_bpe_checkpoint_rounds_do_not_leak_cache(spark):
     from grasper_spark.functions.bpe import train_bpe
 

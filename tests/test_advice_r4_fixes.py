@@ -175,6 +175,7 @@ def test_legacy_ivfpq_upgraded_on_append(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # regenerates under TZs; test_generation_is_deterministic keeps the cover
 def test_gen_sf_reproducible_across_timezones(spark, tmp_path):
     from tools.gen_sf import generate_sf
 

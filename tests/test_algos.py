@@ -54,6 +54,25 @@ def test_pagerank_sums_and_order(modern):
     assert ranks[1] == min(ranks.values()) or ranks[6] == min(ranks.values())
 
 
+def test_personalized_pagerank_smoke(modern):
+    """Default-tier PPR contract: restart mass concentrates on the
+    seed, rejects empty seeds (the 2x15-iteration concentration sweep
+    is the slow-tier twin)."""
+    import pytest as _pt
+
+    from grasper_spark.algos import personalized_pagerank
+
+    ranks = {
+        r.vid: r.rank
+        for r in personalized_pagerank(modern, seeds=[1], iterations=4).collect()
+    }
+    assert ranks[1] == max(ranks.values())
+    assert ranks[6] < 1e-9
+    with _pt.raises(ValueError):
+        personalized_pagerank(modern, seeds=[])
+
+
+@pytest.mark.slow  # 2x15 supersteps of scheduling overhead; fast PPR smoke keeps the contract
 def test_personalized_pagerank_concentrates_on_seed_neighborhood(modern):
     from grasper_spark.algos import personalized_pagerank
 

@@ -71,6 +71,7 @@ def test_legacy_sidecar_layout_still_reads(spark, emb, tmp_path):
     assert out.count() == 3
 
 
+@pytest.mark.slow  # streaming soak; ivfpq_roundtrip_and_append_through_manifest keeps the cover
 def test_ivfpq_append_stream_ingests_microbatches(spark, emb, tmp_path):
     from pyspark.sql import functions as F
 

@@ -109,6 +109,7 @@ def _ref_apply(word, merges):
         syms = out
 
 
+@pytest.mark.slow  # reference sweep; trained_merges_match_reference_bpe + oov test keep the cover
 def test_bpe_apply_matches_reference_on_unseen_words(spark, docs):
     from grasper_spark.functions.bpe import bpe_apply
 

@@ -18,6 +18,7 @@ def gen_dir(spark, tmp_path_factory):
     return out
 
 
+@pytest.mark.slow  # generates a second SF corpus; test_generation_is_deterministic keeps the cover
 def test_generated_row_counts_follow_sf(spark, gen_dir):
     want = {
         "customer": 300, "supplier": 20, "part": 400, "orders": 3000,

@@ -175,3 +175,109 @@ def test_overlap_pair_stats_packed_and_fallback_match_reference(spark, shift):
         "id_a", "id_b", "common", "sz_a", "sz_b"
     ]
     assert dict(sdf.dtypes)["id_a"] == "bigint"
+
+
+# ---------- co-occurrence neq fusion (g_where_neq family) ----------
+
+CONEQ_Q = (
+    'g.V().hasLabel("{lbl}").as("x").{d1}("{el}").{d2}("{el}")'
+    '.where(neq("x")).dedup().count()'
+)
+
+
+def _coneq_graph(spark, edges, labels=None):
+    from grasper_spark import G, PropertyGraph
+    from pyspark.sql import types as T
+
+    vids = sorted({v for e in edges for v in e[:2]})
+    labels = labels or {}
+    v = spark.createDataFrame(
+        [(i, labels.get(i, "n"), None) for i in vids],
+        T.StructType([
+            T.StructField("vid", T.LongType()),
+            T.StructField("label", T.StringType()),
+            T.StructField("name", T.StringType()),
+        ]),
+    )
+    e = spark.createDataFrame(
+        [(a, b, lb) for a, b, lb in edges],
+        T.StructType([
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField("label", T.StringType()),
+        ]),
+    )
+    return G(PropertyGraph(v, e, name=f"coneq{abs(hash(tuple(edges)))%10**8}"))
+
+
+def _coneq_cases():
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    # random graphs incl. multi-edges, self-loops, two edge labels
+    for trial in range(4):
+        n = rng.randint(3, 12)
+        edges = []
+        for _ in range(rng.randint(2, 40)):
+            edges.append((
+                rng.randrange(n), rng.randrange(n),
+                rng.choice(["r", "s"]),
+            ))
+        cases.append(edges)
+    # degenerate: one edge; parallel duplicates only; star
+    cases.append([(0, 1, "r")])
+    cases.append([(0, 1, "r"), (0, 1, "r"), (0, 1, "r")])
+    cases.append([(i, 99, "r") for i in range(5)])
+    return cases
+
+
+@pytest.mark.parametrize("edges", _coneq_cases())
+@pytest.mark.parametrize("d1,d2", [("out", "in"), ("in", "out")])
+def test_coneq_fusion_matches_literal(spark, edges, d1, d2):
+    g = _coneq_graph(spark, edges)
+    q = CONEQ_Q.format(lbl="n", d1=d1, d2=d2, el="r")
+    fused = g.query(q).collect()
+    g.query("SetConfig('step_reorder', 'false')")
+    literal = g.query(q).collect()
+    g.query("SetConfig('step_reorder', 'true')")
+    assert fused == literal
+
+
+def test_coneq_fusion_respects_start_filter(spark):
+    """Only stream-side vertices count as 'a different co-supplier':
+    vertices outside the hasLabel filter must not make b qualify."""
+    edges = [(0, 10, "r"), (1, 10, "r"), (2, 20, "r"), (3, 20, "r")]
+    g = _coneq_graph(spark, edges, labels={0: "m", 1: "n", 2: "n", 3: "n"})
+    q = CONEQ_Q.format(lbl="n", d1="out", d2="in", el="r")
+    fused = g.query(q).collect()
+    g.query("SetConfig('step_reorder', 'false')")
+    literal = g.query(q).collect()
+    g.query("SetConfig('step_reorder', 'true')")
+    # part 10's only in-stream supplier is 1, so only 0 (not 1) could
+    # qualify through it — and 0,2,3 do qualify: expected count 3
+    assert fused == literal
+    assert fused[0][0] == 3
+
+
+def test_coneq_peephole_fires_and_guards():
+    from grasper_spark.plans.compiler import GremlinCompiler, Step
+    from grasper_spark.plans.predicates import P
+
+    base = [
+        Step("V"), Step("hasLabel", ("n",)), Step("as", ("x",)),
+        Step("out", ("r",)), Step("in", ("r",)),
+        Step("where", (P.neq("x"),)), Step("dedupCount"),
+    ]
+    fused = GremlinCompiler._fuse_co_neq_dedup_count(base)
+    assert [s.name for s in fused] == ["V", "hasLabel", "coNeqDedupCount"]
+    assert fused[-1].args == ("out", ("r",))
+    # guards: label mismatch, direction repeat, labeled dedup, later ref
+    for steps in (
+        base[:3] + [Step("out", ("r",)), Step("in", ("s",))] + base[5:],
+        base[:3] + [Step("out", ("r",)), Step("out", ("r",))] + base[5:],
+        base[:6] + [Step("dedupCount", ("x",))],
+        base + [Step("select", ("x",))],
+    ):
+        out = GremlinCompiler._fuse_co_neq_dedup_count(steps)
+        assert all(s.name != "coNeqDedupCount" for s in out)

@@ -776,6 +776,7 @@ def test_dedup_against_corpus(spark):
     assert out[3].is_new is True and out[3].dup_of is None
 
 
+@pytest.mark.slow  # recall sweep; lsh_neardup_matches_exact_on_candidates keeps the cover
 def test_lsh_multi_probe_recall_improves(spark):
     from grasper_spark.functions.similarity import cosine_topk, lsh_topk
 
@@ -979,6 +980,7 @@ def test_line_dedup_identity_when_threshold_uncrossed(spark):
         assert out[i].n_lines == out[i].n_kept == 3
 
 
+@pytest.mark.slow  # runs full_pipeline twice (determinism) + manifest; with_packing keeps the e2e cover
 def test_full_pipeline_end_to_end(spark, tmp_path):
     from grasper_spark.functions.curation import full_pipeline
     from grasper_spark.functions.sampling import (

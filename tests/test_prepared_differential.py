@@ -129,6 +129,7 @@ def _per_query(gd, steps, idxs, keys, values):
 @given(shape=point_shape())
 @settings(max_examples=40, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # full-domain sweep; per-template prepared parity stays in test_prepared
 def test_prepared_matches_per_query_on_every_domain_value(gd, shape):
     steps, idxs = shape
     keys = [

@@ -180,6 +180,7 @@ def test_repeat_until_no_match_terminates_empty(g):
     assert got == []
 
 
+@pytest.mark.slow  # runs repeat to the iteration bound; repeat_until_label/query_string keep the cover
 def test_repeat_until_cycle_errors_at_bound(spark):
     # a 2-cycle keeps traversers alive forever: the implicit bound must
     # raise a pointed error, not spin or silently discard

@@ -47,6 +47,7 @@ def _load_checker():
 
 
 @pytest.mark.skipif(not os.path.isdir(SF0001), reason="driver testdata absent")
+@pytest.mark.slow  # parallelism sweep; oracle emb_lsh_topk + centroid-arm test keep the cover
 def test_emb_lsh_topk_hash_invariant_under_parallelism(spark):
     """The driver's value hash for emb_lsh_topk must be bit-identical no
     matter how the scan is split or how many shuffle partitions the

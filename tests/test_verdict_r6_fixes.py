@@ -46,6 +46,7 @@ def _has_float(dt) -> bool:
     return False
 
 
+@pytest.mark.slow  # full query re-run; oracle emb_lsh_topk keeps the cover
 def test_emb_lsh_topk_schema_is_float_free(spark):
     """VERDICT r5 #1 done-criterion: no DoubleType column reaches the
     hash for ANY embedding entry (the family that red-flagged r4+r5)."""
@@ -59,6 +60,7 @@ def test_emb_lsh_topk_schema_is_float_free(spark):
             )
 
 
+@pytest.mark.slow  # full query re-run; oracle emb_lsh_topk keeps the cover
 def test_emb_lsh_topk_tolerance_arms_zero(spark):
     """The *_ok arms (float library ops vs canonical integers) must be
     deterministically zero — they are what still verifies lsh_topk /
@@ -323,6 +325,7 @@ def test_measured_crossover_seeds_conversion_floor(spark, tmp_path, monkeypatch)
     assert c3.index_hits == 1
 
 
+@pytest.mark.slow  # full query re-run; oracle emb_neardup keeps the cover
 def test_emb_neardup_entry_is_float_free_and_consistent(spark):
     """emb_neardup hashed the same round(float,6) shape that red-flagged
     emb_lsh_topk twice — and the sf1 corpus has a candidate within 1e-6
