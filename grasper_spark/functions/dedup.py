@@ -277,11 +277,27 @@ def _hashed_shingle_relation(
         and _SH_PERSISTED[0][1] is hit[1]
     ):
         return hit[1]
+    # per-doc distinct + sz in ONE aggregation (r9, guide §2.4): the
+    # raw shingles collect into a per-doc SET (map-side partials dedup
+    # like the old distinct did), sz falls out as size() in-row, and
+    # the set explodes back to rows — replacing the old
+    # distinct-exchange + Window.partitionBy(id) exchange + sort with
+    # one groupBy(id) exchange. Distinctness is now on the 8-byte hash
+    # instead of the shingle string (same rows up to the ~2^-64
+    # collision the hashed keys already accept).
+    sh0 = _exploded_shingles(
+        df, text_col, id_col, shingle_n, distinct=False, unit=unit
+    ).select(id_col, F.xxhash64("sh").alias("sh"))
     rel = _persisted_shingles(
-        _exploded_shingles(df, text_col, id_col, shingle_n, unit=unit)
-        .select(id_col, F.xxhash64("sh").alias("sh"))
-        .withColumn(
-            "sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        sh0.groupBy(id_col)
+        .agg(F.collect_set("sh").alias("_shs"))
+        .select(
+            id_col,
+            F.explode("_shs").alias("sh"),
+            # long like the Window count it replaces — sz reaches the
+            # declared output schema via sze/min(), so the dtype is
+            # contract, not style
+            F.size("_shs").cast("long").alias("sz"),
         )
         .repartition("sh")
     )

@@ -257,6 +257,11 @@ class GremlinCompiler:
         # yields the literal step-by-step plan for A/B comparison
         if str(self.config.get("step_reorder", "true")).lower() != "false":
             steps = self._fuse_dedup_count(list(steps))
+            if start is None and not getattr(self, "_path_mode", False):
+                # top-level only: the fused step ignores branch group
+                # columns and path recording, so it must not fire inside
+                # branch bodies (start is not None there) or path mode
+                steps = self._fuse_co_neq_dedup_count(steps)
         else:
             steps = list(steps)
         s = start
@@ -295,6 +300,62 @@ class GremlinCompiler:
                 out.append(steps[i])
                 i += 1
         return out
+
+    @staticmethod
+    def _mentions_label(obj: Any, label: str) -> bool:
+        """Conservative syntactic scan for a history-label reference in
+        step args (recursing through Steps, Preds and containers). Any
+        string equal to the label counts — false positives only cost a
+        skipped fusion, never a wrong plan."""
+        if isinstance(obj, str):
+            return obj == label
+        if isinstance(obj, (Step, Pred)):
+            return GremlinCompiler._mentions_label(obj.args, label)
+        if isinstance(obj, (tuple, list)):
+            return any(GremlinCompiler._mentions_label(o, label) for o in obj)
+        return False
+
+    @staticmethod
+    def _fuse_co_neq_dedup_count(steps: list[Step]) -> list[Step]:
+        """Peephole (guide §3 — avoid the pair fan-out):
+        ``as('a').out(L).in(L).where(neq('a')).dedup().count()`` asks
+        "how many vertices share an L-neighbor with a DIFFERENT vertex
+        of the current stream". The literal plan enumerates every
+        co-occurrence PAIR — sum over neighbors of (stream-degree x
+        total-degree), quadratic in degree — then deduplicates.
+        dedup().count() makes pair multiplicity unobservable, so the
+        answer only needs, per intermediate neighbor, the DISTINCT
+        count of stream-side sources (and the single source when that
+        count is 1): b survives iff some a != b co-occurs, i.e. iff
+        n_distinct >= 2 or the one source differs from b. The fused
+        step computes exactly that with per-neighbor aggregates —
+        linear in the edge count. in(L).out(L) is the mirrored
+        direction. Fires only when the as-label is referenced nowhere
+        after the where()."""
+        for i in range(len(steps) - 4):
+            s0, s1, s2, s3, s4 = steps[i:i + 5]
+            if (
+                s0.name == "as"
+                and len(s0.args) == 1
+                and isinstance(s0.args[0], str)
+                and s1.name in ("out", "in")
+                and s2.name == ("in" if s1.name == "out" else "out")
+                and s1.args == s2.args
+                and all(isinstance(lb, str) for lb in s1.args)
+                and s3.name == "where"
+                and s3.args == (Pred("neq", (s0.args[0],)),)
+                and s4.name == "dedupCount"
+                and not s4.args
+                and not GremlinCompiler._mentions_label(
+                    [st.args for st in steps[i + 5:]], s0.args[0]
+                )
+            ):
+                return (
+                    steps[:i]
+                    + [Step("coNeqDedupCount", (s1.name, s1.args))]
+                    + steps[i + 5:]
+                )
+        return steps
 
     def _try_index_scan(
         self, steps: list[Step]
@@ -1195,6 +1256,40 @@ class GremlinCompiler:
         keys = self._dedup_keys(s, labels)
         dedup = replace(s, df=s.df.select(*keys).distinct())
         return self._step_count(dedup)
+
+    def _step_coNeqDedupCount(self, s: Stream, direction: str,
+                              elabels: tuple[str, ...]) -> Stream:
+        # fused as('a').out(L).in(L).where(neq('a')).dedup().count() —
+        # see _fuse_co_neq_dedup_count for the equivalence argument.
+        # direction is the FIRST hop ('out': intermediate = edge dst,
+        # co-occurring sources = edge src; 'in': mirrored). Both scans
+        # use the relation bucketed by the intermediate key, so the
+        # per-neighbor aggregate reads co-partitioned data; the stream
+        # side and the (small) per-neighbor stats attach as semi-join /
+        # inner join that AQE broadcasts from real sizes.
+        assert s is not None and s.kind == "V", \
+            "coNeqDedupCount requires a vertex stream"
+        mid, par = (EDST, ESRC) if direction == "out" else (ESRC, EDST)
+        e = self._edges(by_dst=(direction == "out"))
+        e = e.select(F.col(mid).alias("_cnm"), F.col(par).alias("_cnp"),
+                     F.col(ELAB).alias("_cnl"))
+        if elabels:
+            e = e.filter(F.col("_cnl").isin(list(elabels)))
+        e = e.select("_cnm", "_cnp")
+        src = s.df.select(F.col(VCOL).alias("_cnp"))
+        stats = (
+            e.join(src, "_cnp", "left_semi")
+            .groupBy("_cnm")
+            .agg(
+                F.countDistinct("_cnp").alias("_cnn"),
+                F.min("_cnp").alias("_cn1"),
+            )
+        )
+        cand = e.join(stats, "_cnm").filter(
+            (F.col("_cnn") >= 2) | (F.col("_cnp") != F.col("_cn1"))
+        )
+        out = Stream(df=cand.select(F.col("_cnp").alias(VCOL)), kind="V")
+        return self._step_dedupCount(out)
 
     def _step_order(self, s: Stream, *specs) -> Stream:
         # global sort; keyed order drops elements missing the key
