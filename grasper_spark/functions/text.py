@@ -228,13 +228,17 @@ def repetition_stats(
     top-bigram fraction (share of adjacent-token pairs taken by the most
     frequent bigram — Gopher §A1.1's 'top 2-gram' rule).
 
-    Scale shape: the bigram mode needs a per-(doc, bigram) count —
-    posexplode + lead stays in whole-stage codegen (same pattern as the
-    MinHash shingler, functions/dedup.py), then two partial-aggregated
-    groupBys keyed by doc_id. No UDFs, no all-pairs work; shuffle volume
-    is O(total tokens)."""
-    from pyspark.sql import Window
-
+    Scale shape: the bigram mode needs a per-(doc, bigram) count. The
+    bigrams are built with the ZERO-SHUFFLE index-explode form (the
+    round-8 shingle rewrite, functions/dedup.py:_exploded_shingles):
+    the token array stays in the row, the bigram start-index range
+    explodes, and try_element_at reads both tokens — one
+    WholeStageCodegen span. The previous posexplode +
+    Window.partitionBy(id) + lead form shuffled EVERY token row through
+    a hash exchange just to pair neighbors already adjacent in the
+    source row. Then two partial-aggregated groupBys keyed by doc_id.
+    No UDFs, no all-pairs work; shuffle volume is O(distinct bigram
+    partials), not O(total tokens)."""
     t = F.col(text_col)
     base = df.select(
         F.col(id_col),
@@ -242,12 +246,17 @@ def repetition_stats(
         token_count(t).alias("n_tokens"),
         tokens(F.lower(t)).alias("_tk"),
     )
-    ex = base.select(id_col, F.posexplode("_tk").alias("_pos", "_tok"))
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    bigrams = (
-        ex.withColumn("_nxt", F.lead("_tok").over(w))
-        .filter(F.col("_nxt").isNotNull())
-        .select(id_col, F.concat_ws(" ", "_tok", "_nxt").alias("_bg"))
+    cnt = F.size("_tk")
+    idx = F.when(cnt >= 2, F.sequence(F.lit(0), cnt - 2))
+    bigrams = base.select(
+        F.col(id_col), F.col("_tk"), F.explode(idx).alias("_i")
+    ).select(
+        id_col,
+        F.concat_ws(
+            " ",
+            F.try_element_at("_tk", F.col("_i") + 1),
+            F.try_element_at("_tk", F.col("_i") + 2),
+        ).alias("_bg"),
     )
     top = (
         bigrams.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_c"))

@@ -281,3 +281,68 @@ def test_coneq_peephole_fires_and_guards():
     ):
         out = GremlinCompiler._fuse_co_neq_dedup_count(steps)
         assert all(s.name != "coNeqDedupCount" for s in out)
+
+
+# ---------- repetition_stats bigram index-explode rewrite ----------
+
+def test_repetition_stats_matches_window_formulation(spark):
+    """The r9 index-explode bigram build must equal the old posexplode
+    + Window.partitionBy(id) + lead formulation (kept inline here as
+    the differential reference), and its plan must carry no Window."""
+    from pyspark.sql import Window
+
+    from grasper_spark.functions.text import (
+        dup_line_fraction, repetition_stats, token_count, tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "one"),
+            (2, "a a a a a"),
+            (3, "x y x y x y"),
+            (4, "  padded   text with  odd   spacing "),
+            (5, "Tab\tand\nnewline separated tokens here"),
+            (6, "solo bigram"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = repetition_stats(docs)
+
+    t = F.col("text")
+    base = docs.select(
+        F.col("doc_id"),
+        dup_line_fraction(t).alias("dup_line_frac"),
+        token_count(t).alias("n_tokens"),
+        tokens(F.lower(t)).alias("_tk"),
+    )
+    ex = base.select("doc_id", F.posexplode("_tk").alias("_pos", "_tok"))
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    bigrams = (
+        ex.withColumn("_nxt", F.lead("_tok").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "_tok", "_nxt").alias("_bg"))
+    )
+    top = (
+        bigrams.groupBy("doc_id", "_bg").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id").agg(F.max("_c").alias("_mx"))
+    )
+    old = (
+        base.drop("_tk")
+        .join(top, "doc_id", "left")
+        .withColumn(
+            "top_bigram_frac",
+            F.when(F.col("n_tokens") < 2, F.lit(0.0)).otherwise(
+                F.round(
+                    F.coalesce(F.col("_mx"), F.lit(0))
+                    / (F.col("n_tokens") - 1), 6
+                )
+            ),
+        )
+        .drop("_mx")
+    )
+    assert new.columns == old.columns
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
