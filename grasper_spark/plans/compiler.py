@@ -1270,22 +1270,33 @@ class GremlinCompiler:
         assert s is not None and s.kind == "V", \
             "coNeqDedupCount requires a vertex stream"
         mid, par = (EDST, ESRC) if direction == "out" else (ESRC, EDST)
-        e = self._edges(by_dst=(direction == "out"))
-        e = e.select(F.col(mid).alias("_cnm"), F.col(par).alias("_cnp"),
-                     F.col(ELAB).alias("_cnl"))
-        if elabels:
-            e = e.filter(F.col("_cnl").isin(list(elabels)))
-        e = e.select("_cnm", "_cnp")
+
+        def _rel(by_dst):
+            e = self._edges(by_dst=by_dst).select(
+                F.col(mid).alias("_cnm"), F.col(par).alias("_cnp"),
+                F.col(ELAB).alias("_cnl"),
+            )
+            if elabels:
+                e = e.filter(F.col("_cnl").isin(list(elabels)))
+            return e.select("_cnm", "_cnp")
+
+        # the semi-join keys on the STREAM side (par): read the
+        # relation bucketed by par so the join aligns the small vertex
+        # stream to the bucketing instead of exchanging the edges
         src = s.df.select(F.col(VCOL).alias("_cnp"))
         stats = (
-            e.join(src, "_cnp", "left_semi")
+            _rel(by_dst=(direction != "out"))
+            .join(src, "_cnp", "left_semi")
             .groupBy("_cnm")
             .agg(
                 F.countDistinct("_cnp").alias("_cnn"),
                 F.min("_cnp").alias("_cn1"),
             )
         )
-        cand = e.join(stats, "_cnm").filter(
+        # candidate enumeration keys on the NEIGHBOR side (mid): the
+        # mid-bucketed relation joins the (small) per-neighbor stats
+        # without an edge-side exchange
+        cand = _rel(by_dst=(direction == "out")).join(stats, "_cnm").filter(
             (F.col("_cnn") >= 2) | (F.col("_cnp") != F.col("_cn1"))
         )
         out = Stream(df=cand.select(F.col("_cnp").alias(VCOL)), kind="V")

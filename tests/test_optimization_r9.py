@@ -346,3 +346,23 @@ def test_repetition_stats_matches_window_formulation(spark):
     assert old.exceptAll(new).count() == 0
     plan = new._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_coneq_fusion_matches_literal_on_hot_neighbors(spark):
+    """The fusion's reason to exist: a hot neighbor (many co-occurring
+    sources) makes the literal plan's pair mass quadratic. Results must
+    still match exactly."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(s, 900, "r") for s in range(40)]          # hot neighbor
+    for p in range(30):                                  # flat tail
+        for s in rng.sample(range(60), 3):
+            edges.append((s, 1000 + p, "r"))
+    g = _coneq_graph(spark, edges)
+    q = CONEQ_Q.format(lbl="n", d1="out", d2="in", el="r")
+    fused = g.query(q).collect()
+    g.query("SetConfig('step_reorder', 'false')")
+    literal = g.query(q).collect()
+    g.query("SetConfig('step_reorder', 'true')")
+    assert fused == literal
