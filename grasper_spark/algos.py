@@ -10,9 +10,19 @@ which is exactly what GraphX compiles to anyway).
 Scale notes:
 - each superstep is one shuffle (join on dst + groupBy vid); frontiers
   shrink monotonically for BFS, so later supersteps are cheap.
-- `checkpoint_every` truncates the lineage with localCheckpoint —
-  without it, plan depth grows linearly and the driver OOMs compiling
-  superstep ~30+ at scale.
+- `checkpoint_every` truncates the lineage with localCheckpoint. The
+  default is 1 (materialize every superstep): each superstep references
+  the previous state DataFrame 2-3 times (message join + dangling/union
+  branch), so between checkpoints the LOGICAL PLAN grows 2-3x per round
+  — Catalyst re-analyzes every copy, and the driver's planning time is
+  exponential in the checkpoint window (measured on a 6-vertex graph:
+  pagerank(iterations=15) at checkpoint_every=5 takes 278 s of pure
+  driver planning vs 6.5 s at 1, identical ranks to the last bit).
+  Batching supersteps into one job saves nothing anyway: the batched
+  job runs the same shuffles, so materializing per round only adds one
+  cheap |state|-row write while keeping the plan — and the driver —
+  flat. This is the same posture GraphX takes (per-iteration
+  materialization).
 - connected components uses large-star/small-star-ish min-label
   propagation; converges in O(log n) rounds on real graphs.
 """
@@ -37,7 +47,7 @@ def bfs_distances(
     max_hops: int = 10,
     direction: str = "out",
     edge_label: str | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Multi-source BFS: (vid, dist) for every vertex reachable from
     `sources` (a DataFrame with a `vid` column) within max_hops.
@@ -79,7 +89,7 @@ def bfs_distances(
 
 
 def connected_components(
-    graph: PropertyGraph, max_iter: int = 20, checkpoint_every: int = 3
+    graph: PropertyGraph, max_iter: int = 20, checkpoint_every: int = 1
 ) -> DataFrame:
     """(vid, component) — undirected connected components by iterative
     min-id propagation; component = smallest vid in the component."""
@@ -168,7 +178,7 @@ def pagerank(
     graph: PropertyGraph,
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(vid, rank) after `iterations` power steps; ranks sum to ~|V|.
     Dangling mass is redistributed uniformly each step.
@@ -223,7 +233,7 @@ def pagerank_qint(
     damping_num: int = 17,
     damping_den: int = 20,
     scale: int = 10**9,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Integer-exact PageRank for exact-compare gates: ranks are int64
     nano-units (`scale` per initial unit) and every step is pure integer
@@ -290,7 +300,7 @@ def personalized_pagerank(
     seeds: list[int],
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(vid, rank) — PageRank with the teleport restricted to `seeds`:
     rank(v) = (1-d)·1[v∈S]/|S| + d·(Σ in-contribs + dangling/|S|·1[v∈S]).
@@ -358,7 +368,7 @@ def sssp(
     rounds: int = 4,
     direction: str = "both",
     weight: Column | None = None,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Weighted single/multi-source shortest paths, Bellman-Ford style:
     (vid, dist) where dist is the minimum total weight over paths of at
@@ -406,7 +416,7 @@ def sssp(
 
 def k_core(
     graph: PropertyGraph, k: int = 2, max_iter: int = 20,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """The k-core: iteratively peel vertices whose undirected degree is
     < k until none remain; returns (vid, degree) of survivors with their
@@ -479,7 +489,7 @@ def random_walks(
     walks_per_vertex: int = 1,
     seed: int = 42,
     direction: str = "out",
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Deterministic pseudo-random walks (DeepWalk/GraphSAGE sampling):
     (walk_id, start_vid, path array<vid>). Each step picks the neighbor
@@ -584,7 +594,7 @@ def harmonic_centrality(
     n_seeds: int = 16,
     max_hops: int = 6,
     direction: str = "both",
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Approximate harmonic centrality by sampled multi-source BFS
     (Eppstein–Wang): pick `n_seeds` deterministic seeds (md5-ranked —
@@ -641,7 +651,7 @@ def harmonic_centrality(
 
 
 def label_propagation(
-    graph: PropertyGraph, max_iter: int = 10, checkpoint_every: int = 3
+    graph: PropertyGraph, max_iter: int = 10, checkpoint_every: int = 1
 ) -> DataFrame:
     """(vid, community) — semi-synchronous label propagation (LPA,
     Raghavan et al. 2007) over the undirected edge set.

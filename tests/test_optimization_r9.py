@@ -366,3 +366,41 @@ def test_coneq_fusion_matches_literal_on_hot_neighbors(spark):
     literal = g.query(q).collect()
     g.query("SetConfig('step_reorder', 'true')")
     assert fused == literal
+
+
+def test_superstep_checkpoint_cadence_is_value_neutral(spark):
+    """checkpoint_every=1 (the r9 default — it keeps the driver's
+    Catalyst planning LINEAR in supersteps instead of exponential in
+    the checkpoint window) must produce bit-identical results to the
+    old batched cadence: localCheckpoint is a materialization boundary,
+    never arithmetic."""
+    from grasper_spark.algos import bfs_distances, pagerank, sssp
+    from grasper_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [(i, "n") for i in range(8)], "vid long, label string"
+    )
+    e = spark.createDataFrame(
+        [(0, 1, "r", 1.0), (1, 2, "r", 1.0), (2, 3, "r", 1.0),
+         (0, 4, "r", 1.0), (4, 5, "r", 1.0), (5, 3, "r", 1.0),
+         (3, 6, "r", 1.0), (6, 0, "r", 1.0)],  # vid 7 dangling+isolated
+        "src long, dst long, label string, weight double",
+    )
+    g = PropertyGraph(v, e, name="ck").cache()
+
+    pr1 = {r.vid: r.rank for r in pagerank(g, iterations=3).collect()}
+    pr5 = {r.vid: r.rank
+           for r in pagerank(g, iterations=3, checkpoint_every=5).collect()}
+    assert pr1 == pr5  # exact float equality: same plan arithmetic
+
+    src = v.filter("vid = 0").select("vid")
+    b1 = {r.vid: r.dist for r in bfs_distances(g, src, max_hops=6).collect()}
+    b3 = {r.vid: r.dist
+          for r in bfs_distances(g, src, max_hops=6,
+                                 checkpoint_every=3).collect()}
+    assert b1 == b3
+
+    s1 = {r.vid: r.dist for r in sssp(g, src, rounds=3).collect()}
+    s3 = {r.vid: r.dist
+          for r in sssp(g, src, rounds=3, checkpoint_every=3).collect()}
+    assert s1 == s3
