@@ -1700,10 +1700,13 @@ class GremlinCompiler:
                     self._apply(frontier, Step("and", (tuple(until),)))
                 )
             frontier = self._apply(frontier, Step("not", (tuple(until),)))
-            if (i + 1) % 3 == 0:
-                frontier = replace(
-                    frontier, df=frontier.df.localCheckpoint(eager=True)
-                )
+            # materialize EVERY round (algos.py posture): the frontier is
+            # referenced by both the emit/until branch above and the next
+            # round's compile, so an unmaterialized window grows the plan
+            # multiplicatively and the per-round isEmpty() re-executes it
+            frontier = replace(
+                frontier, df=frontier.df.localCheckpoint(eager=True)
+            )
             if frontier.df.isEmpty():
                 break
         else:
