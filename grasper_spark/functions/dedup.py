@@ -300,6 +300,14 @@ def _hashed_shingle_relation(
             F.size("_shs").cast("long").alias("sz"),
         )
         .repartition("sh")
+        # sorted-by-sh persist (r9, guide §3.2): InMemoryRelation
+        # preserves the child's output ordering, so the pair self-join's
+        # SortMergeJoin reads BOTH sides pre-sorted and its two per-pass
+        # Sort nodes over the full relation (2×2.6M rows at sf1) become
+        # no-ops — the sort is paid ONCE at persist build, like the
+        # partitioning. At sf0.1 the join broadcasts instead and the
+        # ordering is simply unused.
+        .sortWithinPartitions("sh")
     )
     _SH_ARGS_CACHE.clear()
     _SH_ARGS_CACHE[key] = (df, rel)
