@@ -188,11 +188,46 @@ def _unzigzag(u: int) -> int:
 
 
 def _rice_write(w: _Writer, res: np.ndarray, param: int):
-    for u in _zigzag(res.astype(np.int64)):
-        u = int(u)
-        w.unary(u >> param)
-        if param:
-            w.bits(u & ((1 << param) - 1), param)
+    """Vectorized rice WRITE (r9): unlike the decode side — where every
+    sample's position depends on the previous one — the write side
+    knows every bit position upfront (cumsum of per-sample code
+    lengths), so the whole residual partition scatters into one bit
+    array and packs with np.packbits. Byte-identical to the per-sample
+    unary+bits loop (kept below as the pathological-quotient fallback);
+    the loop was ~27 s cum of the sf1 media build's 210 s CPU."""
+    n = len(res)
+    if n == 0:
+        return
+    u = _zigzag(res.astype(np.int64))
+    q = u >> param
+    nbits = q + 1 + param
+    total = int(nbits.sum())
+    if total > (1 << 26):  # degenerate residuals: bound the bit array
+        for uu in u:
+            uu = int(uu)
+            w.unary(uu >> param)
+            if param:
+                w.bits(uu & ((1 << param) - 1), param)
+        return
+    pend = w.n  # _Writer.bits flushes at 8, so 0..7 pending bits
+    bits = np.zeros(pend + total, dtype=np.uint8)
+    for i in range(pend):
+        bits[i] = (w.acc >> (pend - 1 - i)) & 1
+    ends = np.cumsum(nbits)
+    seps = pend + ends - (1 + param)  # the '1' terminating each unary run
+    bits[seps] = 1
+    if param:
+        rem_pos = seps[:, None] + 1 + np.arange(param)[None, :]
+        rem_bits = (u[:, None] >> np.arange(param - 1, -1, -1)[None, :]) & 1
+        bits[rem_pos.ravel()] = rem_bits.ravel().astype(np.uint8)
+    nb_total = pend + total
+    full = nb_total >> 3
+    w.out += np.packbits(bits[: full * 8]).tobytes()
+    acc = 0
+    for b in bits[full * 8:]:
+        acc = (acc << 1) | int(b)
+    w.acc = acc
+    w.n = nb_total & 7
 
 
 def _rice_scalar(r: _Reader, n: int, param: int) -> list[int]:

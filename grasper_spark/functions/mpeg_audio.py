@@ -74,6 +74,22 @@ def _syncsafe(n: int) -> bytes:
     return bytes(((n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F))
 
 
+#: the deterministic fill sequence (base + i) % 251 is a rotation of
+#: this fixed 251-byte cycle — producing it by slicing replaces the
+#: per-byte genexpr that was 62.7M Python iterations (~18.6 s CPU) per
+#: sf1 media build
+_FILL_CYCLE = bytes(range(251))
+
+
+def _fill(base: int, n: int) -> bytes:
+    """bytes((base + i) % 251 for i in range(n)), via C-level slicing."""
+    if n <= 0:
+        return b""
+    start = base % 251
+    reps = (start + n + 250) // 251
+    return (_FILL_CYCLE * reps)[start:start + n]
+
+
 def mp3_bytes(
     frame_bitrates_kbps: list[int],
     sample_rate: int = 44100,
@@ -98,7 +114,7 @@ def mp3_bytes(
     out = bytearray()
     if id3v2_size:
         out += b"ID3\x04\x00\x00" + _syncsafe(id3v2_size)
-        out += bytes((fill_seed + i) % 251 for i in range(id3v2_size))
+        out += _fill(fill_seed, id3v2_size)
     # the padding bit tracks the fractional remainder of the exact
     # frame length the way CBR encoders do at 44100 Hz
     rem = 0
@@ -118,10 +134,10 @@ def mp3_bytes(
         rem -= sample_rate if padding else 0
         flen = _frame_length(version, layer, br, sample_rate, padding)
         hdr = _pack_header(version, layer, bidx, sr_idx, padding)
-        body = bytes((fill_seed * 7 + fi * 31 + i) % 251 for i in range(flen - 4))
+        body = _fill(fill_seed * 7 + fi * 31, flen - 4)
         out += hdr + body
     if id3v1:
-        out += b"TAG" + bytes((fill_seed + i) % 251 for i in range(125))
+        out += b"TAG" + _fill(fill_seed, 125)
     return bytes(out)
 
 
