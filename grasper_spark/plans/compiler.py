@@ -1296,7 +1296,33 @@ class GremlinCompiler:
         # candidate enumeration keys on the NEIGHBOR side (mid): the
         # mid-bucketed relation joins the (small) per-neighbor stats
         # without an edge-side exchange
-        cand = _rel(by_dst=(direction == "out")).join(stats, "_cnm").filter(
+        cand_rel = _rel(by_dst=(direction == "out"))
+        n_edges = getattr(self.g, "_edge_count", None)
+        if (
+            n_edges is not None
+            and n_edges >= EXPAND_MERGE_MIN_EDGES
+            and getattr(self.g, "_e_by_dst", None) is not None
+        ):
+            # bucketed store above the broadcast crossover (r9): the
+            # stats aggregate comes out hash-partitioned at
+            # spark.sql.shuffle.partitions, which need not equal the
+            # edge tables' bucket count — EnsureRequirements then
+            # re-exchanged the FULL edge side to match (measured at
+            # sf1: a 6M-row / 50 MB shuffle per pass, stage-metric
+            # verified). Repartitioning the SMALL stats side to the
+            # bucket count instead makes the join read the bucketed
+            # scan in place: one extra exchange of per-neighbor rows
+            # buys away the edge-relation exchange. Below the
+            # crossover (or unbucketed stores) AQE's runtime broadcast
+            # already wins and the alignment would only cap
+            # parallelism, so the gate mirrors the merge hint's.
+            try:
+                nb = cand_rel.rdd.getNumPartitions()
+            except Exception:
+                nb = 0
+            if nb:
+                stats = stats.repartition(nb, "_cnm")
+        cand = cand_rel.join(stats, "_cnm").filter(
             (F.col("_cnn") >= 2) | (F.col("_cnp") != F.col("_cn1"))
         )
         out = Stream(df=cand.select(F.col("_cnp").alias(VCOL)), kind="V")

@@ -40,6 +40,14 @@ class BucketedPropertyGraph(PropertyGraph):
         self._e_by_dst = e_by_dst
 
     def edges_by_dst(self):
+        # NOT cached alongside V/E(src): the label-PARTITIONED file
+        # scan prunes to the traversed edge type, which an
+        # InMemoryRelation cannot (a cached copy holds every label —
+        # measured at sf0.1: caching this orientation made g_and ~60%
+        # slower by trading per-label pruned scans for full-cache
+        # scans). With auto-bucketed-scan pinned on (session.py) the
+        # fresh scan keeps HashPartitioning(dst, buckets) anyway, so
+        # dst-side joins are exchange-free straight from parquet.
         return self._e_by_dst
 
 
