@@ -1298,30 +1298,23 @@ class GremlinCompiler:
         # without an edge-side exchange
         cand_rel = _rel(by_dst=(direction == "out"))
         n_edges = getattr(self.g, "_edge_count", None)
-        if (
-            n_edges is not None
-            and n_edges >= EXPAND_MERGE_MIN_EDGES
-            and getattr(self.g, "_e_by_dst", None) is not None
-        ):
+        nb = getattr(self.g, "_n_buckets", 0)
+        if n_edges is not None and n_edges >= EXPAND_MERGE_MIN_EDGES and nb:
             # bucketed store above the broadcast crossover (r9): the
             # stats aggregate comes out hash-partitioned at
             # spark.sql.shuffle.partitions, which need not equal the
             # edge tables' bucket count — EnsureRequirements then
             # re-exchanged the FULL edge side to match (measured at
             # sf1: a 6M-row / 50 MB shuffle per pass, stage-metric
-            # verified). Repartitioning the SMALL stats side to the
-            # bucket count instead makes the join read the bucketed
-            # scan in place: one extra exchange of per-neighbor rows
-            # buys away the edge-relation exchange. Below the
-            # crossover (or unbucketed stores) AQE's runtime broadcast
-            # already wins and the alignment would only cap
-            # parallelism, so the gate mirrors the merge hint's.
-            try:
-                nb = cand_rel.rdd.getNumPartitions()
-            except Exception:
-                nb = 0
-            if nb:
-                stats = stats.repartition(nb, "_cnm")
+            # verified). Repartitioning the SMALL stats side to
+            # exactly the loader-recorded bucket count makes the join
+            # read the bucketed scan in place: one extra exchange of
+            # per-neighbor rows buys away the edge-relation exchange.
+            # Below the crossover (or unbucketed stores, nb=0) AQE's
+            # runtime broadcast already wins and the alignment would
+            # only cap parallelism, so the gate mirrors the merge
+            # hint's.
+            stats = stats.repartition(nb, "_cnm")
         cand = cand_rel.join(stats, "_cnm").filter(
             (F.col("_cnn") >= 2) | (F.col("_cnp") != F.col("_cn1"))
         )

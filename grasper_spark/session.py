@@ -19,14 +19,6 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     Idempotent and cheap — called from the loaders."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # bucketed graph snapshots must SCAN bucket-wise unconditionally:
-    # the auto-disable rule drops bucketing for join-free plans, and a
-    # cached relation built from such a plan loses its HashPartitioning
-    # FOREVER (the InMemoryRelation pins whatever physical plan its
-    # first materialization compiled — observed at sf1: the dst-keyed
-    # edge cache came out as 47 arbitrary splits, forcing a per-pass
-    # 6M-row exchange the bucketing exists to remove).
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     return spark
 
 
@@ -84,10 +76,6 @@ def get_spark(
         # long scan — the analogue of the reference master's per-client
         # scheduling (driver/master.hpp:70-115).
         .config("spark.scheduler.mode", "FAIR")
-        # deterministic bucket-wise scans of the graph snapshots — see
-        # ensure_runtime_confs for why the auto-disable rule is unsafe
-        # with cached bucketed relations
-        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -35,9 +35,16 @@ class BucketedPropertyGraph(PropertyGraph):
     """Graph over bucketed tables: V by vid, E by src AND a dst-keyed
     copy — both traversal directions join co-located, no shuffle."""
 
-    def __init__(self, vertices, e_by_src, e_by_dst, name="graph"):
+    def __init__(self, vertices, e_by_src, e_by_dst, name="graph",
+                 n_buckets: int = 0):
         super().__init__(vertices, e_by_src, name=name)
         self._e_by_dst = e_by_dst
+        #: bucket count of the E tables, recorded by the loader so the
+        #: compiler can ALIGN a small join side to it (repartitioning
+        #: the small side to exactly n_buckets lets the bucketed edge
+        #: scan join in place with zero exchange — see the co-neq
+        #: fusion). 0 = unknown.
+        self._n_buckets = n_buckets
 
     def edges_by_dst(self):
         # NOT cached alongside V/E(src): the label-PARTITIONED file
@@ -45,9 +52,9 @@ class BucketedPropertyGraph(PropertyGraph):
         # InMemoryRelation cannot (a cached copy holds every label —
         # measured at sf0.1: caching this orientation made g_and ~60%
         # slower by trading per-label pruned scans for full-cache
-        # scans). With auto-bucketed-scan pinned on (session.py) the
-        # fresh scan keeps HashPartitioning(dst, buckets) anyway, so
-        # dst-side joins are exchange-free straight from parquet.
+        # scans). Re-scanning pruned parquet per pass is the cheaper
+        # side of that trade, and dst-keyed joins stay exchange-free
+        # via the bucket layout when the join side aligns to it.
         return self._e_by_dst
 
 
@@ -78,12 +85,14 @@ def write_bucketed(graph: PropertyGraph, table_prefix: str, buckets: int = 16) -
         df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
 
-def read_bucketed(spark, table_prefix: str, name: str = "graph") -> BucketedPropertyGraph:
+def read_bucketed(spark, table_prefix: str, name: str = "graph",
+                  n_buckets: int = 0) -> BucketedPropertyGraph:
     return BucketedPropertyGraph(
         spark.table(f"{table_prefix}_v"),
         spark.table(f"{table_prefix}_e_src"),
         spark.table(f"{table_prefix}_e_dst"),
         name=name,
+        n_buckets=n_buckets,
     )
 
 
@@ -201,8 +210,9 @@ def attach_bucketed_external(
             spark.table(f"{table_prefix}_e_src"),
             spark.table(f"{table_prefix}_e_dst"),
             name=name,
+            n_buckets=buckets,
         )
-    return read_bucketed(spark, table_prefix, name=name)
+    return read_bucketed(spark, table_prefix, name=name, n_buckets=buckets)
 
 
 def _write_text_parts(lines, dest: str) -> None:
