@@ -242,6 +242,20 @@ def _persisted_shingles(sh: DataFrame) -> DataFrame:
     return _persist_one_slot(sh, _SH_PERSISTED)
 
 
+#: one-slot persist of the PER-DOC size relation (id, sz) — one row per
+#: document, ~1 MB at sf1. Built once per corpus from the persisted
+#: shingle relation; the pair operators re-attach sizes from it AFTER
+#: the pair aggregation instead of shipping them through the pair
+#: exchange (r9 — see overlap_pair_stats).
+_SZ_PERSISTED: list[tuple[int, DataFrame]] = []
+
+
+def _persisted_doc_sizes(rel: DataFrame, id_col: str) -> DataFrame:
+    return _persist_one_slot(
+        rel.groupBy(id_col).agg(F.min("sz").alias("sz")), _SZ_PERSISTED
+    )
+
+
 #: identity fast path over the one-slot persist: when the SAME input
 #: DataFrame object comes back with the same args (input handles are
 #: memoized upstream), skip _persist_one_slot's per-call JVM
@@ -264,10 +278,13 @@ def _hashed_shingle_relation(
     2.6M-row exchanges per pass from ngram_jaccard/containment.
 
     Each row also carries `sz` = the doc's TOTAL distinct-shingle count
-    (one window pass at build time, amortized into the one-time
-    persist): overlap_pair_stats then threads sizes THROUGH the
-    self-join instead of re-aggregating them per pass (r8: the per-pass
-    sizes groupBy + two broadcast joins were ~25% of the pair time)."""
+    (computed inside the build aggregation, amortized into the one-time
+    persist): overlap_pair_stats re-attaches sizes to the pair counts
+    from the small per-doc persist (_persisted_doc_sizes) instead of
+    re-aggregating them per pass (r8: the per-pass sizes groupBy + two
+    broadcast joins were ~25% of the pair time; r9 moved the attach
+    AFTER the pair aggregation so the pair exchange ships keys+count
+    only)."""
     key = (id(df), text_col, id_col, shingle_n, unit)
     hit = _SH_ARGS_CACHE.get(key)
     if (
@@ -348,36 +365,46 @@ def overlap_pair_stats(
     hot = rel.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
         F.col("df_cnt") > max_shingle_df
     ).select("sh")
-    # effective size = persisted total `sz` minus the doc's hot-shingle
-    # count (hot_per_doc is at most one row per doc that HAS a hot
-    # shingle — usually empty — so the probe side broadcasts); sizes
-    # then ride THROUGH the self-join as per-row columns and fall out
-    # of the pair groupBy as min() of a per-group constant. This
-    # replaces the old per-pass sizes aggregate over the whole anti-
-    # joined relation plus two broadcast joins over the pair stream
-    # (guide §2.3: aggregate once at build, ship constants with rows).
+    # the pair stream carries ONLY (id, sh) — the r8 design threaded
+    # per-doc sizes THROUGH the self-join as row columns, which shipped
+    # two extra longs through the heaviest exchange and paid two min()
+    # buffers per pair group plus two broadcast joins on the 2.6M-row
+    # pair-input sides. Sizes are per-doc CONSTANTS, so they re-attach
+    # AFTER the pair aggregation instead: the per-doc (id, sz) relation
+    # is a one-slot persist (~1 row/doc, built once per corpus), the
+    # hot-shingle correction (at most one row per doc that HAS a hot
+    # shingle — usually empty) broadcasts onto it, and the pair counts
+    # join the result twice as tiny broadcasts. A/B at sf1: pair
+    # exchange 202 -> 111 MB, map-stage CPU -20% (OPTIMIZATION_r09.md).
+    keys = rel.join(F.broadcast(hot), "sh", "left_anti").select(id_col, "sh")
     hot_per_doc = rel.join(F.broadcast(hot), "sh").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("hot_cnt")
     )
-    sh = (
-        rel.join(F.broadcast(hot), "sh", "left_anti")
-        .join(F.broadcast(hot_per_doc), id_col, "left")
-        .withColumn(
-            "sze", F.col("sz") - F.coalesce(F.col("hot_cnt"), F.lit(0))
-        )
+    doc_sze = _persisted_doc_sizes(rel, id_col).join(
+        F.broadcast(hot_per_doc), id_col, "left"
+    ).select(
+        id_col,
+        (F.col("sz") - F.coalesce(F.col("hot_cnt"), F.lit(0))).alias("sze"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = keys.alias("a"), keys.alias("b")
     joined = a.join(
         b,
         (F.col("a.sh") == F.col("b.sh"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         "inner",
     )
-    aggs = [
-        F.count(F.lit(1)).alias("common"),
-        F.min(F.col("a.sze")).alias("sz_a"),
-        F.min(F.col("b.sze")).alias("sz_b"),
-    ]
+    aggs = [F.count(F.lit(1)).alias("common")]
+
+    def _attach_sizes(counts):
+        sa = F.broadcast(doc_sze.select(
+            F.col(id_col).alias("id_a"), F.col("sze").alias("sz_a")
+        ))
+        sb = F.broadcast(doc_sze.select(
+            F.col(id_col).alias("id_b"), F.col("sze").alias("sz_b")
+        ))
+        return counts.join(sa, "id_a").join(sb, "id_b").select(
+            "id_a", "id_b", "common", "sz_a", "sz_b"
+        )
     # guarded pair-key packing (guide §2.3 — narrower shuffle keys):
     # when every id provably fits 31 bits (one cheap aggregate over the
     # PERSISTED relation, computed once per corpus — the assembled plan
@@ -400,20 +427,20 @@ def overlap_pair_stats(
         pk = F.shiftleft(F.col(f"a.{id_col}").cast("long"), 32).bitwiseOR(
             F.col(f"b.{id_col}").cast("long")
         )
-        stats = (
+        stats = _attach_sizes(
             joined.groupBy(pk.alias("_pk"))
             .agg(*aggs)
             .select(
                 F.shiftright(F.col("_pk"), 32).cast(id_dt).alias("id_a"),
                 F.col("_pk").bitwiseAND(F.lit(0xFFFFFFFF)).cast(id_dt).alias("id_b"),
-                "common", "sz_a", "sz_b",
+                "common",
             )
         )
     else:
-        stats = joined.groupBy(
+        stats = _attach_sizes(joined.groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-        ).agg(*aggs)
+        ).agg(*aggs))
     # slot-guarded: the cache entry is valid only while `rel` is still
     # the one-slot persisted occupant (see the hit check above)
     _OPS_CACHE.clear()
