@@ -234,52 +234,76 @@ def main() -> None:
     # load phase with a per-step breakdown (recorded in the FULL doc):
     # a host I/O stall inside any one step is visible as that step's
     # time, instead of silently inflating an opaque "load" scalar —
-    # r6's record showed load +0.53s with no way to tell which step
+    # r6's record showed load +0.53s with no way to tell which step.
+    # r9: the steps are INDEPENDENT Spark jobs (different tables,
+    # different caches), so they run overlapped on two driver threads
+    # (optimization guide §2.6) — lane A is the dependency chain
+    # graph-build → codegen-warmup, lane B is worker-spawn → shingle →
+    # media. Each phase key still records that phase's own duration
+    # (measured inside its lane, so concurrent values can sum past the
+    # wall); "load" is the wall clock of the whole overlapped block.
     t0 = time.perf_counter()
-    g = entry._graph(spark, sf_dir)
-    g.graph.vertices.count()
-    g.graph.edges.count()
-    load_phases = {"graph_build_cache": round(time.perf_counter() - t0, 3)}
-    t1 = time.perf_counter()
-    # spawn the Python UDF workers once up front (cluster warm-up, not a
-    # per-query cost — workers are reused across queries)
-    spark.range(64).repartition(8).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
-    load_phases["python_workers"] = round(time.perf_counter() - t1, 3)
-    t1 = time.perf_counter()
-    # JIT/codegen warm-up: one representative traversal join + agg so
-    # the measured queries run at steady state (the reference likewise
-    # warms its index store before its measurement window; its paper
-    # numbers are 5-run steady-state averages, BASELINE.md)
-    g.V().out().count().df().count()
-    load_phases["codegen_warmup"] = round(time.perf_counter() - t1, 3)
-    t1 = time.perf_counter()
-    # materialize the shared shingle inverted index (one-slot persist,
-    # dedup._hashed_shingle_relation) off the timed path — serving
-    # clusters hold this hot exactly like the graph projection cache;
-    # its build cost is recorded HERE instead of inside the first
-    # doc_neardup_jaccard pass
-    try:
-        from grasper_spark.functions.dedup import _hashed_shingle_relation
+    load_phases: dict[str, float] = {}
+    g = None  # graph handle, assigned by lane A (the emu section reuses it)
 
-        _hashed_shingle_relation(
-            entry._docs(spark, sf_dir), "text", "doc_id", 3, "word"
+    def _lane_graph() -> None:
+        nonlocal g
+        t = time.perf_counter()
+        g = entry._graph(spark, sf_dir)
+        g.graph.vertices.count()
+        g.graph.edges.count()
+        load_phases["graph_build_cache"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
+        # JIT/codegen warm-up: one representative traversal join + agg
+        # so the measured queries run at steady state (the reference
+        # likewise warms its index store before its measurement window;
+        # its paper numbers are 5-run steady-state averages, BASELINE.md)
+        g.V().out().count().df().count()
+        load_phases["codegen_warmup"] = round(time.perf_counter() - t, 3)
+
+    def _lane_pipeline() -> None:
+        t = time.perf_counter()
+        # spawn the Python UDF workers once up front (cluster warm-up,
+        # not a per-query cost — workers are reused across queries)
+        spark.range(64).repartition(8).mapInPandas(
+            lambda it: it, "id long"
         ).count()
-    except Exception as ex:
-        print(f"# shingle pre-warm skipped: {ex}", file=sys.stderr)
-    load_phases["shingle_persist"] = round(time.perf_counter() - t1, 3)
-    t1 = time.perf_counter()
-    # materialize the synthetic media payload relation (one-slot
-    # persist, multimodal.synthetic_media_relation) off the timed path:
-    # production decode jobs read stored payloads from a table — they
-    # don't synthesize them per pass — so the per-pass multimodal
-    # timings measure DECODE, and the one-time payload build sits here
-    try:
-        entry._media_rel(spark, sf_dir).count()
-    except Exception as ex:
-        print(f"# media pre-warm skipped: {ex}", file=sys.stderr)
-    load_phases["media_persist"] = round(time.perf_counter() - t1, 3)
+        load_phases["python_workers"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
+        # materialize the shared shingle inverted index (one-slot
+        # persist, dedup._hashed_shingle_relation) off the timed path —
+        # serving clusters hold this hot exactly like the graph
+        # projection cache; its build cost is recorded HERE instead of
+        # inside the first doc_neardup_jaccard pass
+        try:
+            from grasper_spark.functions.dedup import _hashed_shingle_relation
+
+            _hashed_shingle_relation(
+                entry._docs(spark, sf_dir), "text", "doc_id", 3, "word"
+            ).count()
+        except Exception as ex:
+            print(f"# shingle pre-warm skipped: {ex}", file=sys.stderr)
+        load_phases["shingle_persist"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
+        # materialize the synthetic media payload relation (one-slot
+        # persist, multimodal.synthetic_media_relation) off the timed
+        # path: production decode jobs read stored payloads from a
+        # table — they don't synthesize them per pass — so the per-pass
+        # multimodal timings measure DECODE, and the one-time payload
+        # build sits here
+        try:
+            entry._media_rel(spark, sf_dir).count()
+        except Exception as ex:
+            print(f"# media pre-warm skipped: {ex}", file=sys.stderr)
+        load_phases["media_persist"] = round(time.perf_counter() - t, 3)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fa = _pool.submit(_lane_graph)
+        _fb = _pool.submit(_lane_pipeline)
+        _fa.result()
+        _fb.result()
     load_s = round(time.perf_counter() - t0, 3)
     sentinel_passes: dict[str, float] = {"post_load": _sentinel(spark)}
 
@@ -419,21 +443,38 @@ def main() -> None:
             generate_sf(spark, sf1_dir, sf=1.0, base_sf_dir=sf_dir)
             gen_s = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
-            entry._graph(spark, sf1_dir).graph.vertices.count()
-            # sf1 shingle pre-warm (one-slot cache: evicts the sf0.1
-            # occupant, whose headline passes are already recorded)
-            try:
-                from grasper_spark.functions.dedup import (
-                    _hashed_shingle_relation as _hsr,
-                )
 
-                _hsr(entry._docs(spark, sf1_dir), "text", "doc_id", 3, "word").count()
-            except Exception as ex:
-                print(f"# sf1 shingle pre-warm skipped: {ex}", file=sys.stderr)
-            try:  # sf1 media payload pre-warm (one-slot, evicts sf0.1)
-                entry._media_rel(spark, sf1_dir).count()
-            except Exception as ex:
-                print(f"# sf1 media pre-warm skipped: {ex}", file=sys.stderr)
+            # same §2.6 overlap as the main load: graph build and the
+            # two pipeline pre-warms are independent jobs
+            def _sf1_lane_graph() -> None:
+                entry._graph(spark, sf1_dir).graph.vertices.count()
+
+            def _sf1_lane_pipeline() -> None:
+                # sf1 shingle pre-warm (one-slot cache: evicts the
+                # sf0.1 occupant, whose headline passes are already
+                # recorded)
+                try:
+                    from grasper_spark.functions.dedup import (
+                        _hashed_shingle_relation as _hsr,
+                    )
+
+                    _hsr(
+                        entry._docs(spark, sf1_dir), "text", "doc_id", 3, "word"
+                    ).count()
+                except Exception as ex:
+                    print(f"# sf1 shingle pre-warm skipped: {ex}", file=sys.stderr)
+                try:  # sf1 media payload pre-warm (one-slot, evicts sf0.1)
+                    entry._media_rel(spark, sf1_dir).count()
+                except Exception as ex:
+                    print(f"# sf1 media pre-warm skipped: {ex}", file=sys.stderr)
+
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            with _TPE(max_workers=2) as _pool:
+                _fa = _pool.submit(_sf1_lane_graph)
+                _fb = _pool.submit(_sf1_lane_pipeline)
+                _fa.result()
+                _fb.result()
             sf1_load_s = round(time.perf_counter() - t0, 3)
             sf1: dict[str, dict] = {}
             for name in HEADLINE:
