@@ -911,7 +911,11 @@ def _q_doc_neardup_jaccard(spark, sf):
     # op's own threshold — no union re-executing the join tree.
     from grasper_spark.functions.dedup import overlap_pair_stats
 
-    stats = overlap_pair_stats(_docs(spark, sf))
+    # min_overlap_frac = the weakest of the three predicate branches
+    # below (jaccard ≥ 0.2, containment ≥ 0.5 either side): a pair
+    # passing ANY branch has common ≥ (0.2 − 1e-6)·min_size, so the
+    # pre-aggregation-side filter drops nothing the OR would keep
+    stats = overlap_pair_stats(_docs(spark, sf), min_overlap_frac=0.2)
 
     def build():
         jac = F.round(

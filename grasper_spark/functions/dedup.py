@@ -334,6 +334,7 @@ def _hashed_shingle_relation(
 def overlap_pair_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, max_shingle_df: int = 10000, unit: str = "word",
+    min_overlap_frac: float | None = None,
 ) -> DataFrame:
     """(id_a < id_b, common, sz_a, sz_b) for every candidate pair that
     shares ≥1 non-hot shingle — the SHARED base of ngram_jaccard_pairs
@@ -348,11 +349,24 @@ def overlap_pair_stats(
     (both self-join sides + sizes) re-traverse it with zero exchange
     and no window re-shingling.
 
+    `min_overlap_frac` (optional): when the CALLER will only keep pairs
+    whose overlap measure is ≥ t for some measure of the form
+    common / D with denominator D ≥ every doc's effective size
+    (Jaccard: D = union ≥ max(sz_a, sz_b); containment / overlap
+    coefficient: D = one side's size), pass t here and pairs that
+    cannot reach it are dropped right after the pair aggregation:
+    common ≤ min(sz_a, sz_b) and D ≥ m (the corpus-wide min effective
+    size, one cached scalar), so round(common/D, 6) ≥ t implies
+    common ≥ (t − 1e-6)·m. The pre-filter is strictly implied by the
+    caller's own predicate — results are identical — but the (usually
+    ~all) pairs with tiny overlap never reach the size-attach joins.
+
     The assembled pair-stats PLAN is identity-cached per (input df,
     args) — building the hot/anti/self-join/size tree is ~0.2 s of
     py4j round trips, pure per-query compile latency; the returned
     DataFrame is lazy, every action still computes from the inputs."""
-    key = (id(df), text_col, id_col, shingle_n, max_shingle_df, unit)
+    key = (id(df), text_col, id_col, shingle_n, max_shingle_df, unit,
+           min_overlap_frac)
     hit = _OPS_CACHE.get(key)
     if (
         hit is not None
@@ -394,8 +408,18 @@ def overlap_pair_stats(
         "inner",
     )
     aggs = [F.count(F.lit(1)).alias("common")]
+    # min-common pre-filter (see docstring): computed at plan build,
+    # cached with the plan. m = 0 (a doc of only hot shingles) or an
+    # empty corpus disables it — the bound degenerates to common ≥ 0.
+    pre_common = None
+    if min_overlap_frac is not None and min_overlap_frac > 0:
+        m = doc_sze.select(F.min("sze")).first()[0]
+        if m is not None and m > 0:
+            pre_common = (float(min_overlap_frac) - 1e-6) * float(m)
 
     def _attach_sizes(counts):
+        if pre_common is not None:
+            counts = counts.filter(F.col("common") >= F.lit(pre_common))
         sa = F.broadcast(doc_sze.select(
             F.col(id_col).alias("id_a"), F.col("sze").alias("sz_a")
         ))
@@ -458,7 +482,10 @@ def ngram_jaccard_pairs(
     unit='char' switches to codepoint n-grams (use shingle_n≈5) for
     unsegmented scripts — same plan shape, same pair-mass budget."""
     return (
-        overlap_pair_stats(df, text_col, id_col, shingle_n, max_shingle_df, unit)
+        overlap_pair_stats(
+            df, text_col, id_col, shingle_n, max_shingle_df, unit,
+            min_overlap_frac=threshold,  # union ≥ max size ⟹ sound pre-filter
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
@@ -803,7 +830,10 @@ def containment_pairs(
     by ONE side's size). |a ∩ b| is symmetric, so the self-join runs
     once on a < b and mirrors — half the pair traffic of an a != b
     join."""
-    half = overlap_pair_stats(df, text_col, id_col, shingle_n, max_shingle_df, unit)
+    half = overlap_pair_stats(
+        df, text_col, id_col, shingle_n, max_shingle_df, unit,
+        min_overlap_frac=threshold,  # denominator = one side's size ≥ m
+    )
     # emit both directions from ONE join tree (explode of two structs —
     # a union of mirrored selects would re-run the join+agg subtree)
     both = half.select(

@@ -177,6 +177,113 @@ def test_overlap_pair_stats_packed_and_fallback_match_reference(spark, shift):
     assert dict(sdf.dtypes)["id_a"] == "bigint"
 
 
+@pytest.mark.parametrize("threshold", [0.2, 0.5, 0.8])
+def test_min_overlap_frac_prefilter_is_result_identical(spark, threshold):
+    """min_overlap_frac drops pairs BEFORE the size-attach joins; the
+    consumer's own measure filter must keep exactly the same rows as
+    the unfiltered stats + filter. The corpus is built so the raw pair
+    stream has many low-overlap pairs (the pre-filter must actually
+    prune) plus near-dup pairs above every tested threshold."""
+    from grasper_spark.functions import dedup as D
+
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h i j"),          # exact dup of 0
+        (2, "a b c d e f g x y z"),          # high overlap with 0/1
+        (3, "a b c q r s t u v w"),          # common=1 with 0-2
+        (4, "m n o p q r s t u v"),          # common=4 with 3
+        (5, "zz yy xx ww vv uu tt ss rr qq"),  # no overlap
+    ]
+    # every doc has 10 tokens → 8 trigrams → corpus min size m = 8
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def _stats(frac):
+        D._SH_ARGS_CACHE.clear()
+        D._OPS_CACHE.clear()
+        return D.overlap_pair_stats(df, min_overlap_frac=frac)
+
+    raw = {
+        (r["id_a"], r["id_b"]): (r["common"], r["sz_a"], r["sz_b"])
+        for r in _stats(None).collect()
+    }
+    pre = {
+        (r["id_a"], r["id_b"]): (r["common"], r["sz_a"], r["sz_b"])
+        for r in _stats(threshold).collect()
+    }
+    # exact pre-filter semantics: keep precisely the pairs with
+    # common ≥ (t − 1e-6)·m, m = 8 for this corpus
+    assert pre == {
+        k: v for k, v in raw.items() if v[0] >= (threshold - 1e-6) * 8
+    }
+
+    def jac(c, sa, sb):
+        return round(c / (sa + sb - c), 6)
+
+    def cont(c, s):
+        return round(c / s, 6)
+
+    # consumer-level identity: jaccard pairs from the pre-filtered base
+    # equal the reference computed from the UNfiltered stats
+    want_j = {
+        k: jac(c, sa, sb)
+        for k, (c, sa, sb) in raw.items()
+        if jac(c, sa, sb) >= threshold
+    }
+    D._SH_ARGS_CACHE.clear()
+    D._OPS_CACHE.clear()
+    got_j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    assert got_j == want_j
+
+    # containment: both directions, reference from unfiltered stats
+    want_c = {}
+    for (a, b), (c, sa, sb) in raw.items():
+        if cont(c, sa) >= threshold:
+            want_c[(a, b)] = cont(c, sa)
+        if cont(c, sb) >= threshold:
+            want_c[(b, a)] = cont(c, sb)
+    D._SH_ARGS_CACHE.clear()
+    D._OPS_CACHE.clear()
+    got_c = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in D.containment_pairs(df, threshold=threshold).collect()
+    }
+    assert got_c == want_c
+
+    # the pre-filter must have actually pruned low-overlap pairs
+    # (otherwise this test exercises nothing)
+    assert len(pre) < len(raw)
+
+
+def test_min_overlap_frac_disabled_by_all_hot_doc(spark):
+    """A doc whose every shingle is hot has effective size 0, so the
+    corpus-wide min is 0 and the pre-filter must disable itself (bound
+    degenerates) rather than dropping valid pairs."""
+    from grasper_spark.functions import dedup as D
+
+    hot = "h1 h2 h3 h4 h5"
+    rows = [
+        (0, hot), (1, hot), (2, hot), (3, hot),  # make every shingle of `hot` hot
+        (4, hot + " a b c d e f g"),
+        (5, hot + " a b c d e f g"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def _stats(frac):
+        D._SH_ARGS_CACHE.clear()
+        D._OPS_CACHE.clear()
+        return {
+            (r["id_a"], r["id_b"]): (r["common"], r["sz_a"], r["sz_b"])
+            for r in D.overlap_pair_stats(
+                df, max_shingle_df=3, min_overlap_frac=frac
+            ).collect()
+        }
+
+    assert _stats(0.9) == _stats(None)
+
+
 # ---------- co-occurrence neq fusion (g_where_neq family) ----------
 
 CONEQ_Q = (
